@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": N}.
+
+Execution is measured end-to-end per query with a noop sink (full plan
+runs, nothing collected to the driver) after a warmup pass of the first
+query to absorb JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from copperhead_spark.plans.registry import all_queries
+from copperhead_spark.session import get_spark
+
+# headline set: one per operator family, weighted toward the shapes that
+# dominate at 100 TB (scan+filter+agg, star join, window pivot, histogram,
+# dedup/similarity once registered)
+HEADLINE = [
+    "flagship_selection_yield",
+    "a6_pricing_summary",
+    "a1_count_per_group",
+    "j1_star_join_revenue",
+    "j2_anti_join",
+    "j4_top2_pivot",
+    "a5_weighted_histogram",
+    "w1_rank_in_group",
+    "t1_time_bucket_agg",
+    "dedup_exact_groups",
+    "dedup_minhash_signatures",
+    "sim_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="copperhead-bench")
+
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warmup: run the first query once to pay JVM + codegen startup
+    if names:
+        queries[names[0]].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
