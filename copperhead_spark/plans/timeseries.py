@@ -1,0 +1,148 @@
+"""Histogram + time-bucket aggregates (SURVEY.md §2.4 A5/A13 ★) and the
+date/time capability extension (§2.8: absent in the reference — its time
+axis is run/lumi/event integers — but exercised by the driver's events
+table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
+from copperhead_spark.operators.histogram import bin_index_sql, histogram
+from copperhead_spark.plans.registry import register
+
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 110000.0, 55
+
+
+@register(
+    "a5_weighted_histogram",
+    oracle=f"""
+SELECT l_returnflag AS region,
+       {bin_index_sql("l_extendedprice", _HIST_LO, _HIST_HI, _HIST_N)} AS bin_idx,
+       {exact_sum_sql("1 - l_discount", 4)} AS value,
+       {exact_sum_sql("(1 - l_discount) * (1 - l_discount)", 8)} AS sumw2
+FROM lineitem
+GROUP BY 1, 2
+""",
+    tags=("A5", "A6"),
+)
+def a5_weighted_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core stage-2 aggregate (histogrammer.py:28-120): weighted
+    histogram of a kinematic variable per category, sum(w) + sum(w^2) per
+    bin.  One groupBy replaces the reference's region x wgt x syst x
+    channel Python loops."""
+    li = table(spark, sf_dir, "lineitem")
+    return histogram(
+        li,
+        value=F.col("l_extendedprice"),
+        lo=_HIST_LO,
+        hi=_HIST_HI,
+        nbins=_HIST_N,
+        by=[F.col("l_returnflag").alias("region")],
+        weight=1 - F.col("l_discount"),
+    )
+
+
+@register(
+    "a13_value_counts",
+    oracle="""
+SELECT CAST(FLOOR(value / 50) AS BIGINT) AS value_bin, COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+    tags=("A13",),
+)
+def a13_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw value-counts histogram (auto-PU profile rebuild,
+    pu_reweight.py:18-26): groupBy floor(x/width) + count; the result is
+    broadcast back in the two-pass normalization pattern."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50).cast("long").alias("value_bin")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "t1_time_bucket_agg",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS n,
+       {exact_sum_sql("value", 4)} AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("T1", "date"),
+)
+def t1_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-bucket aggregate (date_trunc): the batch analogue of
+    a streaming window; capability extension beyond the reference
+    (SURVEY.md §2.9)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        exact_sum(F.col("value"), 4).alias("value_sum"),
+    )
+
+
+@register(
+    "t2_date_parts",
+    oracle=f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+       COUNT(*) AS n_orders,
+       {exact_sum_sql("o_totalprice")} AS month_total
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("T2", "date"),
+)
+def t2_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part extraction + rollup-by-month (date function family:
+    year/month/extract)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice")).alias("month_total"),
+    )
+
+
+@register(
+    "t3_session_gaps",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_sessions
+FROM (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+)
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+GROUP BY user_id
+""",
+    tags=("T3", "W4", "date"),
+)
+def t3_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag(ts) per user + gap > 30 min starts a new
+    session; count sessions per user.  The batch twin of streaming
+    session_window (registered separately)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTE"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )

@@ -1,0 +1,268 @@
+"""Window/top-k layer: ranking, nth-per-group, argmax, cumulative sums,
+quantiles (SURVEY.md §2.4 A3/A8/A10/A12, §2.5 W1-W4, §2.6 O2/O3 ★).
+
+This layer unlocks the reference's dimuon/dijet pairing pattern: pick the
+top-2 objects per event by pt and pivot them into one wide row
+(/root/reference/stage1/processor.py:295-318,655-667).
+
+Scale note: every window here partitions by a high-cardinality key (order,
+customer, nation), so the sort is per-partition after a hash shuffle —
+no global sort. The two global-ordered queries (o2 top-k, a10 bin edges)
+run on aggregated/limited data by construction, which is the only place a
+single-partition window is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
+from copperhead_spark.plans.registry import register
+
+
+@register(
+    "j4_top2_pivot",
+    oracle="""
+WITH ranked AS (
+  SELECT l_orderkey, l_extendedprice, l_quantity,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_extendedprice DESC, l_linenumber ASC
+         ) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey AS order_id,
+       MAX(CASE WHEN rn = 1 THEN l_extendedprice END) AS li1_price,
+       MAX(CASE WHEN rn = 2 THEN l_extendedprice END) AS li2_price,
+       MAX(CASE WHEN rn = 1 THEN l_quantity END)
+         + MAX(CASE WHEN rn = 2 THEN l_quantity END) AS pair_qty,
+       MAX(CASE WHEN rn = 2 THEN l_extendedprice END)
+         / MAX(CASE WHEN rn = 1 THEN l_extendedprice END) AS price_ratio
+FROM ranked
+WHERE rn <= 2
+GROUP BY l_orderkey
+HAVING COUNT(*) = 2
+""",
+    tags=("J4", "A3", "W1", "W2", "O3"),
+)
+def j4_top2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimuon pairing: leading/subleading object per event pivoted into one
+    row (processor.py:295-318).  Window row_number -> conditional-agg
+    pivot; one shuffle on the event key, no self-join."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    ranked = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    lead = F.max(F.when(F.col("rn") == 1, F.col("l_extendedprice")))
+    sub = F.max(F.when(F.col("rn") == 2, F.col("l_extendedprice")))
+    return (
+        ranked.groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(
+            lead.alias("li1_price"),
+            sub.alias("li2_price"),
+            (
+                F.max(F.when(F.col("rn") == 1, F.col("l_quantity")))
+                + F.max(F.when(F.col("rn") == 2, F.col("l_quantity")))
+            ).alias("pair_qty"),
+            (sub / lead).alias("price_ratio"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") == 2)
+        .drop("_n")
+    )
+
+
+@register(
+    "a3_argmax_per_group",
+    oracle="""
+SELECT o_custkey AS cust_id,
+       o_orderkey AS best_orderkey,
+       o_totalprice AS best_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    tags=("A3", "W3"),
+)
+def a3_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax (leading-muon idxmax, processor.py:296-297) with a
+    pinned tie-break (highest price, then lowest orderkey — the reference's
+    pandas first-match made deterministic).  Implemented as a window rank
+    rather than max_by so ties are controlled explicitly."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.col("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+@register(
+    "w1_rank_in_group",
+    oracle="""
+SELECT * FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+    tags=("W1", "W2", "O1", "O3"),
+)
+def w1_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking within group + top-k (pt-ordered jet re-numbering,
+    processor.py:655-667): first 3 events per user in time order."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "rn")
+    )
+
+
+@register(
+    "w4_cumsum_per_group",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS running_scaled
+FROM orders
+""",
+    tags=("W4", "A10"),
+)
+def w4_cumsum_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum (wgt cumsum, categorizer.py:94-99), keyed per
+    customer so the sort is per-partition.  Kept in scaled-integer space:
+    exact, order-stable, and what you'd feed a bin-edge derivation."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w)
+        .alias("running_scaled"),
+    )
+
+
+@register(
+    "a10_yield_bin_edges",
+    oracle=f"""
+WITH per_supp AS (
+  SELECT l_suppkey AS suppkey,
+         {exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_scaled
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT suppkey, revenue,
+       CAST(SUM(rev_scaled) OVER (
+         ORDER BY rev_scaled DESC, suppkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) // 500000000000 AS BIGINT) AS yield_bin
+FROM per_supp
+""",
+    tags=("A10", "W4", "O2"),
+)
+def a10_yield_bin_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVA-score yield binning (categorizer.py:89-117): sort groups by
+    yield desc, cumulative-sum the weights, bucket at fixed targets.
+    The global window runs over the *aggregated* per-supplier table
+    (small by construction), matching the reference which bins on the
+    driver.  Integer division keeps the bin id exact."""
+    li = table(spark, sf_dir, "lineitem")
+    rev_scaled = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    )
+    per_supp = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        rev_scaled.alias("rev_scaled"),
+    )
+    w = (
+        Window.orderBy(F.col("rev_scaled").desc(), F.col("suppkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_supp.withColumn("cum_scaled", F.sum("rev_scaled").over(w))
+        .select(
+            "suppkey",
+            "revenue",
+            F.expr("cum_scaled div 500000000000").alias("yield_bin"),
+        )
+    )
+
+
+@register(
+    "a8_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       MIN(l_quantity) AS qmin,
+       MAX(l_quantity) AS qmax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("A8", "A12"),
+)
+def a8_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group (score-quantile categorization,
+    categorizer.py:26-37).  Uses exact `percentile` — at 100 TB swap for
+    `percentile_approx` (documented accuracy/speed trade; the reference's
+    driver-side pandas quantile has no scalable analogue)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, 0.25).alias("q25"),
+        F.percentile(q, 0.5).alias("q50"),
+        F.percentile(q, 0.75).alias("q75"),
+        F.min(q).alias("qmin"),
+        F.max(q).alias("qmax"),
+    )
+
+
+@register(
+    "o2_global_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+    tags=("O2", "O3", "A12"),
+)
+def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with rank (score-desc event ordering,
+    categorizer.py:94-98).  orderBy+limit lets Spark run a per-partition
+    top-k then merge k·p rows on the driver side of the exchange — no full
+    global sort materialization."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
