@@ -1,0 +1,120 @@
+"""Text-analysis expression generators (dedup / fingerprinting / quality
+— the LLM-training-data-pipeline operator family; no reference
+counterpart, mandated beyond-reference capability).
+
+Everything is generated as SQL text in BOTH dialects from one Python
+source of truth, using only integer arithmetic (character codes,
+polynomial rolling hashes, modular min-hashing) so Spark and the DuckDB
+oracle agree bit-for-bit.  No engine-specific hash builtins (xxhash64 /
+murmur) — those don't exist portably across engines.
+
+Hash design:
+- shingle hash: 5-char shingles, h = sum_k 31^k * ascii(char_{i+k})  (< 2.4e8)
+- minhash_k:    min over shingles of (a_k * h + b_k) mod 2147483647
+- token hash:   left fold (acc * 31 + code) mod 1000003
+- rolling doc fingerprint: left fold (acc * 31 + code) mod 1000000007
+"""
+
+from __future__ import annotations
+
+MERSENNE31 = 2_147_483_647
+TOKEN_P = 1_000_003
+DOC_P = 1_000_000_007
+
+# (a_k, b_k) for the K=8 minhash permutations — fixed, documented constants
+MINHASH_COEFFS = [(1_000_003 + 7919 * k, 60_013 + 104_729 * k) for k in range(8)]
+
+
+def _shingle_core(i: str, col: str = "text") -> str:
+    """Polynomial hash of the 5-char shingle starting at 1-based pos ``i``."""
+    return " + ".join(
+        f"{31**k} * ascii(substring({col}, ({i}) + {k}, 1))" for k in range(5)
+    )
+
+
+def shingle_hashes_spark(col: str = "text") -> str:
+    """array<bigint> of shingle hashes (Spark dialect)."""
+    return (
+        f"transform(sequence(1, length({col}) - 4),"
+        f" i -> CAST({_shingle_core('i', col)} AS BIGINT))"
+    )
+
+
+def shingle_hashes_duck(col: str = "text") -> str:
+    """Same list in DuckDB dialect (range() upper bound is exclusive)."""
+    return (
+        f"list_transform(range(1, length({col}) - 3),"
+        f" i -> CAST({_shingle_core('i', col)} AS BIGINT))"
+    )
+
+
+def minhash_spark(k: int, hashes_expr: str) -> str:
+    a, b = MINHASH_COEFFS[k]
+    return f"array_min(transform({hashes_expr}, h -> ({a} * h + {b}) % {MERSENNE31}))"
+
+
+def minhash_duck(k: int, hashes_expr: str) -> str:
+    a, b = MINHASH_COEFFS[k]
+    return (
+        f"list_aggregate(list_transform({hashes_expr},"
+        f" h -> ({a} * h + {b}) % {MERSENNE31}), 'min')"
+    )
+
+
+def token_hashes_spark(col: str = "text") -> str:
+    """array<bigint>: polynomial hash of each whitespace token."""
+    return (
+        f"transform(split({col}, ' '),"
+        f" w -> aggregate(sequence(1, length(w)), CAST(0 AS BIGINT),"
+        f" (acc, i) -> (acc * 31 + ascii(substring(w, i, 1))) % {TOKEN_P}))"
+    )
+
+
+def token_hashes_duck(col: str = "text") -> str:
+    return (
+        f"list_transform(string_split({col}, ' '),"
+        f" w -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, length(w) + 1),"
+        f" i -> CAST(ascii(substring(w, i, 1)) AS BIGINT))),"
+        f" (acc, c) -> (acc * 31 + c) % {TOKEN_P}))"
+    )
+
+
+def rolling_fingerprint_spark(col: str = "text") -> str:
+    return (
+        f"aggregate(sequence(1, length({col})), CAST(0 AS BIGINT),"
+        f" (acc, i) -> (acc * 31 + ascii(substring({col}, i, 1))) % {DOC_P})"
+    )
+
+
+def rolling_fingerprint_duck(col: str = "text") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, length({col}) + 1),"
+        f" i -> CAST(ascii(substring({col}, i, 1)) AS BIGINT))),"
+        f" (acc, c) -> (acc * 31 + c) % {DOC_P})"
+    )
+
+
+def simhash_spark(nbits: int, token_hashes: str) -> str:
+    """nbits-wide SimHash: per bit, majority vote of (2*bit-1) over token
+    hashes; assemble the fingerprint as sum of 2^j for positive votes."""
+    parts = []
+    for j in range(nbits):
+        vote = (
+            f"aggregate({token_hashes}, CAST(0 AS BIGINT),"
+            f" (acc, h) -> acc + (2 * ((h div {2**j}) % 2) - 1))"
+        )
+        parts.append(f"CASE WHEN ({vote}) > 0 THEN {2**j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def simhash_duck(nbits: int, token_hashes: str) -> str:
+    parts = []
+    for j in range(nbits):
+        vote = (
+            f"list_aggregate(list_transform({token_hashes},"
+            f" h -> 2 * ((h // {2**j}) % 2) - 1), 'sum')"
+        )
+        parts.append(f"CASE WHEN ({vote}) > 0 THEN {2**j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

@@ -1,0 +1,271 @@
+"""Deduplication operator family (mandated beyond-reference capability:
+exact, MinHash+LSH, SimHash, n-gram Jaccard — the LLM-training-data
+pipeline operators; no copperhead counterpart, SURVEY.md §7 step 8).
+
+All hashing is engine-portable integer arithmetic (functions/text.py), so
+every query here has a full-value DuckDB oracle — including MinHash
+signatures and LSH candidate pairs, which usually get waved off as
+"approximate, can't check": the approximation is deterministic given the
+hash family, so it IS checkable.
+
+Scale design (100 TB corpus):
+- signatures/fingerprints are per-row HOF expressions — no shuffle, no UDF.
+- LSH banding turns the O(n^2) pair space into groupBy(band_key) — the
+  shuffle is on candidate buckets only.
+- the exact Jaccard verify join is restricted to LSH candidates in the
+  scale path; here it also runs standalone as its own oracle-checked
+  operator on the (small) documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.functions.text import (
+    minhash_duck,
+    minhash_spark,
+    rolling_fingerprint_duck,
+    rolling_fingerprint_spark,
+    shingle_hashes_duck,
+    shingle_hashes_spark,
+    simhash_duck,
+    simhash_spark,
+    token_hashes_duck,
+    token_hashes_spark,
+)
+from copperhead_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT doc_id,
+       md5(lower(text)) AS fingerprint,
+       CAST(COUNT(*) OVER (PARTITION BY md5(lower(text))) AS BIGINT) AS dup_count,
+       MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_doc_id
+FROM documents
+""",
+    tags=("dedup",),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash-groupBy) dedup: content fingerprint, group size, and
+    canonical representative (min doc_id) per group.  md5 produces
+    identical hex in both engines.  At scale: groupBy(fingerprint) with
+    map-side partial agg; the window form here keeps per-doc rows."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.col("text")))
+    w = Window.partitionBy(fp)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count("*").over(w).alias("dup_count"),
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup)
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.35
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({shingle_hashes_duck()})) AS s
+  FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       CAST(c AS DOUBLE) / (z1.n + z2.n - c) AS jaccard
+FROM common
+JOIN sz z1 ON z1.doc_id = doc1
+JOIN sz z2 ON z2.doc_id = doc2
+WHERE CAST(c AS DOUBLE) / (z1.n + z2.n - c) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs (threshold 0.35): explode
+    distinct shingle hashes, self-join on shingle, count common, divide
+    by union size.  At 100 TB this runs only on LSH candidates; shown
+    standalone so the exact operator itself is oracle-checked."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.selectExpr(
+        "doc_id", f"explode(array_distinct({shingle_hashes_spark()})) AS s"
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("c"))
+    )
+    z1 = sz.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    z2 = sz.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(z1, "doc1")
+        .join(z2, "doc2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+_K = 8  # minhashes
+_BANDS = 4  # 4 bands x 2 rows
+
+_MH_SPARK = [minhash_spark(k, shingle_hashes_spark()) for k in range(_K)]
+_MH_DUCK = [minhash_duck(k, shingle_hashes_duck()) for k in range(_K)]
+
+_SIG_ORACLE = "SELECT doc_id, " + ", ".join(
+    f"{m} AS mh{k}" for k, m in enumerate(_MH_DUCK)
+) + " FROM documents"
+
+
+@register("dedup_minhash_signatures", oracle=_SIG_ORACLE, tags=("dedup",))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (K=8) per document: min over shingle hashes of
+    K affine permutations mod 2^31-1.  Pure per-row HOF expression —
+    embarrassingly parallel, no shuffle, no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id", *[f"{m} AS mh{k}" for k, m in enumerate(_MH_SPARK)]
+    )
+
+
+_BAND_KEYS_DUCK = [
+    f"CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR)"
+    for b in range(_BANDS)
+]
+
+_LSH_ORACLE = f"""
+WITH sig AS ({_SIG_ORACLE}),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
+    for b, key in enumerate(_BAND_KEYS_DUCK)
+  )}
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_LSH_ORACLE, tags=("dedup",))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signature (4 bands x 2 rows):
+    documents sharing any band bucket become candidate pairs.  The
+    banding shuffle is groupBy(band_key) — linear in corpus size; only
+    bucket-mates join."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(_BANDS):
+        part = sig.selectExpr(
+            "doc_id",
+            f"{b} AS band",
+            f"CONCAT(CAST(mh{2 * b} AS STRING), '_', CAST(mh{2 * b + 1} AS STRING))"
+            " AS band_key",
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_NBITS = 16
+
+_SIMHASH_ORACLE = f"""
+SELECT doc_id, {simhash_duck(_NBITS, token_hashes_duck())} AS simhash
+FROM documents
+"""
+
+
+@register("dedup_simhash_signatures", oracle=_SIMHASH_ORACLE, tags=("dedup",))
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token hashes (majority vote per bit).  Per-row
+    expression, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id", f"{simhash_spark(_NBITS, token_hashes_spark())} AS simhash"
+    )
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH sig AS ({_SIMHASH_ORACLE})
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("dedup",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= 2 on the 16-bit
+    fingerprint.  (At scale: block on bit-chunks like LSH bands instead
+    of the all-pairs join shown on this small table.)"""
+    sig = dedup_simhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+SELECT doc_id, {rolling_fingerprint_duck()} AS fingerprint
+FROM documents
+""",
+    tags=("dedup", "text"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint of the whole
+    document (mod 1e9+7) — the content-defined-chunking primitive."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.selectExpr("doc_id", f"{rolling_fingerprint_spark()} AS fingerprint")

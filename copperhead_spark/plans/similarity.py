@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (mandated beyond-reference
+capability): brute-force cosine top-k baseline + random-hyperplane LSH
+bucketing as the scale path.
+
+Dot products and norms run in micro-unit integer space (exact, order-
+independent — functions/exact.py discipline), so cosines are bit-equal
+across engines and the top-k ordering itself is deterministic.
+
+Scale design (billions of vectors):
+- top-k: broadcast the (small) query set, per-partition partial top-k via
+  window over (query, candidate) — never a global sort of all candidates.
+- LSH: signature is a per-row expression; bucket counts are one groupBy.
+  An IVF variant is bucket-join (probe -> centroid bucket -> candidates)
+  with the same plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.plans.registry import register
+
+_MICRO_S = "CAST(ROUND(CAST({e} AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"{_MICRO_S.format(e='x')} * {_MICRO_S.format(e='y')}),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _norm2_spark(a: str) -> str:
+    return (
+        f"aggregate(transform({a}, x -> {_MICRO_S.format(e='x')} * {_MICRO_S.format(e='x')}),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, 65), i -> "
+        f"{_MICRO_S.format(e=a + '[i]')} * {_MICRO_S.format(e=b + '[i]')}), 'sum')"
+    )
+
+
+_TOPK = 5
+_NQ = 5
+
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {_dot_duck("embedding", "embedding")} AS qn
+  FROM embeddings WHERE vec_id < {_NQ}
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS ce,
+         {_dot_duck("embedding", "embedding")} AS cn
+  FROM embeddings WHERE vec_id >= {_NQ}
+),
+scored AS (
+  SELECT query_id, cand_id,
+         CAST({_dot_duck("qe", "ce")} AS DOUBLE)
+           / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS cosine
+  FROM q, c
+)
+SELECT query_id, cand_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+  ) AS rn FROM scored
+) WHERE rn <= {_TOPK}
+"""
+
+
+@register("sim_cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("similarity",))
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vectors (vec_id < 5) broadcast
+    against all candidates; JVM-side zip_with/aggregate dot products; one
+    window per query for the top-5."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NQ).selectExpr(
+        "vec_id AS query_id", "embedding AS qe", f"{_norm2_spark('embedding')} AS qn"
+    )
+    c = emb.filter(F.col("vec_id") >= _NQ).selectExpr(
+        "vec_id AS cand_id", "embedding AS ce", f"{_norm2_spark('embedding')} AS cn"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .selectExpr(
+            "query_id",
+            "cand_id",
+            f"CAST({_dot_spark('qe', 'ce')} AS DOUBLE)"
+            " / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("query_id", "cand_id", "cosine", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+# random-hyperplane LSH: 8 deterministic +/-1 planes over 64 dims
+_NPLANES = 8
+
+
+def _plane_sign(i: int, j: int) -> int:
+    # deterministic pseudo-random sign per (dim i, plane j)
+    return 1 if ((i * 2654435761 + j * 40503) % 7) < 3 else -1
+
+
+def _lsh_bit_spark(j: int) -> str:
+    dot = (
+        f"aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        f"{_MICRO_S.format(e='element_at(embedding, i)')}"
+        f" * (CASE WHEN ((i * 2654435761 + {j} * 40503) % 7) < 3 THEN 1 ELSE -1 END))"
+    )
+    return f"CASE WHEN ({dot}) > 0 THEN {2**j} ELSE 0 END"
+
+
+def _lsh_bit_duck(j: int) -> str:
+    dot = (
+        f"list_aggregate(list_transform(range(1, 65), i -> "
+        f"{_MICRO_S.format(e='embedding[i]')}"
+        f" * (CASE WHEN ((i * 2654435761 + {j} * 40503) % 7) < 3 THEN 1 ELSE -1 END)), 'sum')"
+    )
+    return f"CASE WHEN ({dot}) > 0 THEN {2**j} ELSE 0 END"
+
+
+_LSH_ORACLE = f"""
+SELECT CAST({" + ".join(_lsh_bit_duck(j) for j in range(_NPLANES))} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@register("sim_lsh_buckets", oracle=_LSH_ORACLE, tags=("similarity",))
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8-bit
+    signature from sign(dot(e, plane_j)) with deterministic +/-1 planes;
+    candidate generation = equi-join on bucket.  Signature is a pure
+    expression; the only shuffle is the bucket groupBy."""
+    emb = table(spark, sf_dir, "embeddings")
+    sig = " + ".join(_lsh_bit_spark(j) for j in range(_NPLANES))
+    return (
+        emb.selectExpr("vec_id", f"CAST({sig} AS BIGINT) AS bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+_NEARDUP_T = 0.40
+
+_NEARDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_dot_duck("embedding", "embedding")} AS n2
+  FROM embeddings
+)
+SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+       CAST({_dot_duck("a.embedding", "b.embedding")} AS DOUBLE)
+         / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CAST({_dot_duck("a.embedding", "b.embedding")} AS DOUBLE)
+        / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) >= {_NEARDUP_T}
+"""
+
+
+@register("dedup_embedding_cosine_pairs", oracle=_NEARDUP_ORACLE, tags=("dedup", "similarity"))
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.40).  All-pairs on
+    this table; at scale the pair space is pre-pruned by sim_lsh_buckets
+    (same-bucket candidates only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr("vec_id", "embedding", f"{_norm2_spark('embedding')} AS n2")
+    a = v.selectExpr("vec_id AS vec1", "embedding AS e1", "n2 AS na")
+    b = v.selectExpr("vec_id AS vec2", "embedding AS e2", "n2 AS nb")
+    pairs = a.join(b, F.col("vec1") < F.col("vec2")).selectExpr(
+        "vec1",
+        "vec2",
+        f"CAST({_dot_spark('e1', 'e2')} AS DOUBLE)"
+        " / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cosine",
+    )
+    return pairs.filter(F.col("cosine") >= _NEARDUP_T)

@@ -1,0 +1,120 @@
+"""Streaming queries (capability extension; SURVEY.md §2.9, §7 step 8):
+tumbling / sliding / session event-time windows + watermark dedup,
+checked against batch SQL oracles — streaming semantics over a finite
+replayed source must agree with the batch aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
+from copperhead_spark.plans.registry import register
+from copperhead_spark.streaming.events import events_stream, run_to_memory
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start_us,
+       event_type,
+       COUNT(*) AS n,
+       {exact_sum_sql("value", 4)} AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window with watermark, replayed to
+    completion — must equal the batch date_trunc aggregation."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), exact_sum(F.col("value"), 4).alias("value_sum"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.unix_micros("window.start").alias("win_start_us"),
+        "event_type",
+        "n",
+        "value_sum",
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+SELECT win_start_us, COUNT(*) AS n, {exact_sum_sql("value", 4)} AS value_sum
+FROM (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start_us, value
+  FROM events
+  UNION ALL
+  SELECT CAST(epoch_us(date_trunc('hour', ts) - INTERVAL 1 HOUR) AS BIGINT) AS win_start_us,
+         value
+  FROM events
+)
+GROUP BY win_start_us
+""",
+    tags=("streaming",),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): every event lands in two
+    windows; oracle = union of the two shifted hourly assignments."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"), exact_sum(F.col("value"), 4).alias("value_sum"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(F.unix_micros("window.start").alias("win_start_us"), "n", "value_sum")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_sessions
+FROM (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+)
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+GROUP BY user_id
+""",
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user — session count must equal the
+    batch lag-gap sessionization (t3_session_gaps)."""
+    ev = events_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(sessions, mode="complete")
+    return out.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming",),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates within watermark on (user_id, event_type) then
+    count — on a fully-replayed finite stream this must equal batch
+    COUNT(DISTINCT)."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    out = run_to_memory(agg, mode="complete")
+    return out

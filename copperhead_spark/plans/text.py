@@ -1,0 +1,160 @@
+"""Text-analysis operator family (mandated beyond-reference capability):
+token counting, quality scoring, language-ID heuristic.
+
+All string math is engine-portable (split / length / filter counts /
+double divisions of integers), so every query is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
+from copperhead_spark.plans.registry import register
+
+_STOPWORDS = ("the", "a")
+_STOP_PRED = " OR ".join(f"w = '{s}'" for s in _STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       CAST(len(regexp_extract_all(text, '[a-z]+[0-9]*')) AS BIGINT) AS n_bpe_ish
+FROM documents
+""",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, unique tokens, chars, and a
+    BPE-ish regex token count (letter runs + optional digits)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_unique",
+        "CAST(length(text) AS BIGINT) AS n_chars_obs",
+        "CAST(size(regexp_extract_all(text, '[a-z]+[0-9]*', 0)) AS BIGINT) AS n_bpe_ish",
+    )
+
+
+_QUALITY_SPARK = f"""
+CAST(size(filter(split(text, ' '), w -> {_STOP_PRED})) AS DOUBLE)
+  / CAST(size(split(text, ' ')) AS DOUBLE)
+"""
+
+_QUALITY_DUCK = f"""
+CAST(len(list_filter(string_split(text, ' '), w -> {_STOP_PRED})) AS DOUBLE)
+  / CAST(len(string_split(text, ' ')) AS DOUBLE)
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       {_QUALITY_DUCK} AS stop_ratio,
+       CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         AS mean_token_len,
+       0.5 * ({_QUALITY_DUCK})
+         + 0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+FROM documents
+""",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, mean token length, and a blended
+    length/stopword score — the standard pretraining-corpus filters
+    (length / punctuation / stopword heuristics) as pure expressions."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"{_QUALITY_SPARK} AS stop_ratio",
+        "CAST(length(text) AS DOUBLE) / CAST(size(split(text, ' ')) AS DOUBLE)"
+        " AS mean_token_len",
+        f"0.5 * ({_QUALITY_SPARK})"
+        " + 0.5 * LEAST(CAST(size(split(text, ' ')) AS DOUBLE)"
+        " / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality",
+    )
+
+
+# language-ID: per-language marker-token ratios, argmax by ordered CASE.
+# (The synthetic corpus shares one vocabulary across lang labels, so the
+# classifier output is uniform — the operator shape is what's exercised.)
+_MARKERS = {
+    "en": ("the", "a"),
+    "es": ("el", "la"),
+    "de": ("der", "die"),
+    "fr": ("le", "la"),
+}
+
+
+def _ratio(dialect: str, words: tuple[str, ...]) -> str:
+    pred = " OR ".join(f"w = '{s}'" for s in words)
+    if dialect == "spark":
+        return (
+            f"CAST(size(filter(split(text, ' '), w -> {pred})) AS DOUBLE)"
+            f" / CAST(size(split(text, ' ')) AS DOUBLE)"
+        )
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), w -> {pred})) AS DOUBLE)"
+        f" / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    )
+
+
+def _langid_case(dialect: str) -> str:
+    ratios = {lang: _ratio(dialect, words) for lang, words in _MARKERS.items()}
+    best = " , ".join(ratios.values())
+    cases = " ".join(
+        f"WHEN GREATEST({best}) > 0 AND ({ratios[lang]}) = GREATEST({best})"
+        f" THEN '{lang}'"
+        for lang in _MARKERS
+    )
+    return f"CASE {cases} ELSE 'und' END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT lang, {_langid_case("duck")} AS predicted, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+""",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word ratio per language, first
+    argmax wins (ordered CASE = deterministic tie-break), confusion
+    counts against the labeled lang column."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.selectExpr("lang", f"{_langid_case('spark')} AS predicted").groupBy(
+        "lang", "predicted"
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "text_length_by_source",
+    oracle=f"""
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {exact_sum_sql("CAST(n_chars AS DOUBLE) / 100", 6)} AS kchars
+FROM documents
+GROUP BY source, lang
+""",
+    tags=("text", "A6"),
+)
+def text_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup per (source, lang) — the bookkeeping
+    aggregate every data pipeline runs before mixing."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        exact_sum(F.col("n_chars").cast("double") / 100, 6).alias("kchars"),
+    )

@@ -1,0 +1,59 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch (SURVEY.md §2.9) — streaming is a
+capability extension: tumbling/sliding/session windows with watermarks,
+dedup-within-watermark.  Each helper runs the streaming query to
+completion against the parquet-backed stream (trigger=availableNow +
+memory sink: the deterministic "replay the table as a stream" harness)
+and returns the result as a batch DataFrame, so the same oracle machinery
+checks streaming semantics.
+
+At scale the same plans run against a real source (Kafka/files) with
+`writeStream` checkpoints; nothing in the plan changes — that is the
+point of using event-time windows + watermarks rather than batch tricks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the same nanosecond-timestamp
+    normalization as catalog.table (streaming readers need an explicit
+    schema — no inference)."""
+    from copperhead_spark.catalog import table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory: point it at sf_dir with a glob
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # watermarks require TIMESTAMP (not NTZ): timestamp_micros gives an
+        # absolute-epoch instant, so windows/watermarks are tz-independent
+        # (Spark windows are epoch-aligned, not calendar-aware)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion (availableNow) into a
+    uniquely-named memory sink; return the materialized result."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
