@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_signatures",
     "sim_cosine_topk",
     "text_quality_score",
+    "ml_mlp_inference",
 ]
 
 

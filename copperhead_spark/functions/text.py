@@ -33,11 +33,22 @@ def _shingle_core(i: str, col: str = "text") -> str:
 
 
 def shingle_hashes_spark(col: str = "text") -> str:
-    """array<bigint> of shingle hashes (Spark dialect)."""
-    return (
-        f"transform(sequence(1, length({col}) - 4),"
-        f" i -> CAST({_shingle_core('i', col)} AS BIGINT))"
-    )
+    """array<bigint> of shingle hashes (Spark dialect).
+
+    Built from shifted-slice zip_with over a chars->codes array instead
+    of per-position substring probes: ascii(substring(s, i, 1)) seeks the
+    UTF-8 boundary from the start (O(i)), which makes the naive form
+    O(len^2) per row — measured 50x slower at sf0.1.  Everything here is
+    array-level (evaluated once per row, never per element), so even when
+    ProjectCollapse duplicates the expression per minhash the cost stays
+    O(len)."""
+    codes = f"transform(split({col}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+    n4 = f"length({col}) - 4"
+    s = {k: f"slice({codes}, {k + 1}, {n4})" for k in range(5)}
+    inner = f"zip_with({s[3]}, {s[4]}, (x3, x4) -> x3 * {31**3} + x4 * {31**4})"
+    inner = f"zip_with({s[2]}, {inner}, (x2, r) -> x2 * {31**2} + r)"
+    inner = f"zip_with({s[1]}, {inner}, (x1, r) -> x1 * 31 + r)"
+    return f"zip_with({s[0]}, {inner}, (x0, r) -> x0 + r)"
 
 
 def shingle_hashes_duck(col: str = "text") -> str:
@@ -51,6 +62,21 @@ def shingle_hashes_duck(col: str = "text") -> str:
 def minhash_spark(k: int, hashes_expr: str) -> str:
     a, b = MINHASH_COEFFS[k]
     return f"array_min(transform({hashes_expr}, h -> ({a} * h + {b}) % {MERSENNE31}))"
+
+
+def minhash_signature_spark(hashes_expr: str) -> str:
+    """All K minhashes in ONE fold over the shingle hashes (array<bigint>
+    accumulator).  K separate minhash_spark() columns would re-evaluate
+    the shingle pipeline K times after ProjectCollapse inlines them —
+    measured 8x slower; callers should also place an exchange (e.g.
+    repartition) between this expression and per-column extraction so the
+    optimizer cannot re-inline it."""
+    init = f"array_repeat(CAST({MERSENNE31} AS BIGINT), {len(MINHASH_COEFFS)})"
+    updates = ", ".join(
+        f"least(element_at(acc, {k + 1}), ({a} * h + {b}) % {MERSENNE31})"
+        for k, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"aggregate({hashes_expr}, {init}, (acc, h) -> array({updates}))"
 
 
 def minhash_duck(k: int, hashes_expr: str) -> str:
@@ -81,9 +107,10 @@ def token_hashes_duck(col: str = "text") -> str:
 
 
 def rolling_fingerprint_spark(col: str = "text") -> str:
+    # fold over a chars->codes array: O(len), vs O(len^2) substring probes
     return (
-        f"aggregate(sequence(1, length({col})), CAST(0 AS BIGINT),"
-        f" (acc, i) -> (acc * 31 + ascii(substring({col}, i, 1))) % {DOC_P})"
+        f"aggregate(transform(split({col}, ''), ch -> CAST(ascii(ch) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {DOC_P})"
     )
 
 
@@ -106,6 +133,24 @@ def simhash_spark(nbits: int, token_hashes: str) -> str:
             f" (acc, h) -> acc + (2 * ((h div {2**j}) % 2) - 1))"
         )
         parts.append(f"CASE WHEN ({vote}) > 0 THEN {2**j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def simhash_votes_spark(nbits: int, token_hashes: str) -> str:
+    """Per-bit votes in ONE fold (array accumulator) — same single-pass
+    rationale as minhash_signature_spark."""
+    init = f"array_repeat(CAST(0 AS BIGINT), {nbits})"
+    updates = ", ".join(
+        f"element_at(acc, {j + 1}) + (2 * ((h div {2**j}) % 2) - 1)" for j in range(nbits)
+    )
+    return f"aggregate({token_hashes}, {init}, (acc, h) -> array({updates}))"
+
+
+def simhash_from_votes(nbits: int, votes_col: str = "votes") -> str:
+    parts = [
+        f"CASE WHEN element_at({votes_col}, {j + 1}) > 0 THEN {2**j} ELSE 0 END"
+        for j in range(nbits)
+    ]
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 

@@ -1,0 +1,91 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (mandated beyond-reference capability): media ride as opaque
+``binary`` payloads next to typed metadata columns; decode / feature
+extraction / resize / frame-sampling run as Arrow-batched ``mapInPandas``
+operators so bytes never round-trip through Python row objects.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this image, so the
+decode step is pluggable: ``decode_media`` uses a real decoder when one
+is importable and otherwise a *deterministic* byte-arithmetic fake whose
+outputs are reproducible in SQL — which lets the full Spark plumbing
+(schema, batching, UDF signature) be oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+DECODE_SCHEMA = (
+    "doc_id long, byte_len long, width long, height long, n_frames long, pixel_sum long"
+)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decode: dimensions and a
+    'pixel' checksum derived from the bytes (mirrorable in SQL)."""
+    n = len(payload)
+    return {
+        "byte_len": n,
+        "width": 64 + n % 512,
+        "height": 64 + (n * 7) % 512,
+        "n_frames": 1 + n % 4,
+        "pixel_sum": int(sum(payload[:32])),
+    }
+
+
+def _real_decoder():
+    try:
+        from PIL import Image  # noqa: F401
+
+        def decode(payload: bytes) -> dict:  # pragma: no cover - PIL absent here
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload))
+            small = img.resize((8, 8)).convert("L")
+            return {
+                "byte_len": len(payload),
+                "width": img.width,
+                "height": img.height,
+                "n_frames": getattr(img, "n_frames", 1),
+                "pixel_sum": int(sum(small.getdata())),
+            }
+
+        return decode
+    except ImportError:
+        return None
+
+
+def decode_media(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas media decode: binary payload -> typed feature columns.
+    Batches stream through Arrow; each partition decodes independently
+    (embarrassingly parallel — the right shape for a 100 TB media lake)."""
+    decoder = _real_decoder() or fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling stub for video payloads: real implementation needs
+    ffmpeg bindings; the operator contract is one row per sampled frame
+    keyed (doc_id, frame_idx)."""
+    raise NotImplementedError(
+        "frame_sample needs an ffmpeg/pyav decoder (not in this image); "
+        "contract: explode payload -> (doc_id, frame_idx, frame_payload) "
+        "via mapInPandas, partitioned by doc_id"
+    )

@@ -1,0 +1,244 @@
+"""The copperhead pipeline, Spark-first: stage1 (event selection + object
+corrections + pairing + wide derived projection), stage2 (categorize +
+weighted histograms), stage3 (yields / templates on collected data).
+
+This is the end-to-end parity surface: a reference user's three-script
+workflow (run_stage1/2/3.py) maps onto three composable DataFrame
+transformations.  Stage boundaries keep the reference's contract (stage1
+output = flat wide table partitionable by dataset; stage2 output = the
+histogram table of FIXTURES.md §F3) but each stage is ONE lazy plan — no
+per-chunk Python loops, no pickled intermediate state.
+
+Reference walk-through being mirrored (citations into /root/reference):
+ - HLT/flag filter          processor.py:146-156,234-235
+ - FSR recovery (idx join)  stage1/corrections/fsr_recovery.py:6-13
+ - muon selection           processor.py:243-249
+ - nmuons + opposite sign   processor.py:252-260
+ - leading/subleading pair  processor.py:295-318
+ - dimuon kinematics        stage1/muons.py:6-71; python/math_tools.py:5-42
+ - jet selection + dR clean processor.py:561-577,634-641
+ - njets / top-2 jets / jj  processor.py:649-667; stage1/jets.py:22-147
+ - muon SF weights          stage1/corrections/lepton_sf.py; weights.py
+ - region labels            processor.py:471-478
+ - channel cascade          stage2/categorizer.py:1-23
+ - histograms               stage2/histogrammer.py:28-120
+ - yields/templates         stage3/make_templates.py:197-207
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from copperhead_spark.operators.aggregates import sign_product
+from copperhead_spark.operators.histogram import histogram
+from copperhead_spark.operators.jagged import (
+    dr_clean_anti_join,
+    explode_collection,
+    top2_pivot,
+    xref_join,
+)
+
+MU_MASS = 0.105658
+TWO_PI = 6.283185307179586
+PI = 3.141592653589793
+
+
+def _p4(prefix: str, pt: str, eta: str, phi: str, mass: float | str) -> list[tuple[str, str]]:
+    m2 = f"({mass}) * ({mass})" if isinstance(mass, str) else f"{mass * mass}"
+    return [
+        (f"{prefix}px", f"{pt} * COS({phi})"),
+        (f"{prefix}py", f"{pt} * SIN({phi})"),
+        (f"{prefix}pz", f"{pt} * ((EXP({eta}) - EXP(-({eta}))) / 2)"),
+        (
+            f"{prefix}e",
+            f"SQRT({prefix}px * {prefix}px + {prefix}py * {prefix}py"
+            f" + {prefix}pz * {prefix}pz + {m2})",
+        ),
+    ]
+
+
+def _pair_kinematics(df: DataFrame, p1: str, p2: str, out: str, m1, m2) -> DataFrame:
+    """Invariant mass / pt / rapidity / dEta / dPhi / dR of an object pair
+    given {p}_pt/{p}_eta/{p}_phi columns."""
+    stages = [
+        _p4("_a_", f"{p1}pt", f"{p1}eta", f"{p1}phi", m1)
+        + _p4("_b_", f"{p2}pt", f"{p2}eta", f"{p2}phi", m2),
+        [
+            ("_qx", "_a_px + _b_px"),
+            ("_qy", "_a_py + _b_py"),
+            ("_qz", "_a_pz + _b_pz"),
+            ("_qe", "_a_e + _b_e"),
+        ],
+        [
+            (f"{out}mass", "SQRT(GREATEST(_qe * _qe - _qx * _qx - _qy * _qy - _qz * _qz, 0.0))"),
+            (f"{out}pt", "SQRT(_qx * _qx + _qy * _qy)"),
+            (f"{out}rap", "0.5 * LN((_qe + _qz) / (_qe - _qz))"),
+            (f"{out}dEta", f"{p1}eta - {p2}eta"),
+            (
+                f"{out}dPhi",
+                f"(({p1}phi - {p2}phi) - {TWO_PI} * FLOOR((({p1}phi - {p2}phi) + {PI}) / {TWO_PI}))",
+            ),
+        ],
+        [
+            (
+                f"{out}dR",
+                f"SQRT({out}dEta * {out}dEta + {out}dPhi * {out}dPhi)",
+            )
+        ],
+    ]
+    for stage in stages:
+        df = df.selectExpr("*", *[f"({e}) AS {n}" for n, e in stage])
+    return df.drop(
+        "_a_px", "_a_py", "_a_pz", "_a_e", "_b_px", "_b_py", "_b_pz", "_b_e",
+        "_qx", "_qy", "_qz", "_qe",
+    )
+
+
+_MU_SF = (
+    "CASE WHEN {pt} < 40 THEN 0.9712 WHEN {pt} < 80 THEN 0.9905 ELSE 0.9951 END"
+)
+
+
+def stage1(events: DataFrame) -> DataFrame:
+    """Raw jagged events -> flat wide per-event table (one lazy plan)."""
+    ev = events.filter(F.col("HLT_IsoMu24") & F.col("Flag_goodVertices"))
+
+    # --- muons: explode -> FSR recovery -> selection -------------------
+    muons = explode_collection(ev, "Muon")
+    fsr = explode_collection(ev, "FsrPhoton")
+    muons = xref_join(muons, fsr, "fsrPhotonIdx", ("pt",), prefix="fsr_")
+    muons = muons.withColumn(
+        "pt_corr", F.col("pt") + F.coalesce(F.col("fsr_pt"), F.lit(0.0)) * 0.1
+    )
+    sel_mu = muons.filter(
+        (F.col("pt_corr") > 20)
+        & (F.abs(F.col("eta")) < 2.4)
+        & (F.col("pfRelIso04_all") < 0.25)
+        & F.col("mediumId")
+    )
+
+    per_event = sel_mu.groupBy("event").agg(
+        F.count("*").alias("nmuons"),
+        sign_product(F.col("charge")).alias("mm_charge"),
+    )
+
+    pair = top2_pivot(
+        sel_mu,
+        order_by=[F.col("pt_corr").desc(), F.col("idx").asc()],
+        fields=("pt_corr", "eta", "phi", "charge", "pfRelIso04_all"),
+        prefixes=("mu1_", "mu2_"),
+    ).withColumnRenamed("mu1_pt_corr", "mu1_pt").withColumnRenamed(
+        "mu2_pt_corr", "mu2_pt"
+    )
+
+    # --- jets: selection + dR cleaning vs selected muons ---------------
+    jets = explode_collection(ev, "Jet")
+    sel_jet = jets.filter(
+        (F.col("pt") > 25) & (F.abs(F.col("eta")) < 4.7) & (F.col("jetId") >= 2)
+    )
+    clean_jet = dr_clean_anti_join(sel_jet, sel_mu.select("event", "eta", "phi"), 0.4)
+    jet_counts = clean_jet.groupBy("event").agg(F.count("*").alias("njets"))
+    jet_pair = top2_pivot(
+        clean_jet,
+        order_by=[F.col("pt").desc(), F.col("idx").asc()],
+        fields=("pt", "eta", "phi", "mass", "qgl"),
+        prefixes=("jet1_", "jet2_"),
+        require=1,
+    )
+
+    # --- assemble the event table --------------------------------------
+    flat = (
+        ev.select("event", "run", "genWeight", "MET_pt", "Pileup_nTrueInt")
+        .join(per_event, "event")
+        .join(pair, "event")
+        .filter((F.col("nmuons") == 2) & (F.col("mm_charge") == -1))
+        .join(jet_counts, "event", "left")
+        .join(jet_pair, "event", "left")
+        .withColumn("njets", F.coalesce(F.col("njets"), F.lit(0)))
+    )
+
+    flat = _pair_kinematics(flat, "mu1_", "mu2_", "dimuon_", MU_MASS, MU_MASS)
+    flat = _pair_kinematics_jets(flat)
+
+    region = (
+        F.when((F.col("dimuon_mass") > 76) & (F.col("dimuon_mass") < 106), "z-peak")
+        .when((F.col("dimuon_mass") >= 115) & (F.col("dimuon_mass") < 135), "h-peak")
+        .when(
+            ((F.col("dimuon_mass") >= 110) & (F.col("dimuon_mass") < 115))
+            | ((F.col("dimuon_mass") >= 135) & (F.col("dimuon_mass") < 150)),
+            "h-sidebands",
+        )
+        .otherwise("none")
+    )
+    wgt = (
+        F.col("genWeight")
+        * F.expr(_MU_SF.format(pt="mu1_pt"))
+        * F.expr(_MU_SF.format(pt="mu2_pt"))
+    )
+    return (
+        flat.withColumn("region", region)
+        .filter(F.col("region") != "none")
+        .withColumn("wgt_nominal", wgt)
+    )
+
+
+def _pair_kinematics_jets(flat: DataFrame) -> DataFrame:
+    """jj system for events with >= 2 clean jets; NULL otherwise (the
+    reference's NaN-for-missing-jets semantics, FIXTURES.md §F2)."""
+    has2 = flat.filter(F.col("jet2_pt").isNotNull())
+    has2 = _pair_kinematics(has2, "jet1_", "jet2_", "jj_", "jet1_mass", "jet2_mass")
+    jj_cols = ["jj_mass", "jj_pt", "jj_rap", "jj_dEta", "jj_dPhi", "jj_dR"]
+    rest = flat.filter(F.col("jet2_pt").isNull())
+    for c in jj_cols:
+        rest = rest.withColumn(c, F.lit(None).cast("double"))
+    return has2.unionByName(rest)
+
+
+def stage2(
+    flat: DataFrame,
+    var: str = "dimuon_mass",
+    lo: float = 76.0,
+    hi: float = 150.0,
+    nbins: int = 37,
+) -> DataFrame:
+    """Categorize + weighted histogram: one groupBy replaces the
+    region x channel x variation fill loops (histogrammer.py:56-120)."""
+    channel = (
+        F.when((F.col("njets") >= 2) & (F.col("jj_mass") > 400), "vbf")
+        .when(F.col("njets") == 0, "ggh_0jets")
+        .when(F.col("njets") == 1, "ggh_1jet")
+        .otherwise("ggh_2orMoreJets")
+    )
+    categorized = flat.withColumn("channel", channel)
+    return histogram(
+        categorized,
+        value=F.col(var),
+        lo=lo,
+        hi=hi,
+        nbins=nbins,
+        by=["region", "channel"],
+        weight=F.col("wgt_nominal"),
+        scale=6,
+    )
+
+
+def stage3(hist: DataFrame):
+    """Driver-side finishing on the (tiny) aggregate table: yields per
+    (region, channel) + a template dict per category — the collected-data
+    analogue of make_templates.py:197-207 / make_datacards.py."""
+    import pandas as pd  # noqa: F401
+
+    yields = (
+        hist.groupBy("region", "channel")
+        .agg(F.sum("value").alias("yield"), F.sum("sumw2").alias("sumw2"))
+        .toPandas()
+        .sort_values(["region", "channel"])
+        .reset_index(drop=True)
+    )
+    bins = hist.toPandas()
+    templates = {
+        (r, c): g.sort_values("bin_idx")[["bin_idx", "value", "sumw2"]].to_numpy()
+        for (r, c), g in bins.groupby(["region", "channel"])
+    }
+    return yields, templates

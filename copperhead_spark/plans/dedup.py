@@ -25,13 +25,14 @@ from pyspark.sql import functions as F
 from copperhead_spark.catalog import table
 from copperhead_spark.functions.text import (
     minhash_duck,
-    minhash_spark,
+    minhash_signature_spark,
     rolling_fingerprint_duck,
     rolling_fingerprint_spark,
     shingle_hashes_duck,
     shingle_hashes_spark,
     simhash_duck,
-    simhash_spark,
+    simhash_from_votes,
+    simhash_votes_spark,
     token_hashes_duck,
     token_hashes_spark,
 )
@@ -134,7 +135,6 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K = 8  # minhashes
 _BANDS = 4  # 4 bands x 2 rows
 
-_MH_SPARK = [minhash_spark(k, shingle_hashes_spark()) for k in range(_K)]
 _MH_DUCK = [minhash_duck(k, shingle_hashes_duck()) for k in range(_K)]
 
 _SIG_ORACLE = "SELECT doc_id, " + ", ".join(
@@ -145,11 +145,36 @@ _SIG_ORACLE = "SELECT doc_id, " + ", ".join(
 @register("dedup_minhash_signatures", oracle=_SIG_ORACLE, tags=("dedup",))
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (K=8) per document: min over shingle hashes of
-    K affine permutations mod 2^31-1.  Pure per-row HOF expression —
-    embarrassingly parallel, no shuffle, no UDF."""
+    K affine permutations mod 2^31-1.  Production path: vectorized Arrow
+    UDF (operators/dedup.py) — identical integer arithmetic to the
+    SQL-expression reference form, which the oracle runs on DuckDB, so
+    the UDF is value-checked, not trusted.  The repartition is an
+    optimizer barrier: without it ProjectCollapse would duplicate the
+    signature computation once per extracted column."""
+    from copperhead_spark.operators.dedup import minhash_signature_udf
+
     docs = table(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "doc_id", *[f"{m} AS mh{k}" for k, m in enumerate(_MH_SPARK)]
+    sig = docs.select(
+        "doc_id", minhash_signature_udf()(F.col("text")).alias("sig")
+    ).repartition("doc_id")
+    return sig.selectExpr(
+        "doc_id", *[f"element_at(sig, {k + 1}) AS mh{k}" for k in range(_K)]
+    )
+
+
+@register("dedup_minhash_signatures_sql", oracle=_SIG_ORACLE, tags=("dedup",))
+def dedup_minhash_signatures_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-expression MinHash (no UDF anywhere): one fold computes all K
+    mins via an array accumulator (functions/text.py).  Slower than the
+    Arrow kernel (HOF lambdas are interpreted) but UDF-free — kept as the
+    portable reference implementation and registered so both paths face
+    the same oracle."""
+    docs = table(spark, sf_dir, "documents")
+    sig = docs.selectExpr(
+        "doc_id", f"{minhash_signature_spark(shingle_hashes_spark())} AS sig"
+    ).repartition("doc_id")
+    return sig.selectExpr(
+        "doc_id", *[f"element_at(sig, {k + 1}) AS mh{k}" for k in range(_K)]
     )
 
 
@@ -219,12 +244,14 @@ FROM documents
 
 @register("dedup_simhash_signatures", oracle=_SIMHASH_ORACLE, tags=("dedup",))
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over token hashes (majority vote per bit).  Per-row
-    expression, no shuffle."""
+    """16-bit SimHash over token hashes (majority vote per bit), computed
+    as one vote-vector fold + barrier (same single-pass pattern as
+    minhash)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "doc_id", f"{simhash_spark(_NBITS, token_hashes_spark())} AS simhash"
-    )
+    votes = docs.selectExpr(
+        "doc_id", f"{simhash_votes_spark(_NBITS, token_hashes_spark())} AS votes"
+    ).repartition("doc_id")
+    return votes.selectExpr("doc_id", f"{simhash_from_votes(_NBITS)} AS simhash")
 
 
 _SIMHASH_PAIRS_ORACLE = f"""

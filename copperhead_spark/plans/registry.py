@@ -36,6 +36,9 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.similarity",
     "copperhead_spark.plans.text",
     "copperhead_spark.plans.streaming",
+    "copperhead_spark.plans.sources",
+    "copperhead_spark.plans.multimodal",
+    "copperhead_spark.plans.ml",
 )
 
 

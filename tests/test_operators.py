@@ -1,0 +1,176 @@
+"""Operator unit tests against independent numpy/pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_asof_join_matches_merge_asof(spark):
+    from copperhead_spark.operators.asof import asof_join_backward
+
+    rng = np.random.RandomState(0)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "t": rng.randint(0, 1000, 200).astype("datetime64[s]"),
+            "lid": np.arange(200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 100),
+            "t": rng.randint(0, 1000, 100).astype("datetime64[s]"),
+            "val": rng.uniform(size=100).round(4),
+        }
+    )
+    # pandas oracle (backward, inclusive)
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t").rename(columns={"t": "rt"}),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="backward",
+    ).sort_values("lid")
+
+    ldf = spark.createDataFrame(left.rename(columns={"t": "ts"}))
+    rdf = spark.createDataFrame(right.rename(columns={"t": "ts"}))
+    got = (
+        asof_join_backward(ldf, rdf, on=["k"], left_ts="ts", right_ts="ts", payload=["val"])
+        .toPandas()
+        .sort_values("lid")
+    )
+    # matched timestamps agree (payload can differ when several right rows
+    # share the match timestamp; merge_asof picks the last-in-order, we
+    # pick max(payload) -- timestamps are the defined contract)
+    a = got["matched_ts"].to_numpy("datetime64[s]")
+    b = expected["rt"].to_numpy("datetime64[s]")
+    both_nat = pd.isna(got["matched_ts"]).to_numpy() & pd.isna(expected["rt"]).to_numpy()
+    assert (both_nat | (a == b)).all()
+
+
+def test_interp1d_matches_np_interp(spark):
+    from copperhead_spark.operators.lookup import interp1d_expr
+
+    xs = [0.0, 1.0, 3.0, 7.0, 10.0]
+    ys = [1.0, 2.0, 0.5, 4.0, 3.0]
+    pts = np.linspace(-2, 12, 101)
+    df = spark.createDataFrame(pd.DataFrame({"x": pts}))
+    got = (
+        df.withColumn("y", interp1d_expr(F.col("x"), xs, ys))
+        .toPandas()
+        .sort_values("x")["y"]
+        .to_numpy()
+    )
+    expected = np.interp(np.sort(pts), xs, ys)
+    assert np.allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+
+def test_product_agg_zeros_negatives(spark):
+    from copperhead_spark.operators.aggregates import product_agg, sign_product
+
+    pdf = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2, 3, 3, 3, 4],
+            "x": [2.0, -3.0, 0.5, 0.0, 5.0, -1.0, -2.0, -4.0, 7.0],
+            "q": [1, -1, 1, -1, -1, -1, -1, -1, 1],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.groupBy("g")
+        .agg(product_agg(F.col("x")).alias("p"), sign_product(F.col("q")).alias("s"))
+        .toPandas()
+        .set_index("g")
+        .sort_index()
+    )
+    expected_p = pdf.groupby("g")["x"].apply(lambda s: float(np.prod(np.sort(s.to_numpy()))))
+    for g in (1, 2, 3, 4):
+        assert got.loc[g, "p"] == pytest.approx(expected_p[g], rel=1e-14)
+    expected_s = pdf.groupby("g")["q"].apply(lambda s: 1 if (s < 0).sum() % 2 == 0 else -1)
+    assert got["s"].tolist() == expected_s.sort_index().tolist()
+
+
+def test_histogram_matches_numpy(spark):
+    from copperhead_spark.operators.histogram import histogram
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"x": rng.uniform(-10, 120, 5000), "w": rng.uniform(0, 2, 5000).round(4)})
+    df = spark.createDataFrame(pdf)
+    got = (
+        histogram(df, F.col("x"), lo=0.0, hi=100.0, nbins=20, weight=F.col("w"), scale=6)
+        .toPandas()
+        .set_index("bin_idx")
+        .sort_index()
+    )
+    inside = pdf[(pdf.x >= 0) & (pdf.x < 100)]
+    counts, _ = np.histogram(
+        inside.x, bins=20, range=(0, 100), weights=np.round(inside.w * 1e6).astype(np.int64)
+    )
+    for b in range(20):
+        assert got.loc[b, "value"] == pytest.approx(counts[b] / 1e6, abs=1e-9)
+    # clamped under/overflow bins present
+    assert -1 in got.index and 20 in got.index
+    assert got.loc[-1, "value"] == pytest.approx(
+        np.round(pdf[pdf.x < 0].w * 1e6).astype(np.int64).sum() / 1e6, abs=1e-9
+    )
+
+
+def test_ml_udf_matches_numpy(spark):
+    from copperhead_spark.ml.inference import FEATURES, _forward, attach_scores, fold_weights
+
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(500),
+            "l_quantity": np.random.RandomState(1).uniform(1, 50, 500).round(2),
+            "l_discount": np.random.RandomState(2).uniform(0, 0.1, 500).round(4),
+            "l_tax": np.random.RandomState(3).uniform(0, 0.08, 500).round(4),
+            "l_extendedprice": np.random.RandomState(4).uniform(900, 100000, 500).round(2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = attach_scores(df).toPandas().sort_values("l_orderkey")["score"].to_numpy()
+    X = np.column_stack(
+        [
+            pdf.l_quantity / 50.0,
+            pdf.l_discount * 10,
+            pdf.l_tax * 10,
+            pdf.l_extendedprice / 100000.0,
+        ]
+    )
+    folds = pdf.l_orderkey.to_numpy() % 2
+    expected = np.empty(500)
+    for k in (0, 1):
+        m = folds == k
+        expected[m] = _forward(fold_weights(k), X[m])
+    assert np.allclose(got, expected, rtol=1e-12)
+
+
+def test_multimodal_decode(spark):
+    from copperhead_spark.operators.multimodal import decode_media, fake_decode
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"hello world" * 10, b"abc" * 40]})
+    df = spark.createDataFrame(pdf)
+    got = decode_media(df).toPandas().set_index("doc_id").sort_index()
+    for i, payload in ((1, b"hello world" * 10), (2, b"abc" * 40)):
+        exp = fake_decode(payload)
+        for k, v in exp.items():
+            assert got.loc[i, k] == v, (i, k)
+
+
+def test_weights_ledger_variations(spark):
+    from copperhead_spark.operators.weights import WeightsLedger
+
+    pdf = pd.DataFrame({"w1": [0.5, 2.0, 0.0], "w2": [1.1, 0.9, 1.0]})
+    df = spark.createDataFrame(pdf)
+    ledger = (
+        WeightsLedger()
+        .add_weight_with_variations("a", F.col("w1"), F.col("w1") * 2, F.col("w1") / 2)
+        .add_weight("b", F.col("w2"))
+    )
+    out = ledger.with_columns(df).toPandas()
+    assert np.allclose(out["wgt_nominal"], pdf.w1 * pdf.w2)
+    # up-variation replaces the factor (no division -> zero-safe)
+    assert np.allclose(out["wgt_a_up"], pdf.w1 * 2 * pdf.w2)
+    assert np.allclose(out["wgt_a_down"], pdf.w1 / 2 * pdf.w2)
