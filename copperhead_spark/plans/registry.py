@@ -27,6 +27,7 @@ _REGISTRY: dict[str, "Query"] = {}
 # plan modules that register queries on import
 _PLAN_MODULES = (
     "copperhead_spark.plans.relational",
+    "copperhead_spark.plans.relational_ext",
     "copperhead_spark.plans.windows",
     "copperhead_spark.plans.lookups",
     "copperhead_spark.plans.physics",

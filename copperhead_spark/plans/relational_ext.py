@@ -1,0 +1,175 @@
+"""Checklist-completing operators (SURVEY.md §2: P9, P11, P12, U2, S6,
+A11 ★) — small but distinct reference behaviors not covered by the core
+relational module."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.functions.exact import exact_sum_sql
+from copperhead_spark.operators.histogram import histogram
+from copperhead_spark.plans.registry import register
+
+
+@register(
+    "p9_select_rename_flatten",
+    oracle="""
+SELECT l_orderkey AS event,
+       l_linenumber AS subentry,
+       l_extendedprice AS price_nominal,
+       l_extendedprice * (1 - l_discount) AS price_disc_up,
+       l_quantity AS qty_nominal
+FROM lineitem
+WHERE l_orderkey < 500
+""",
+    tags=("P9",),
+)
+def p9_select_rename_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column subsetting + MultiIndex-name flattening on save
+    (processor.py:490-503: (Variable, Variation) -> 'var_variation'
+    strings, deterministic column order).  Pure projection; per-row
+    product is IEEE-deterministic so raw doubles are compared."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        F.col("l_orderkey").alias("event"),
+        F.col("l_linenumber").alias("subentry"),
+        F.col("l_extendedprice").alias("price_nominal"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("price_disc_up"),
+        F.col("l_quantity").alias("qty_nominal"),
+    )
+
+
+@register(
+    "p11_dataset_relabel_split",
+    oracle="""
+SELECT CASE WHEN lang = 'en' THEN source || '_01j' ELSE source || '_2j' END AS dataset,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1
+""",
+    tags=("P11",),
+)
+def p11_dataset_relabel_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genjet-multiplicity dataset relabeling (postprocessor.py:111-123:
+    DY -> {ds}_01j / {ds}_2j by matched-gen booleans): conditional label
+    rewrite + concat."""
+    docs = table(spark, sf_dir, "documents")
+    label = F.when(
+        F.col("lang") == "en", F.concat(F.col("source"), F.lit("_01j"))
+    ).otherwise(F.concat(F.col("source"), F.lit("_2j")))
+    return docs.groupBy(label.alias("dataset")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "p12_overlap_removal",
+    oracle=f"""
+SELECT src, COUNT(*) AS n, {exact_sum_sql("o_totalprice")} AS total
+FROM (
+  SELECT 'incl' AS src, o_totalprice FROM orders WHERE o_totalprice <= 150000
+  UNION ALL
+  SELECT 'filtered' AS src, o_totalprice FROM orders WHERE o_totalprice > 150000
+)
+GROUP BY src
+""",
+    tags=("P12", "U1"),
+)
+def p12_overlap_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VBF-filter overlap removal (postprocessor.py:85-89): two samples
+    covering complementary phase-space slices stitched without double
+    counting — complementary filters + union."""
+    orders = table(spark, sf_dir, "orders")
+    incl = orders.filter(F.col("o_totalprice") <= 150000).select(
+        F.lit("incl").alias("src"), "o_totalprice"
+    )
+    filt = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.lit("filtered").alias("src"), "o_totalprice"
+    )
+    from copperhead_spark.functions.exact import exact_sum
+
+    return (
+        incl.unionByName(filt)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"), exact_sum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@register(
+    "u2_intersect",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+    tags=("U2",),
+)
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (common systematic-variation sets across datasets,
+    make_templates.py:92-104)."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersect(o)
+
+
+@register(
+    "s6_metadata_prescan",
+    oracle="""
+SELECT o_orderstatus AS dataset,
+       COUNT(*) AS n_events,
+       CAST(1000000 AS DOUBLE) / COUNT(*) AS lumi_weight
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("S6", "A4"),
+)
+def s6_metadata_prescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata pre-scan aggregate (preprocessor.py:150-229: sum
+    genEventSumw per dataset -> lumi_weight = xsec*lumi/N): one small agg
+    job whose result is broadcast into the main query as a scalar map."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("dataset")).agg(
+        F.count("*").alias("n_events"),
+        (F.lit(1000000).cast("double") / F.count("*")).alias("lumi_weight"),
+    )
+
+
+@register(
+    "a11_histogram_merge",
+    oracle=f"""
+WITH h AS (
+  SELECT l_returnflag AS region,
+         CAST(CASE WHEN l_extendedprice < 0.0 THEN -1
+              WHEN l_extendedprice >= 110000.0 THEN 55
+              ELSE CAST(FLOOR((l_extendedprice - 0.0) / 2000.0) AS BIGINT) END AS BIGINT)
+           AS bin_idx,
+         {exact_sum_sql("1 - l_discount", 4)} AS value,
+         {exact_sum_sql("(1 - l_discount) * (1 - l_discount)", 8)} AS sumw2
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT region, (bin_idx + 2) // 2 - 1 AS coarse_bin,
+       SUM(value) AS value, SUM(sumw2) AS sumw2
+FROM h GROUP BY 1, 2
+""",
+    tags=("A11",),
+)
+def a11_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial->final histogram merge (make_templates.py:128-155 /
+    plotter.py:262-289 rebinning): re-aggregate the fine histogram table
+    into coarser bins (shift-before-divide keeps trunc-vs-floor integer
+    division semantics aligned for the -1 underflow bin).  Bin pairs merge exactly (FP addition of two
+    addends is commutative, so shuffle order cannot change the result)."""
+    li = table(spark, sf_dir, "lineitem")
+    fine = histogram(
+        li,
+        value=F.col("l_extendedprice"),
+        lo=0.0,
+        hi=110000.0,
+        nbins=55,
+        by=[F.col("l_returnflag").alias("region")],
+        weight=1 - F.col("l_discount"),
+    )
+    return fine.selectExpr("region", "(bin_idx + 2) div 2 - 1 AS coarse_bin", "value", "sumw2").groupBy(
+        "region", "coarse_bin"
+    ).agg(F.sum("value").alias("value"), F.sum("sumw2").alias("sumw2"))
