@@ -1,0 +1,77 @@
+"""Parameterized-correction queries (SURVEY.md §2.3 J9 / §2.10 F4 and
+§2.8 deterministic random): Rochester-style UDF lookup vs SQL mirror,
+and hash-based uniforms replacing np.random."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
+from copperhead_spark.operators.rochester import (
+    attach_kscale,
+    hash_uniform_sql,
+    kscale_case_sql,
+)
+from copperhead_spark.plans.registry import register
+
+# pseudo-muon columns over lineitem
+_PT = "l_quantity * CAST(2 AS DOUBLE)"
+_ETA = "(l_discount - 0.05) * 48"
+_PHI = "(l_tax * 25 - 1) * 3.141592653589793"
+_CHARGE = "CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END"
+
+
+@register(
+    "j9_param_lookup_udf",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n,
+       {exact_sum_sql(kscale_case_sql(f"({_PT})", f"({_ETA})", f"({_PHI})", f"({_CHARGE})"), 8)}
+         AS kscale_sum
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("J9", "F4"),
+)
+def j9_param_lookup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rochester-style correction: broadcast parameter tables + Arrow
+    pandas UDF doing the (charge, eta-bin, phi-bin, pt) lookup
+    (rochester.py:5-64 / jec.py factor stacks).  The oracle runs the
+    generated CASE mirror — formula has no transcendentals, so the UDF
+    is checked bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        f"({_PT}) AS pt",
+        f"({_ETA}) AS eta",
+        f"({_PHI}) AS phi",
+        f"({_CHARGE}) AS charge",
+    )
+    corrected = attach_kscale(li, "pt", "eta", "phi", "charge")
+    return corrected.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        exact_sum(F.col("kscale"), 8).alias("kscale_sum"),
+    )
+
+
+@register(
+    "rand_hash_uniform",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {hash_uniform_sql("l_orderkey", "l_linenumber")} AS u
+FROM lineitem
+WHERE l_orderkey < 2000
+""",
+    tags=("math", "random"),
+)
+def rand_hash_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-row uniforms from (event, idx) integer hashing —
+    the reproducible replacement for np.random.rand smearing
+    (rochester.py:8-9; SURVEY §7 hard part (d)).  Same row -> same u on
+    any engine, partitioning, or retry; raw doubles compared."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        f"{hash_uniform_sql('l_orderkey', 'l_linenumber')} AS u",
+    )

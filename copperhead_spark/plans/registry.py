@@ -30,6 +30,7 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.relational_ext",
     "copperhead_spark.plans.windows",
     "copperhead_spark.plans.lookups",
+    "copperhead_spark.plans.corrections",
     "copperhead_spark.plans.physics",
     "copperhead_spark.plans.arrays",
     "copperhead_spark.plans.timeseries",

@@ -1,0 +1,97 @@
+"""Finishing-layer tests: fits recover generating parameters; model
+selection picks the generating family; datacard text is well-formed."""
+
+import numpy as np
+import pandas as pd
+
+from copperhead_spark.finishing.fits import (
+    FAMILIES,
+    bernstein_basis,
+    chebyshev_basis,
+    fit_bwz,
+    fit_chebyshev,
+    fit_histogram_table,
+    select_best_model,
+)
+from copperhead_spark.finishing.templates import (
+    group_templates,
+    make_datacard,
+    to_template_arrays,
+)
+
+
+def test_chebyshev_fit_recovers_coefficients():
+    x = np.linspace(110, 150, 40)
+    coef_true = np.array([100.0, -20.0, 5.0, 1.5])
+    y = chebyshev_basis(x, 3) @ coef_true
+    res = fit_chebyshev(x, y, np.sqrt(np.maximum(y, 1.0)), 3)
+    assert np.allclose(res.params, coef_true, rtol=1e-8)
+    assert res.chi2 < 1e-12
+
+
+def test_bwz_fit_recovers_width():
+    x = np.linspace(76, 106, 60)
+    from copperhead_spark.finishing.fits import _bw_shape
+
+    y = 5000.0 * _bw_shape(x, 91.1876, 2.5)
+    res = fit_bwz(x, y, np.sqrt(np.maximum(y, 1e-6)))
+    assert abs(res.params[1] - 2.5) < 0.01
+    assert res.chi2_ndf < 1e-6
+
+
+def test_model_selection_picks_generating_family():
+    x = np.linspace(76, 106, 60)
+    from copperhead_spark.finishing.fits import _bw_shape
+
+    y = 5000.0 * _bw_shape(x, 91.1876, 2.5)
+    best = select_best_model(x, y, np.sqrt(np.maximum(y, 1e-6)))
+    assert best.model == "bwZ", best.model
+
+    coefs = np.array([50.0, 3.0, -2.0, 0.5])
+    y2 = bernstein_basis(x, 3) @ coefs
+    best2 = select_best_model(x, y2, np.ones_like(x))
+    assert best2.chi2_ndf < 1e-10  # a polynomial family nails it
+
+
+def test_fit_histogram_table_groups():
+    from copperhead_spark.finishing.fits import _bw_shape
+
+    lo, hi, nbins = 76.0, 106.0, 30
+    width = (hi - lo) / nbins
+    x = lo + (np.arange(nbins) + 0.5) * width
+    rows = []
+    for region in ("z-peak", "h-peak"):
+        y = 1000.0 * _bw_shape(x, 91.1876, 2.5)
+        for b in range(nbins):
+            rows.append(dict(region=region, channel="vbf", bin_idx=b, value=y[b], sumw2=y[b]))
+    fits = fit_histogram_table(pd.DataFrame(rows), lo, hi, nbins, by=("region", "channel"))
+    assert len(fits) == 2
+    for res in fits.values():
+        assert res.model == "bwZ"
+
+
+def test_templates_and_datacard():
+    hist = pd.DataFrame(
+        dict(
+            dataset=["dy", "dy", "ttbar", "ggh"],
+            region=["h-peak"] * 4,
+            channel=["vbf"] * 4,
+            variation=["nominal"] * 4,
+            bin_idx=[0, 35, 1, -1],  # 35 overflow-ish, -1 underflow fold
+            value=[10.0, 5.0, 3.0, 1.5],
+            sumw2=[10.0, 5.0, 3.0, 1.5],
+        )
+    )
+    grouped = group_templates(hist, {"dy": "DY", "ttbar": "Top", "ggh": "ggH"}, nbins=10)
+    arrays = to_template_arrays(grouped, nbins=10)
+    key_dy = next(k for k in arrays if k[0] == "DY")
+    assert arrays[key_dy]["values"][9] == 5.0  # overflow folded into last bin
+    key_ggh = next(k for k in arrays if k[0] == "ggH")
+    assert arrays[key_ggh]["values"][0] == 1.5  # underflow folded into first
+
+    yields = pd.DataFrame(dict(group=["ggH", "DY", "Top"], **{"yield": [1.5, 15.0, 3.0]}))
+    card = make_datacard(yields, signal_groups=("ggH",), lnN={"lumi": {"ggH": 1.025, "DY": 1.025}})
+    assert "imax 1" in card and "jmax 2" in card and "kmax 1" in card
+    assert "process      ggH DY Top" in card
+    assert "process      0 1 2" in card
+    assert "lumi         lnN 1.025 1.025 -" in card
