@@ -47,6 +47,18 @@ def bin_index_sql(expr: str, lo: float, hi: float, nbins: int) -> str:
     )
 
 
+def bin_by_edges(value: Column, edges: Sequence[float]) -> Column:
+    """Variable-edge bin index (MVA score binning, postprocessor.py:
+    172-196 with edges from config/mva_bins.py): -1 below the first
+    edge, len(edges)-1 at/above the last, else the enclosing segment.
+    np.digitize(x, edges) - 1 semantics; generated CASE chain stays in
+    codegen."""
+    expr = F.lit(len(edges) - 1)
+    for i in range(len(edges) - 1, 0, -1):
+        expr = F.when(value < F.lit(float(edges[i])), F.lit(i - 1)).otherwise(expr)
+    return F.when(value < F.lit(float(edges[0])), F.lit(-1)).otherwise(expr).cast("long")
+
+
 def histogram(
     df: DataFrame,
     value: Column | str,

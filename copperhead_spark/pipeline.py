@@ -176,10 +176,24 @@ def stage1(events: DataFrame) -> DataFrame:
         * F.expr(_MU_SF.format(pt="mu1_pt"))
         * F.expr(_MU_SF.format(pt="mu2_pt"))
     )
+    # systematic variations: SF coherently shifted +/-1% per muon
+    # (lepton_sf.py up/down errs; weights.py:37-47 'all' semantics)
+    wgt_up = (
+        F.col("genWeight")
+        * (F.expr(_MU_SF.format(pt="mu1_pt")) * 1.01)
+        * (F.expr(_MU_SF.format(pt="mu2_pt")) * 1.01)
+    )
+    wgt_down = (
+        F.col("genWeight")
+        * (F.expr(_MU_SF.format(pt="mu1_pt")) * 0.99)
+        * (F.expr(_MU_SF.format(pt="mu2_pt")) * 0.99)
+    )
     return (
         flat.withColumn("region", region)
         .filter(F.col("region") != "none")
         .withColumn("wgt_nominal", wgt)
+        .withColumn("wgt_muid_up", wgt_up)
+        .withColumn("wgt_muid_down", wgt_down)
     )
 
 
@@ -221,6 +235,50 @@ def stage2(
         weight=F.col("wgt_nominal"),
         scale=6,
     )
+
+
+def stage2_variations(
+    flat: DataFrame,
+    var: str = "dimuon_mass",
+    lo: float = 76.0,
+    hi: float = 150.0,
+    nbins: int = 37,
+    variations: tuple[str, ...] = ("nominal", "muid_up", "muid_down"),
+) -> DataFrame:
+    """Full stage-2 shape with the systematic-variation axis: variation
+    columns are UNPIVOTed (stack) into rows and everything aggregates in
+    ONE shuffle — the reference's region x channel x variation Python fill
+    loops (histogrammer.py:56-120) become a fourth grouping key."""
+    channel = (
+        F.when((F.col("njets") >= 2) & (F.col("jj_mass") > 400), "vbf")
+        .when(F.col("njets") == 0, "ggh_0jets")
+        .when(F.col("njets") == 1, "ggh_1jet")
+        .otherwise("ggh_2orMoreJets")
+    )
+    stack_args = ", ".join(f"'{v}', wgt_{v}" for v in variations)
+    stacked = flat.withColumn("channel", channel).selectExpr(
+        "region",
+        "channel",
+        var,
+        f"stack({len(variations)}, {stack_args}) AS (variation, wgt)",
+    )
+    return histogram(
+        stacked,
+        value=F.col(var),
+        lo=lo,
+        hi=hi,
+        nbins=nbins,
+        by=["region", "channel", "variation"],
+        weight=F.col("wgt"),
+        scale=6,
+    )
+
+
+def stage2_unbinned(flat: DataFrame, columns: tuple[str, ...] = ("dimuon_mass", "wgt_nominal")) -> DataFrame:
+    """Unbinned column save for driver-side fits (postprocessor.py:
+    235-253; FIXTURES.md §F3.1): the selected columns only — the fit
+    consumes O(selected events), never the wide table."""
+    return flat.select(*columns)
 
 
 def stage3(hist: DataFrame):

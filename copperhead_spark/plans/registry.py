@@ -28,6 +28,7 @@ _REGISTRY: dict[str, "Query"] = {}
 _PLAN_MODULES = (
     "copperhead_spark.plans.relational",
     "copperhead_spark.plans.relational_ext",
+    "copperhead_spark.plans.analytics_ext",
     "copperhead_spark.plans.windows",
     "copperhead_spark.plans.lookups",
     "copperhead_spark.plans.corrections",

@@ -162,6 +162,29 @@ def test_stage2_stage3_yields(flat_and_ref):
     assert set(templates) == set(map(tuple, yields[["region", "channel"]].to_numpy()))
 
 
+def test_stage2_variations_fanout(flat_and_ref):
+    from copperhead_spark.pipeline import stage2_variations
+
+    flat, got, ref = flat_and_ref
+    hist = stage2_variations(flat).toPandas()
+    assert set(hist["variation"]) == {"nominal", "muid_up", "muid_down"}
+    # up/down totals = nominal totals scaled by 1.01^2 / 0.99^2 exactly
+    tot = hist.groupby("variation")["value"].sum()
+    ref_nom = ref["wgt_nominal"]
+    for v, scale in (("muid_up", 1.01**2), ("muid_down", 0.99**2)):
+        expected = np.sum(np.round(ref_nom * scale * 1e6).astype(np.int64)) / 1e6
+        assert abs(tot[v] - expected) < 5e-6, (v, tot[v], expected)
+
+
+def test_stage2_unbinned_projection(flat_and_ref):
+    from copperhead_spark.pipeline import stage2_unbinned
+
+    flat, got, ref = flat_and_ref
+    ub = stage2_unbinned(flat).toPandas()
+    assert list(ub.columns) == ["dimuon_mass", "wgt_nominal"]
+    assert len(ub) == len(ref)
+
+
 def test_stage1_null_semantics(flat_and_ref):
     flat, got, _ = flat_and_ref
     # events with <2 clean jets must have NULL jj columns, njets filled 0

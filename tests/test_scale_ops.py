@@ -1,0 +1,82 @@
+"""Scale-path operators: salting equivalence, bucketed co-located joins,
+variable-edge binning."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_salted_sum_equals_plain(spark):
+    from copperhead_spark.operators.skew import salted_sum
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            # pathological skew: 80% of rows on one key
+            "k": np.where(rng.uniform(size=20000) < 0.8, 0, rng.randint(1, 50, 20000)),
+            "v": rng.uniform(0, 100, 20000).round(2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    scaled = F.round(F.col("v") * 100).cast("long")
+    got = (
+        salted_sum(df, ["k"], {"v_scaled": scaled}, n_salts=8)
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    plain = (
+        df.groupBy("k")
+        .agg(F.sum(scaled).alias("v_scaled"), F.count("*").alias("n"))
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert got["v_scaled"].equals(plain["v_scaled"])  # bit-exact
+    assert got["n"].equals(plain["n"])
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """bucketBy co-location: a join between two tables bucketed on the
+    join key needs no Exchange on either side (SURVEY.md §2: bucketing
+    as the co-located-join strategy for repeated event-key joins)."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_bucket_a", "t_bucket_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    pdf = pd.DataFrame({"k": np.arange(1000), "v": np.arange(1000) * 2.0})
+    df = spark.createDataFrame(pdf)
+    df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_bucket_a")
+    df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_bucket_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (broadcast would win on a toy table
+        # and bypass bucketing entirely)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bin_by_edges_matches_digitize(spark):
+    from copperhead_spark.operators.histogram import bin_by_edges
+
+    edges = [0.0, 0.5, 1.2, 2.0, 5.0]
+    xs = np.array([-1.0, 0.0, 0.49, 0.5, 1.19, 1.99, 2.0, 4.99, 5.0, 7.0])
+    df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    got = (
+        df.withColumn("b", bin_by_edges(F.col("x"), edges))
+        .toPandas()
+        .sort_values("x")["b"]
+        .to_numpy()
+    )
+    expected = np.digitize(np.sort(xs), edges) - 1
+    # np.digitize maps >= last edge to len(edges)-1 too; clamp identical
+    expected = np.clip(expected, -1, len(edges) - 1)
+    assert (got == expected).all(), (got, expected)
