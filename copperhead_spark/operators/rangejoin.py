@@ -1,0 +1,56 @@
+"""Bucketed range join: scalable points-in-intervals.
+
+Spark plans a broadcast range join (`ON x >= lo AND x < hi`) as a
+BroadcastNestedLoopJoin — every row probes every interval.  Fine for a
+25-row lumi mask, catastrophic for a million intervals.  The scalable
+rewrite (used by every production range-join implementation):
+
+  1. pick a bucket width w
+  2. explode each interval into the buckets it covers
+     (floor(lo/w) .. floor((hi-epsilon)/w))
+  3. bucket each point: floor(x/w)
+  4. EQUI-join on bucket (hash join, shuffle or broadcast)
+  5. refine with the exact predicate lo <= x < hi
+
+Each point lives in exactly one bucket, so no dedup is needed even with
+overlapping intervals; cost is O(points + intervals x avg_span/w) rather
+than O(points x intervals).  The reference's binned lookups (SURVEY.md
+J6/J7) are the uniform special case; this operator handles arbitrary
+interval sets."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    x: Column,
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket_width: float = 100.0,
+    how: str = "inner",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Join each point row to every interval row with lo <= x < hi.
+
+    ``intervals`` must carry ``lo``/``hi`` columns (hi exclusive) plus
+    payload columns.  Intervals are exploded to covering buckets; the
+    join is an equi-join on bucket + refine filter."""
+    w = float(bucket_width)
+    exploded = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                F.floor((F.col(hi) - F.lit(1e-9)) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        exploded = F.broadcast(exploded)
+    keyed = points.withColumn("_bucket", F.floor(x / F.lit(w)).cast("long"))
+    joined = keyed.join(exploded, "_bucket", how)
+    return joined.filter((x >= F.col(lo)) & (x < F.col(hi))).drop("_bucket")

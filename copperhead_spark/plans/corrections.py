@@ -54,6 +54,38 @@ def j9_param_lookup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIERS = [(0.0, 300.0, "low"), (100.0, 500.0, "mid"), (250.0, 1000.0, "high"), (600.0, 1000.0, "top")]
+_TIER_VALUES = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _TIERS)
+
+
+@register(
+    "range_join_bucketed",
+    oracle=f"""
+SELECT tier, COUNT(*) AS n, {exact_sum_sql("value", 4)} AS value_sum
+FROM events
+JOIN (SELECT * FROM (VALUES {_TIER_VALUES}) AS t(lo, hi, tier))
+  ON value >= lo AND value < hi
+GROUP BY tier
+""",
+    tags=("J6", "rangejoin"),
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic points-in-intervals range join with OVERLAPPING irregular
+    intervals, via the bucketed-explode equi-join rewrite
+    (operators/rangejoin.py).  The oracle states the same semantics as a
+    plain range join — proving the rewrite; the Spark plan is a hash
+    join, never a BroadcastNestedLoopJoin."""
+    from copperhead_spark.operators.rangejoin import bucketed_range_join
+
+    ev = table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, "lo double, hi double, tier string")
+    joined = bucketed_range_join(ev, tiers, F.col("value"), bucket_width=100.0)
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        exact_sum(F.col("value"), 4).alias("value_sum"),
+    )
+
+
 @register(
     "rand_hash_uniform",
     oracle=f"""

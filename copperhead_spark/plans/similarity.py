@@ -179,15 +179,21 @@ WHERE CAST({_dot_duck("a.embedding", "b.embedding")} AS DOUBLE)
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.40).  All-pairs on
     this table; at scale the pair space is pre-pruned by sim_lsh_buckets
-    (same-bucket candidates only)."""
+    (same-bucket candidates only).  The pair dot product runs through the
+    vectorized Arrow kernel (functions/vectors.py) — same int64 values as
+    the HOF expression form, ~5x faster on the O(n^2) sweep — and the
+    oracle still checks every value."""
+    from copperhead_spark.functions.vectors import pair_dot
+
     emb = table(spark, sf_dir, "embeddings")
     v = emb.selectExpr("vec_id", "embedding", f"{_norm2_spark('embedding')} AS n2")
     a = v.selectExpr("vec_id AS vec1", "embedding AS e1", "n2 AS na")
     b = v.selectExpr("vec_id AS vec2", "embedding AS e2", "n2 AS nb")
-    pairs = a.join(b, F.col("vec1") < F.col("vec2")).selectExpr(
+    pairs = pair_dot(a.join(b, F.col("vec1") < F.col("vec2")), "e1", "e2")
+    scored = pairs.selectExpr(
         "vec1",
         "vec2",
-        f"CAST({_dot_spark('e1', 'e2')} AS DOUBLE)"
+        "CAST(dot AS DOUBLE)"
         " / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cosine",
     )
-    return pairs.filter(F.col("cosine") >= _NEARDUP_T)
+    return scored.filter(F.col("cosine") >= _NEARDUP_T)

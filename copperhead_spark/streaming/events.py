@@ -43,17 +43,29 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, mode: str = "complete", state_partitions: int = 16
+) -> DataFrame:
     """Drive a streaming aggregation to completion (availableNow) into a
-    uniquely-named memory sink; return the materialized result."""
-    name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    uniquely-named memory sink; return the materialized result.
+
+    Streaming state-store partitioning is pinned by the shuffle-partition
+    count at query start; a vanilla session's default 200 means 200
+    state tasks per stateful operator — measured 29 s for a toy dedup.
+    Temporarily lower it for the replay harness (restored after)."""
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

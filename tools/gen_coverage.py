@@ -97,6 +97,10 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("ST2", "Sliding window", ["stream_sliding_window"], ""),
     ("ST3", "Session window", ["stream_session_window"], ""),
     ("ST4", "Dedup within watermark", ["stream_dedup_watermark"], ""),
+    ("ST5", "Custom stateful operator (applyInPandasWithState)", [], "streaming/stateful.py (vs batch oracle, tests/test_streaming_stateful.py)"),
+    ("RJ1", "Generic bucketed range join (overlapping intervals)", ["range_join_bucketed"], "operators/rangejoin.py (hash join, no BNLJ)"),
+    ("SK1", "Skew-salted aggregation", [], "operators/skew.py (bit-equal to unsalted; tests/test_scale_ops.py)"),
+    ("BK1", "Bucketed co-located join", [], "tests/test_scale_ops.py (no Exchange in bucketed SMJ)"),
     # 2.10 UDF surface
     ("F1", "Batched DNN inference + fold routing", ["ml_mlp_inference"], "ml/inference.py (UDF vs unrolled-SQL oracle)"),
     ("F2", "Batched BDT inference", ["ml_mlp_inference"], "same operator shape; model payload swappable"),
