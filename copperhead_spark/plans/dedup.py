@@ -77,11 +77,16 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JACCARD_T = 0.35
+# exact all-pairs Jaccard is O(sum_s n_s^2) — on this shared-vocabulary
+# corpus that explodes superlinearly with doc count, so the standalone
+# exact operator is bounded to the first 1000 docs (covers all of
+# sf0.01; at scale the exact verify runs only on LSH candidates)
+_JACCARD_CAP = 1000
 
 _JACCARD_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({shingle_hashes_duck()})) AS s
-  FROM documents
+  FROM documents WHERE doc_id < {_JACCARD_CAP}
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -104,7 +109,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingle hashes, self-join on shingle, count common, divide
     by union size.  At 100 TB this runs only on LSH candidates; shown
     standalone so the exact operator itself is oracle-checked."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_CAP)
     sh = docs.selectExpr(
         "doc_id", f"explode(array_distinct({shingle_hashes_spark()})) AS s"
     )

@@ -114,6 +114,27 @@ def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u4_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    tags=("U2", "except"),
+)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — noted as available-if-needed in the reference's set-op
+    inventory (SURVEY §2.7): customers with finished but no open orders
+    (non-empty on the testdata, so the check is not vacuous)."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    # subtract == EXCEPT (set semantics); exceptAll would keep
+    # multiplicity differences and disagree with SQL EXCEPT
+    return f.subtract(o)
+
+
+@register(
     "s6_metadata_prescan",
     oracle="""
 SELECT o_orderstatus AS dataset,

@@ -191,3 +191,18 @@ def test_stage1_null_semantics(flat_and_ref):
     zero = got[got["njets"] < 2]
     assert zero["jj_mass"].isna().all()
     assert (got["njets"] >= 0).all()
+
+
+def test_stage1_partitioned_sink_roundtrip(flat_and_ref, spark, tmp_path):
+    """The stage-1 -> stage-2 contract: flat table written partitioned by
+    region (dataset analogue, io.py:25-37), re-read via partition
+    discovery with a pruning predicate, identical rows back."""
+    from copperhead_spark.sources.parquet_io import read_partitioned, write_partitioned
+
+    flat, got, _ = flat_and_ref
+    out = str(tmp_path / "stage1_out")
+    write_partitioned(flat, out, partition_by=("region",))
+    back = read_partitioned(spark, out)
+    assert back.count() == len(got)
+    peak = back.filter("region = 'h-peak'").select("event").toPandas()
+    assert sorted(peak["event"]) == sorted(got[got.region == "h-peak"]["event"])
