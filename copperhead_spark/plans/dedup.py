@@ -268,23 +268,57 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
 
 
+# pigeonhole banding: splitting 16 bits into _N_BANDS=3 chunks means any
+# pair at Hamming distance <= 2 has at least one identical chunk, so the
+# banded equi-join is LOSSLESS for the <=2 threshold (no all-pairs scan)
+_N_BANDS = 3
+_BAND_BITS = ((0, 6), (6, 5), (11, 5))  # (shift, width) covering 16 bits
+
+
 @register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("dedup",))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance <= 2 on the 16-bit
-    fingerprint.  (At scale: block on bit-chunks like LSH bands instead
-    of the all-pairs join shown on this small table.)"""
+    fingerprint via banded blocking — each signature is keyed by its
+    3 bit-chunks, candidates come from a hash equi-join on
+    (band_id, band_value), then the exact Hamming filter runs only on
+    candidates.  Same rows as the all-pairs oracle (pigeonhole), but the
+    plan is a shuffled hash join that scales linearly with band-bucket
+    occupancy instead of a BroadcastNestedLoopJoin over all pairs."""
     sig = dedup_simhash_signatures(spark, sf_dir)
-    a = sig.alias("a")
-    b = sig.alias("b")
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("simhash", sh)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("band_val"),
+                    )
+                    for i, (sh, w) in enumerate(_BAND_BITS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
             hamming.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 2)
+        # a pair can collide in more than one band
+        .dropDuplicates(["doc1", "doc2"])
     )
 
 

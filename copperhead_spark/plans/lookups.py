@@ -248,18 +248,19 @@ GROUP BY event_type
     tags=("P4",),
 )
 def p4_interval_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-membership semi-join (lumi mask: keep (run, lumi) inside
-    certified ranges).  Broadcast left-semi join with a range predicate —
-    the mask is tiny, so the nested-loop probe is a per-row scan of a
-    broadcast array."""
+    """Interval-membership filter (lumi mask: keep (run, lumi) inside
+    certified ranges, processor.py:146-148).  The certified-range list is
+    static driver-side config, so it compiles to an OR-of-BETWEEN
+    predicate that Catalyst pushes into the parquet scan (PushedFilters)
+    — no join at all.  A mask too large to compile (thousands of ranges)
+    instead takes the bucketed range join (operators/rangejoin.py,
+    `range_join_bucketed`), which stays a hash join."""
     ev = table(spark, sf_dir, "events")
-    mask = spark.createDataFrame(_MASK_RANGES, "lo long, hi long")
-    cond = (ev.user_id >= mask.lo) & (ev.user_id <= mask.hi)
-    return (
-        ev.join(F.broadcast(mask), cond, "left_semi")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-    )
+    in_mask = None
+    for lo, hi in _MASK_RANGES:
+        cond = ev.user_id.between(lo, hi)
+        in_mask = cond if in_mask is None else (in_mask | cond)
+    return ev.filter(in_mask).groupBy("event_type").agg(F.count("*").alias("n"))
 
 
 @register(

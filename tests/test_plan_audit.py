@@ -1,0 +1,101 @@
+"""Physical-plan audit: every registered query must compile to a plan
+that survives a 100x scale-up.  This is the automated form of the
+`.explain("formatted")` discipline — invariants, not golden plan text,
+so Catalyst is free to improve but cannot regress into quadratic joins.
+
+Invariants:
+- no CartesianProduct anywhere;
+- no BroadcastNestedLoopJoin, except queries explicitly registered as
+  brute-force baselines whose documented scale path is a different
+  registered query;
+- parquet filters reach the scan (PushedFilters) for the predicate-
+  heavy queries;
+- scans of wide tables are column-pruned (ReadSchema is a strict
+  subset) for the projection queries;
+- whole-stage codegen covers the headline relational queries.
+"""
+
+import re
+
+import pytest
+
+from copperhead_spark.plans.registry import all_queries
+
+# intentionally all-pairs baselines: each one's scale path is a separate
+# registered query (LSH-bucketed), per SURVEY §7 / COVERAGE SIM1-2, D5
+BNLJ_BASELINES = {
+    "sim_cosine_topk": "sim_lsh_buckets",
+    "dedup_embedding_cosine_pairs": "sim_lsh_buckets",
+}
+
+
+# queries whose FINAL (post-AQE) plan is inspected; they are executed so
+# AdaptiveSparkPlan is finalized and WholeStageCodegen spans materialize
+EXECUTED = {"flagship_selection_yield", "a6_pricing_summary", "j1_star_join_revenue"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        out = {}
+        for name, q in all_queries().items():
+            df = q.builder(spark, sf_dir)
+            if name in EXECUTED:
+                df.collect()
+            out[name] = df._jdf.queryExecution().executedPlan().toString()
+        return out
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_bnlj_only_in_documented_baselines(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_BASELINES
+    ]
+    assert not offenders, offenders
+    # every whitelisted baseline's scale path must actually exist
+    for scale_path in BNLJ_BASELINES.values():
+        assert scale_path in plans
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["p1_conjunctive_filter", "flagship_selection_yield", "p4_interval_mask"],
+)
+def test_filters_reach_parquet_scan(plans, name):
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plans[name])
+    assert m and m.group(1).strip(), plans[name][:2000]
+
+
+@pytest.mark.parametrize(
+    ("name", "table_width"),
+    [
+        ("a6_pricing_summary", 16),  # lineitem has 16 columns
+        ("a1_count_per_group", 16),
+        ("j4_top2_pivot", 16),
+    ],
+)
+def test_scans_are_column_pruned(plans, name, table_width):
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plans[name])
+    assert schemas, plans[name][:2000]
+    for s in schemas:
+        ncols = len([c for c in s.split(",") if ":" in c])
+        assert 0 < ncols < table_width, (name, s)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["flagship_selection_yield", "a6_pricing_summary", "j1_star_join_revenue"],
+)
+def test_wholestage_codegen_present(plans, name):
+    # "*(n)" prefixes mark operators inside WholeStageCodegen span n
+    assert re.search(r"\*\(\d+\)", plans[name]), plans[name][:2000]
