@@ -159,6 +159,158 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-partitioned ANN (the second scale path besides LSH, SURVEY §7):
+# driver-held quantized centroids -> shuffle-free cluster assignment as a
+# pure projection -> broadcast probe join -> top-k only within probed
+# clusters.  At 100 TB the centroids come from an offline training job
+# (k-means on a sample) and are shipped as literals/broadcast exactly as
+# here; the deterministic stand-in generates them from a hash formula
+# (no I/O, SF-independent), unit-normalizes, and quantizes to 1e-6
+# (int64) so the assignment argmax is exact integer arithmetic —
+# bit-equal across engines, no float tie ambiguity.
+# ---------------------------------------------------------------------------
+
+_IVF_NC = 8  # centroids
+_IVF_DIM = 64
+_IVF_NPROBE = 2  # clusters probed per query
+
+
+def _ivf_centroids() -> list[list[int]]:
+    """Deterministic stand-in for trained centroids: hash-formula
+    components in [-1, 1], unit-normalized, micro-quantized."""
+    import math
+
+    out = []
+    for cid in range(_IVF_NC):
+        v = [
+            ((i * 2654435761 + cid * 97003) % 2003) / 1001.0 - 1.0
+            for i in range(1, _IVF_DIM + 1)
+        ]
+        norm = math.sqrt(sum(x * x for x in v))
+        out.append([round(x / norm * 1_000_000) for x in v])
+    return out
+
+
+def _ivf_score_spark(q6: list[int]) -> str:
+    lits = ", ".join(str(v) for v in q6)
+    return (
+        f"aggregate(zip_with(embedding, array({lits}), (x, y) -> "
+        f"{_MICRO_S.format(e='x')} * CAST(y AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _ivf_score_duck(q6: list[int]) -> str:
+    lits = ", ".join(str(v) for v in q6)
+    return (
+        f"list_aggregate(list_transform(range(1, 65), i -> "
+        f"{_MICRO_S.format(e='embedding[i]')} * CAST(([{lits}])[i] AS BIGINT)), 'sum')"
+    )
+
+
+def _ivf_assign_spark(cents: list[list[int]]) -> str:
+    """argmax centroid id: max of (score, -cid) structs, ties -> lowest cid."""
+    entries = ", ".join(
+        f"struct({_ivf_score_spark(q6)} AS s, {-cid} AS nc)"
+        for cid, q6 in enumerate(cents)
+    )
+    return f"-array_max(array({entries})).nc"
+
+
+def _ivf_assign_duck(cents: list[list[int]]) -> str:
+    entries = ", ".join(
+        f"{{'s': {_ivf_score_duck(q6)}, 'nc': {-cid}}}"
+        for cid, q6 in enumerate(cents)
+    )
+    return f"-(list_max([{entries}])).nc"
+
+
+def _ivf_probes_spark(cents: list[list[int]]) -> str:
+    """top-nprobe centroid ids: ascending sort on (-score, cid) structs."""
+    entries = ", ".join(
+        f"struct(-{_ivf_score_spark(q6)} AS ns, {cid} AS c)"
+        for cid, q6 in enumerate(cents)
+    )
+    return (
+        f"transform(slice(array_sort(array({entries})), 1, {_IVF_NPROBE}), x -> x.c)"
+    )
+
+
+def _ivf_probes_duck(cents: list[list[int]]) -> str:
+    entries = ", ".join(
+        f"{{'ns': -({_ivf_score_duck(q6)}), 'c': {cid}}}"
+        for cid, q6 in enumerate(cents)
+    )
+    return f"(list_transform(list_sort([{entries}]), x -> x.c))[1:{_IVF_NPROBE}]"
+
+
+def _ivf_oracle() -> str:
+    cents = _ivf_centroids()
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {_dot_duck("embedding", "embedding")} AS qn,
+         unnest({_ivf_probes_duck(cents)}) AS probe
+  FROM embeddings WHERE vec_id < {_NQ}
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS ce,
+         {_dot_duck("embedding", "embedding")} AS cn,
+         {_ivf_assign_duck(cents)} AS cid
+  FROM embeddings WHERE vec_id >= {_NQ}
+),
+scored AS (
+  SELECT query_id, cand_id,
+         CAST({_dot_duck("qe", "ce")} AS DOUBLE)
+           / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS cosine
+  FROM q JOIN c ON q.probe = c.cid
+)
+SELECT query_id, cand_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+  ) AS rn FROM scored
+) WHERE rn <= {_TOPK}
+"""
+
+
+@register("sim_ivf_topk", oracle=_ivf_oracle(), tags=("similarity",))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: cluster assignment is a shuffle-free projection
+    against driver-held quantized centroids; each query probes its 2
+    nearest clusters; exact cosine re-ranking runs only inside probed
+    clusters.  The oracle mirrors the IVF algorithm itself (same
+    centroids, same integer arithmetic), so parity is exact even though
+    IVF is approximate relative to the brute-force `sim_cosine_topk`."""
+    cents = _ivf_centroids()
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NQ).selectExpr(
+        "vec_id AS query_id",
+        "embedding AS qe",
+        f"{_norm2_spark('embedding')} AS qn",
+        f"explode({_ivf_probes_spark(cents)}) AS cid",
+    )
+    c = emb.filter(F.col("vec_id") >= _NQ).selectExpr(
+        "vec_id AS cand_id",
+        "embedding AS ce",
+        f"{_norm2_spark('embedding')} AS cn",
+        f"{_ivf_assign_spark(cents)} AS cid",
+    )
+    scored = c.join(F.broadcast(q), "cid").selectExpr(
+        "query_id",
+        "cand_id",
+        f"CAST({_dot_spark('qe', 'ce')} AS DOUBLE)"
+        " / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("query_id", "cand_id", "cosine", F.col("rn").cast("long").alias("rank"))
+    )
+
+
 _NEARDUP_T = 0.40
 
 _NEARDUP_ORACLE = f"""

@@ -120,7 +120,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("D5", "Embedding-cosine near-dup", ["dedup_embedding_cosine_pairs"], ""),
     ("D6", "Document fingerprinting", ["text_rolling_fingerprint", "dedup_exact_groups"], ""),
     ("SIM1", "Brute-force cosine top-k", ["sim_cosine_topk"], ""),
-    ("SIM2", "LSH-bucketed ANN", ["sim_lsh_buckets"], ""),
+    ("SIM2", "LSH-bucketed / IVF-partitioned ANN", ["sim_lsh_buckets", "sim_ivf_topk"], "IVF: shuffle-free centroid assignment + broadcast probe join"),
     ("T1", "Language ID", ["text_lang_id"], ""),
     ("T2", "Quality scoring", ["text_quality_score"], ""),
     ("T3", "Token counting", ["text_token_stats"], ""),
