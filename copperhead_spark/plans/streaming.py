@@ -101,6 +101,39 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    oracle=f"""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n,
+       {exact_sum_sql("e.value", 4)} AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+    tags=("streaming",),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a broadcast
+    static dimension (customer) row-by-row as micro-batches arrive — the
+    streaming analogue of J5's broadcast scalar-map join.  The static
+    side is re-planned per micro-batch (dimension updates are picked up),
+    and the stateless join adds no streaming state; only the downstream
+    aggregate keeps state."""
+    from copperhead_spark.catalog import table
+
+    ev = events_stream(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"), exact_sum(F.col("value"), 4).alias("value_sum"))
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@register(
     "stream_dedup_watermark",
     oracle="""
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users

@@ -28,6 +28,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("S7", "Histogram sink/source", ["a5_weighted_histogram"], "histogram is a DataFrame -> plain parquet sink; no pickles"),
     ("S8", "ROOT TH1 template sink", [], "finishing/templates.py (to_template_arrays; ROOT write gated on uproot)"),
     ("S9", "Output overwrite management", ["s3_partitioned_sink_roundtrip"], "dynamic partition overwrite (idempotency probed)"),
+    ("S10", "CSV/JSON/ORC lookup + interchange IO", [], "sources/tabular_io.py (explicit-schema CSV -> broadcast lookup joins, FAILFAST; tests/test_tabular_io.py)"),
     # 2.2 projections / filters
     ("P1", "Conjunctive predicate filter", ["p1_conjunctive_filter", "flagship_selection_yield"], ""),
     ("P2", "OR-of-booleans predicate", ["p2_or_of_booleans"], ""),
@@ -98,6 +99,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("ST3", "Session window", ["stream_session_window"], ""),
     ("ST4", "Dedup within watermark", ["stream_dedup_watermark"], ""),
     ("ST5", "Custom stateful operator (applyInPandasWithState)", [], "streaming/stateful.py (vs batch oracle, tests/test_streaming_stateful.py)"),
+    ("ST6", "Stream-static broadcast join", ["stream_static_join"], "stateless enrichment; state only in the downstream agg"),
     ("RJ1", "Generic bucketed range join (overlapping intervals)", ["range_join_bucketed"], "operators/rangejoin.py (hash join, no BNLJ)"),
     ("SK1", "Skew-salted aggregation", [], "operators/skew.py (bit-equal to unsalted; tests/test_scale_ops.py)"),
     ("BK1", "Bucketed co-located join", [], "tests/test_scale_ops.py (no Exchange in bucketed SMJ)"),
