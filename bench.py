@@ -62,6 +62,34 @@ def main() -> None:
         queries[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # the copperhead-shaped headline: jagged-event stage1+stage2 with the
+    # zero-shuffle array-native plan.  Input is materialized parquet
+    # (generated executor-side, written once as setup — generation is not
+    # what's being measured), 10M events/sf.
+    import shutil
+    import tempfile
+
+    from copperhead_spark.fixtures import events_fixture_distributed
+    from copperhead_spark.pipeline import stage1_arrays, stage2_variations
+
+    n_events = max(int(10_000_000 * sf), 10_000) if sf > 0 else 10_000
+    tmp = tempfile.mkdtemp(prefix="cph_bench_")
+    try:
+        events_fixture_distributed(spark, n_events).write.parquet(f"{tmp}/events")
+        ev = spark.read.parquet(f"{tmp}/events")
+        # warmup on a small slice: same plan -> Janino codegen cache is
+        # hot, so the timed run measures throughput, not compilation
+        events_fixture_distributed(spark, 5000).write.parquet(f"{tmp}/warmup")
+        wu = spark.read.parquet(f"{tmp}/warmup")
+        stage2_variations(stage1_arrays(wu)).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        stage2_variations(stage1_arrays(ev)).write.format("noop").mode("overwrite").save()
+        timings[f"pipeline_jagged_{n_events // 1000}k_events"] = round(
+            time.perf_counter() - t0, 4
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),

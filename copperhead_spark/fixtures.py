@@ -117,3 +117,111 @@ def generate_events(n_events: int = 2000, seed: int = 42) -> list[tuple]:
 
 def events_fixture(spark: SparkSession, n_events: int = 2000, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(generate_events(n_events, seed), EVENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Distributed fixture: same schema and similar distributions, but generated
+# by pure Spark expressions over spark.range(n) — no driver-side Python
+# loop, no pickle upload.  This is the generator the benchmark uses: at
+# 100 TB the input IS distributed, so the harness that feeds the pipeline
+# must be too (the python-loop fixture above stays as the tiny
+# pandas-mirror-checkable variant for correctness tests).
+# ---------------------------------------------------------------------------
+
+
+def _u(salt: str) -> str:
+    """Deterministic uniform [0,1) keyed by (event id, salt expression)."""
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+
+    return hash_uniform_sql("id", salt)
+
+
+def _jagged(n: str, salt0: int, fields: list[tuple[str, str]]) -> str:
+    """array-of-struct built by transform over a sequence; slice() gives a
+    correctly-typed empty array when n = 0 (sequence(1,0) would DESCEND)."""
+    struct = ", ".join(f"{expr} AS {name}" for name, expr in fields)
+    return (
+        f"slice(transform(sequence(1, greatest({n}, 1)), "
+        f"i -> struct({struct})), 1, {n})"
+    )
+
+
+def events_fixture_distributed(spark: SparkSession, n_events: int) -> DataFrame:
+    """EVENT_SCHEMA rows generated executor-side from hash uniforms."""
+
+    def u(salt: int, i: str | None = None) -> str:
+        # the underlying hash is affine in its idx key, so (a) adjacent
+        # raw salts would yield uniforms offset by a constant -> quadratic
+        # salt mixing, and (b) adjacent collection indexes i would yield
+        # the SAME offset in every event (e.g. a universal delta-eta
+        # between muon 1 and 2) -> the index stride gets an
+        # event-dependent component
+        mixed = (salt * salt * 131 + salt) % 2147483647
+        if i is None:
+            return _u(str(mixed))
+        return _u(f"{mixed} + CAST({i} AS BIGINT) * (1013904223 + pmod(id, 65521))")
+
+    n_mu = (
+        f"CASE WHEN {u(5)} < 0.10 THEN 0 WHEN {u(5)} < 0.25 THEN 1 "
+        f"WHEN {u(5)} < 0.85 THEN 2 WHEN {u(5)} < 0.95 THEN 3 ELSE 4 END"
+    )
+    n_fsr = f"CAST(FLOOR({u(6)} * 3) AS INT)"
+    n_jet = f"CAST(FLOOR({u(7)} * 6) AS INT)"
+    muon = _jagged(
+        "n_mu",
+        2000,
+        [
+            ("pt", f"ROUND(15 + 105 * {u(2001, 'i')}, 4)"),
+            ("eta", f"ROUND(-2.6 + 5.2 * {u(2002, 'i')}, 4)"),
+            ("phi", f"ROUND(-pi() + 2 * pi() * {u(2003, 'i')}, 4)"),
+            ("charge", f"IF({u(2004, 'i')} < 0.5, -1, 1)"),
+            ("pfRelIso04_all", f"ROUND(0.5 * {u(2005, 'i')}, 4)"),
+            ("mediumId", f"{u(2006, 'i')} < 0.9"),
+            (
+                "fsrPhotonIdx",
+                f"IF(n_fsr > 0, CAST(FLOOR({u(2007, 'i')} * (n_fsr + 1)) AS INT) - 1, -1)",
+            ),
+        ],
+    )
+    jet = _jagged(
+        "n_jet",
+        3000,
+        [
+            ("pt", f"ROUND(20 + 280 * {u(3001, 'i')}, 4)"),
+            ("eta", f"ROUND(-4.7 + 9.4 * {u(3002, 'i')}, 4)"),
+            ("phi", f"ROUND(-pi() + 2 * pi() * {u(3003, 'i')}, 4)"),
+            ("mass", f"ROUND(5 + 35 * {u(3004, 'i')}, 4)"),
+            ("jetId", f"ELEMENT_AT(ARRAY(0, 2, 6), CAST(FLOOR({u(3005, 'i')} * 3) AS INT) + 1)"),
+            ("qgl", f"ROUND(-1 + 2 * {u(3006, 'i')}, 4)"),
+        ],
+    )
+    fsr = _jagged(
+        "n_fsr",
+        4000,
+        [
+            ("pt", f"ROUND(1 + 9 * {u(4001, 'i')}, 4)"),
+            ("eta", f"ROUND(-2.4 + 4.8 * {u(4002, 'i')}, 4)"),
+            ("phi", f"ROUND(-pi() + 2 * pi() * {u(4003, 'i')}, 4)"),
+        ],
+    )
+    return (
+        spark.range(n_events)
+        .selectExpr(
+            "id",
+            f"{n_mu} AS n_mu",
+            f"{n_fsr} AS n_fsr",
+            f"{n_jet} AS n_jet",
+        )
+        .selectExpr(
+            "CAST(1 AS BIGINT) AS run",
+            "id AS event",
+            f"ROUND(IF({u(1)} < 0.05, -1.0, 1.0) * (0.5 + {u(2)}), 4) AS genWeight",
+            f"({u(3)} < 0.95) AS HLT_IsoMu24",
+            f"({u(4)} < 0.98) AS Flag_goodVertices",
+            f"ROUND(150 * {u(8)}, 4) AS MET_pt",
+            f"ROUND(10 + 50 * {u(9)}, 4) AS Pileup_nTrueInt",
+            f"{muon} AS Muon",
+            f"{jet} AS Jet",
+            f"{fsr} AS FsrPhoton",
+        )
+    )

@@ -71,7 +71,13 @@ def _pair_kinematics(df: DataFrame, p1: str, p2: str, out: str, m1, m2) -> DataF
             ("_qe", "_a_e + _b_e"),
         ],
         [
-            (f"{out}mass", "SQRT(GREATEST(_qe * _qe - _qx * _qx - _qy * _qy - _qz * _qz, 0.0))"),
+            # explicit NULL guard: GREATEST skips NULLs, so NULL inputs
+            # (absent second jet) would otherwise turn into mass = 0.0
+            (
+                f"{out}mass",
+                "IF(_qe IS NULL, CAST(NULL AS DOUBLE), "
+                "SQRT(GREATEST(_qe * _qe - _qx * _qx - _qy * _qy - _qz * _qz, 0.0)))",
+            ),
             (f"{out}pt", "SQRT(_qx * _qx + _qy * _qy)"),
             (f"{out}rap", "0.5 * LN((_qe + _qz) / (_qe - _qz))"),
             (f"{out}dEta", f"{p1}eta - {p2}eta"),
@@ -158,6 +164,12 @@ def stage1(events: DataFrame) -> DataFrame:
         .withColumn("njets", F.coalesce(F.col("njets"), F.lit(0)))
     )
 
+    return _derive_and_label(flat)
+
+
+def _derive_and_label(flat: DataFrame) -> DataFrame:
+    """Shared stage-1 tail: pair kinematics, region labels, weight ledger
+    (identical for the exploded-child and array-native front halves)."""
     flat = _pair_kinematics(flat, "mu1_", "mu2_", "dimuon_", MU_MASS, MU_MASS)
     flat = _pair_kinematics_jets(flat)
 
@@ -197,16 +209,135 @@ def stage1(events: DataFrame) -> DataFrame:
     )
 
 
+def _once(df: DataFrame, *exprs: str) -> DataFrame:
+    """Projection evaluated exactly once per row: inline(array(struct))
+    is a Generate node, which CollapseProject cannot merge through — so
+    expensive array expressions (filter/transform/array_sort chains)
+    become plain attributes downstream instead of being re-inlined into
+    every referencing column (measured: 898 copies of array_sort in the
+    collapsed plan without this).  No shuffle — unlike a repartition
+    barrier."""
+    return df.selectExpr(f"inline(array(struct({', '.join(exprs)})))")
+
+
+def stage1_arrays(events: DataFrame) -> DataFrame:
+    """stage1 with ZERO shuffles: every jagged operation — FSR index
+    dereference, object selection, charge product, pt-ordered top-2,
+    dR cleaning against selected muons — runs as array higher-order
+    functions on the array-of-struct columns, entirely inside
+    whole-stage codegen.  Same results as stage1() (asserted in
+    tests/test_pipeline.py); the exploded-child operators remain the
+    general path when children outgrow single-row arrays, but for
+    NanoAOD-shaped multiplicities (<= tens of objects/event) the
+    array-native plan turns stage 1 from ~13 event-key shuffles into a
+    pure map — at 100 TB that is the difference between a network-bound
+    and a scan-bound job (only stage 2's histogram shuffles)."""
+    ev = events.filter(F.col("HLT_IsoMu24") & F.col("Flag_goodVertices"))
+
+    dphi = "((({a}) - ({b})) - {tp} * FLOOR(((({a}) - ({b})) + {p}) / {tp}))"
+    dphi_jm = dphi.format(a="j.phi", b="m.phi", tp=TWO_PI, p=PI)
+    dr2 = f"((j.eta - m.eta) * (j.eta - m.eta) + {dphi_jm} * {dphi_jm})"
+    by_pt = (
+        "(a, b) -> CASE WHEN a.{pt} > b.{pt} THEN -1 WHEN a.{pt} < b.{pt} THEN 1 "
+        "WHEN a.idx < b.idx THEN -1 WHEN a.idx > b.idx THEN 1 ELSE 0 END"
+    )
+
+    base = ["event", "run", "genWeight", "MET_pt", "Pileup_nTrueInt"]
+
+    # FSR recovery (fsr_recovery.py:6-13) as an index dereference instead
+    # of the (event, idx) equi-join on exploded children; then the full
+    # muon selection (processor.py:243-249) as an array filter
+    stage_a = _once(
+        ev,
+        *base,
+        "Jet",
+        """filter(
+             transform(Muon, (m, i) -> struct(
+               m.pt + coalesce(IF(m.fsrPhotonIdx >= 0,
+                                  try_element_at(FsrPhoton, m.fsrPhotonIdx + 1).pt,
+                                  CAST(NULL AS DOUBLE)), 0.0) * 0.1 AS pt_corr,
+               m.eta AS eta, m.phi AS phi, m.charge AS charge,
+               m.pfRelIso04_all AS pfRelIso04_all, m.mediumId AS mediumId,
+               i AS idx)),
+             m -> m.pt_corr > 20 AND abs(m.eta) < 2.4
+                  AND m.pfRelIso04_all < 0.25 AND m.mediumId)
+        """.replace("\n", " ")
+        + " AS mu_sel",
+    )
+
+    # the two-muon opposite-sign cut (exact +/-1 product = parity of
+    # negatives, processor.py:260) drops ~95% of events BEFORE any
+    # sorting or jet work
+    selected = stage_a.filter(
+        F.expr(
+            "size(mu_sel) = 2 AND "
+            "aggregate(mu_sel, 0, (acc, m) -> acc + IF(m.charge < 0, 1, 0)) % 2 = 1"
+        )
+    )
+
+    stage_b = _once(
+        selected,
+        *base,
+        "CAST(size(mu_sel) AS BIGINT) AS nmuons",
+        "-1 AS mm_charge",
+        f"array_sort(mu_sel, {by_pt.format(pt='pt_corr')}) AS mu_sorted",
+        # jet selection + dR cleaning vs the SELECTED muons
+        # (processor.py:561-577,634-641): quantified NOT EXISTS as a
+        # nested array predicate
+        f"""filter(
+              filter(transform(Jet, (j, i) -> struct(
+                       j.pt AS pt, j.eta AS eta, j.phi AS phi,
+                       j.mass AS mass, j.jetId AS jetId, j.qgl AS qgl,
+                       i AS idx)),
+                     j -> j.pt > 25 AND abs(j.eta) < 4.7 AND j.jetId >= 2),
+              j -> NOT exists(mu_sel, m -> {dr2} < 0.16))
+         """.replace("\n", " ")
+        + " AS jet_clean",
+    )
+
+    stage_c = _once(
+        stage_b,
+        *base,
+        "nmuons",
+        "mm_charge",
+        "mu_sorted",
+        "CAST(size(jet_clean) AS BIGINT) AS njets",
+        f"array_sort(jet_clean, {by_pt.format(pt='pt')}) AS jet_sorted",
+    )
+
+    def _obj(src: str, n: int, prefix: str, fields: list[tuple[str, str]]) -> list[str]:
+        return [
+            f"try_element_at({src}, {n}).{f} AS {prefix}{alias}" for f, alias in fields
+        ]
+
+    mu_fields = [
+        ("pt_corr", "pt"), ("eta", "eta"), ("phi", "phi"),
+        ("charge", "charge"), ("pfRelIso04_all", "pfRelIso04_all"),
+    ]
+    jet_fields = [
+        ("pt", "pt"), ("eta", "eta"), ("phi", "phi"),
+        ("mass", "mass"), ("qgl", "qgl"),
+    ]
+    flat = stage_c.selectExpr(
+        *base,
+        "nmuons",
+        "mm_charge",
+        *_obj("mu_sorted", 1, "mu1_", mu_fields),
+        *_obj("mu_sorted", 2, "mu2_", mu_fields),
+        "njets",
+        *_obj("jet_sorted", 1, "jet1_", jet_fields),
+        *_obj("jet_sorted", 2, "jet2_", jet_fields),
+    )
+    return _derive_and_label(flat)
+
+
 def _pair_kinematics_jets(flat: DataFrame) -> DataFrame:
     """jj system for events with >= 2 clean jets; NULL otherwise (the
-    reference's NaN-for-missing-jets semantics, FIXTURES.md §F2)."""
-    has2 = flat.filter(F.col("jet2_pt").isNotNull())
-    has2 = _pair_kinematics(has2, "jet1_", "jet2_", "jj_", "jet1_mass", "jet2_mass")
-    jj_cols = ["jj_mass", "jj_pt", "jj_rap", "jj_dEta", "jj_dPhi", "jj_dR"]
-    rest = flat.filter(F.col("jet2_pt").isNull())
-    for c in jj_cols:
-        rest = rest.withColumn(c, F.lit(None).cast("double"))
-    return has2.unionByName(rest)
+    reference's NaN-for-missing-jets semantics, FIXTURES.md §F2).
+    Single pass: NULL jet2 inputs propagate to NULL jj_* columns through
+    the arithmetic itself (no filter/union split — that would execute the
+    whole upstream plan twice)."""
+    return _pair_kinematics(flat, "jet1_", "jet2_", "jj_", "jet1_mass", "jet2_mass")
 
 
 def stage2(

@@ -206,3 +206,46 @@ def test_stage1_partitioned_sink_roundtrip(flat_and_ref, spark, tmp_path):
     assert back.count() == len(got)
     peak = back.filter("region = 'h-peak'").select("event").toPandas()
     assert sorted(peak["event"]) == sorted(got[got.region == "h-peak"]["event"])
+
+
+def test_stage1_arrays_identical_to_stage1(spark):
+    """The zero-shuffle array-native stage1 must be bit-identical to the
+    exploded-child implementation (same fixture, same columns, exact
+    float equality — both run the same IEEE expressions)."""
+    from copperhead_spark.pipeline import stage1_arrays
+
+    ev = events_fixture(spark, N_EVENTS, SEED)
+    a = stage1(ev).toPandas().sort_values("event").reset_index(drop=True)
+    b = stage1_arrays(ev).toPandas().sort_values("event").reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_stage1_arrays_plan_shape(spark):
+    """Scale invariants of the array-native plan: no Exchange before the
+    stage-2 histogram (the single shuffle), no duplicated array_sort from
+    projection collapse (the _once Generate barrier)."""
+    from copperhead_spark.pipeline import stage1_arrays, stage2_variations
+
+    ev = events_fixture(spark, 200, SEED)
+    plan = (
+        stage2_variations(stage1_arrays(ev))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert plan.count("array_sort") == 2, plan.count("array_sort")
+
+
+def test_distributed_fixture_feeds_pipeline(spark):
+    """The executor-side generator (no driver loop) must populate every
+    region with the same schema as the python fixture."""
+    from copperhead_spark.fixtures import EVENT_SCHEMA, events_fixture_distributed
+    from copperhead_spark.pipeline import stage1_arrays
+
+    ev = events_fixture_distributed(spark, 20000)
+    assert [f.name for f in ev.schema.fields] == [f.name for f in EVENT_SCHEMA.fields]
+    regions = {
+        r["region"]
+        for r in stage1_arrays(ev).select("region").distinct().collect()
+    }
+    assert regions == {"z-peak", "h-peak", "h-sidebands"}

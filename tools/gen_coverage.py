@@ -129,7 +129,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("MM1", "Multimodal binary columns + metadata", ["mm_media_metadata"], ""),
     ("MM2", "Media decode via mapInPandas", ["mm_decode_features"], "operators/multimodal.py (pluggable decoder)"),
     # pipeline parity
-    ("E2E", "stage1->2->3 pipeline on jagged events", [], "pipeline.py + fixtures.py (vs independent pandas mirror, tests/test_pipeline.py)"),
+    ("E2E", "stage1->2->3 pipeline on jagged events", [], "pipeline.py stage1 (exploded) + stage1_arrays (zero-shuffle array-native, bit-identical, benched at 1M events in bench.py) + distributed executor-side fixture; vs independent pandas mirror, tests/test_pipeline.py"),
 ]
 
 
