@@ -210,14 +210,12 @@ def _derive_and_label(flat: DataFrame) -> DataFrame:
 
 
 def _once(df: DataFrame, *exprs: str) -> DataFrame:
-    """Projection evaluated exactly once per row: inline(array(struct))
-    is a Generate node, which CollapseProject cannot merge through — so
-    expensive array expressions (filter/transform/array_sort chains)
-    become plain attributes downstream instead of being re-inlined into
-    every referencing column (measured: 898 copies of array_sort in the
-    collapsed plan without this).  No shuffle — unlike a repartition
-    barrier."""
-    return df.selectExpr(f"inline(array(struct({', '.join(exprs)})))")
+    """Shuffle-free optimizer barrier (operators/barrier.py): without it
+    CollapseProject re-inlines the array chains into every referencing
+    column (measured: 898 copies of one array_sort in this plan)."""
+    from copperhead_spark.operators.barrier import project_once
+
+    return project_once(df, *exprs)
 
 
 def stage1_arrays(events: DataFrame) -> DataFrame:

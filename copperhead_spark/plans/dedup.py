@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
+from copperhead_spark.operators.barrier import project_once
 from copperhead_spark.functions.text import (
     minhash_duck,
     minhash_signature_spark,
@@ -153,15 +154,17 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     K affine permutations mod 2^31-1.  Production path: vectorized Arrow
     UDF (operators/dedup.py) — identical integer arithmetic to the
     SQL-expression reference form, which the oracle runs on DuckDB, so
-    the UDF is value-checked, not trusted.  The repartition is an
-    optimizer barrier: without it ProjectCollapse would duplicate the
-    signature computation once per extracted column."""
+    the UDF is value-checked, not trusted.  project_once is a
+    shuffle-free optimizer barrier: without it ProjectCollapse would
+    duplicate the signature computation once per extracted column."""
     from copperhead_spark.operators.dedup import minhash_signature_udf
 
     docs = table(spark, sf_dir, "documents")
-    sig = docs.select(
-        "doc_id", minhash_signature_udf()(F.col("text")).alias("sig")
-    ).repartition("doc_id")
+    sig = project_once(
+        docs.select("doc_id", minhash_signature_udf()(F.col("text")).alias("sig")),
+        "doc_id",
+        "sig",
+    )
     return sig.selectExpr(
         "doc_id", *[f"element_at(sig, {k + 1}) AS mh{k}" for k in range(_K)]
     )
@@ -175,9 +178,11 @@ def dedup_minhash_signatures_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable reference implementation and registered so both paths face
     the same oracle."""
     docs = table(spark, sf_dir, "documents")
-    sig = docs.selectExpr(
-        "doc_id", f"{minhash_signature_spark(shingle_hashes_spark())} AS sig"
-    ).repartition("doc_id")
+    sig = project_once(
+        docs,
+        "doc_id",
+        f"{minhash_signature_spark(shingle_hashes_spark())} AS sig",
+    )
     return sig.selectExpr(
         "doc_id", *[f"element_at(sig, {k + 1}) AS mh{k}" for k in range(_K)]
     )
@@ -253,9 +258,11 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one vote-vector fold + barrier (same single-pass pattern as
     minhash)."""
     docs = table(spark, sf_dir, "documents")
-    votes = docs.selectExpr(
-        "doc_id", f"{simhash_votes_spark(_NBITS, token_hashes_spark())} AS votes"
-    ).repartition("doc_id")
+    votes = project_once(
+        docs,
+        "doc_id",
+        f"{simhash_votes_spark(_NBITS, token_hashes_spark())} AS votes",
+    )
     return votes.selectExpr("doc_id", f"{simhash_from_votes(_NBITS)} AS simhash")
 
 
