@@ -158,3 +158,79 @@ def text_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         exact_sum(F.col("n_chars").cast("double") / 100, 6).alias("kchars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / dataset splits (training-data pipeline ops):
+# RNG-based sample() is irreproducible across engines, partitionings and
+# reruns; keying a hash uniform on the stable doc_id makes the sample a
+# pure filter — reproducible, oracle-checkable, and pushdown-friendly.
+# ---------------------------------------------------------------------------
+
+from copperhead_spark.operators.rochester import hash_uniform_sql  # noqa: E402
+
+_SPLIT_U = hash_uniform_sql("doc_id", "7919")
+_SAMPLE_RATES = {"web": 0.5, "books": 0.9, "wiki": 1.0, "code": 0.25}
+
+_SAMPLE_RATE_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _SAMPLE_RATES.items())
+    + " ELSE 0.1 END"
+)
+
+
+@register(
+    "text_sample_stratified",
+    oracle=f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled, MIN(doc_id) AS first_doc
+FROM documents
+WHERE {_SPLIT_U} < {_SAMPLE_RATE_CASE}
+GROUP BY source
+""",
+    tags=("text", "sampling"),
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-source keep rates applied
+    as a hash-uniform filter on the stable key — same rows on every
+    engine, every partitioning, every rerun (RNG sample() is none of
+    those).  The filter is a pure row predicate: no shuffle, and at
+    100 TB it composes with partition pruning."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.expr(f"{_SPLIT_U} < {_SAMPLE_RATE_CASE}"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "text_train_val_test_split",
+    oracle=f"""
+SELECT CASE WHEN {_SPLIT_U} < 0.8 THEN 'train'
+            WHEN {_SPLIT_U} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+    tags=("text", "sampling"),
+)
+def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the same hash uniform:
+    membership is a pure function of the row key, so the split is stable
+    under re-partitioning, incremental appends, and engine changes —
+    the property randomSplit() does not have."""
+    docs = table(spark, sf_dir, "documents")
+    split = (
+        f"CASE WHEN {_SPLIT_U} < 0.8 THEN 'train' "
+        f"WHEN {_SPLIT_U} < 0.9 THEN 'val' ELSE 'test' END"
+    )
+    return (
+        docs.selectExpr(f"{split} AS split", "text")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )

@@ -126,6 +126,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("T1", "Language ID", ["text_lang_id"], ""),
     ("T2", "Quality scoring", ["text_quality_score"], ""),
     ("T3", "Token counting", ["text_token_stats"], ""),
+    ("T4", "Deterministic stratified sampling", ["text_sample_stratified"], "hash-uniform filter on stable key: reproducible + pushdown-friendly"),
+    ("T5", "Train/val/test split", ["text_train_val_test_split"], "stable under repartitioning/appends (randomSplit is not)"),
     ("MM1", "Multimodal binary columns + metadata", ["mm_media_metadata"], ""),
     ("MM2", "Media decode via mapInPandas", ["mm_decode_features"], "operators/multimodal.py (pluggable decoder)"),
     # pipeline parity
