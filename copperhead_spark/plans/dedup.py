@@ -329,6 +329,67 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# connected components: candidate pairs -> duplicate clusters
+# ---------------------------------------------------------------------------
+
+# transitive closure over the LSH candidate graph; MIN reachable doc_id is
+# the component label.  Closure is O(n*m) — fine for the oracle at sf0.01;
+# the Spark side uses O(diameter)-round hash-min propagation instead.
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_LSH_ORACLE}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS component
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE, tags=("dedup",))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs -> duplicate clusters: every document labeled
+    with the min doc_id reachable through the pair graph (iterative
+    hash-min propagation, operators/graph.py).  The step that turns
+    near-dup *pairs* into an actual keep/drop decision: keep doc iff
+    doc_id == component."""
+    from copperhead_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
+    return connected_components(
+        docs, pairs, node_col="doc_id", src_col="doc1", dst_col="doc2"
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+WITH cc AS ({_CC_ORACLE})
+SELECT component AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM cc GROUP BY component
+""",
+    tags=("dedup",),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster roll-up over the connected-components labeling: one row
+    per duplicate cluster with its canonical representative (the min
+    doc_id) and size — the dedup audit table (dedup rate = 1 -
+    n_clusters / n_docs)."""
+    cc = dedup_connected_components(spark, sf_dir)
+    return cc.groupBy(F.col("component").alias("canonical_doc_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+
+
 @register(
     "text_rolling_fingerprint",
     oracle=f"""

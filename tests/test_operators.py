@@ -174,3 +174,39 @@ def test_weights_ledger_variations(spark):
     # up-variation replaces the factor (no division -> zero-safe)
     assert np.allclose(out["wgt_a_up"], pdf.w1 * 2 * pdf.w2)
     assert np.allclose(out["wgt_a_down"], pdf.w1 / 2 * pdf.w2)
+
+
+def test_connected_components_matches_union_find(spark):
+    from copperhead_spark.operators.graph import connected_components
+
+    rng = np.random.RandomState(7)
+    n = 300
+    # random sparse graph + a 40-node chain (diameter stress: hash-min
+    # must iterate, not converge in one round)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, (150, 2)) if a != b]
+    edges += [(260 + i, 261 + i) for i in range(39)]
+
+    # independent oracle: union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in range(n)}
+    # path-compress fully: representative must be the min node id
+    expected = {x: min(y for y in range(n) if find(y) == find(x)) for x in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == expected

@@ -121,6 +121,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("D4", "n-gram Jaccard dedup", ["dedup_ngram_jaccard_pairs"], ""),
     ("D5", "Embedding-cosine near-dup", ["dedup_embedding_cosine_pairs"], ""),
     ("D6", "Document fingerprinting", ["text_rolling_fingerprint", "dedup_exact_groups"], ""),
+    ("D7", "Connected-components dedup clustering", ["dedup_connected_components", "dedup_cluster_stats"],
+     "operators/graph.py (hash-min propagation, O(diameter) rounds, vs union-find oracle)"),
     ("SIM1", "Brute-force cosine top-k", ["sim_cosine_topk"], ""),
     ("SIM2", "LSH-bucketed / IVF-partitioned ANN", ["sim_lsh_buckets", "sim_ivf_topk"], "IVF: shuffle-free centroid assignment + broadcast probe join"),
     ("T1", "Language ID", ["text_lang_id"], ""),
