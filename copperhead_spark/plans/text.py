@@ -161,6 +161,136 @@ def text_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition / composite quality filters (MassiveText/Gopher-style rules):
+# everything is per-row array math — no shuffle, no UDF; at 100 TB these
+# are pure map-side filters that compose with partition pruning.
+# ---------------------------------------------------------------------------
+
+# token trigrams as strings.  Spark gotcha: sequence(1, n) DESCENDS when
+# n < 1, so the empty case must be guarded explicitly.
+_TRI_SPARK = """
+CASE WHEN size(split(text, ' ')) >= 3 THEN
+  transform(sequence(1, size(split(text, ' ')) - 2),
+            i -> concat(element_at(split(text, ' '), i), ' ',
+                        element_at(split(text, ' '), i + 1), ' ',
+                        element_at(split(text, ' '), i + 2)))
+ELSE array() END
+"""
+
+_TRI_DUCK = """
+list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])
+"""
+
+# fraction of trigram slots occupied by a repeated trigram (0 when the
+# doc has < 3 tokens); the within-document repetition signal
+_DUPTRI_SPARK = f"""
+CASE WHEN size({_TRI_SPARK}) > 0 THEN
+  CAST(size({_TRI_SPARK}) - size(array_distinct({_TRI_SPARK})) AS DOUBLE)
+    / CAST(size({_TRI_SPARK}) AS DOUBLE)
+ELSE CAST(0 AS DOUBLE) END
+"""
+
+_DUPTRI_DUCK = f"""
+CASE WHEN len({_TRI_DUCK}) > 0 THEN
+  CAST(len({_TRI_DUCK}) - len(list_distinct({_TRI_DUCK})) AS DOUBLE)
+    / CAST(len({_TRI_DUCK}) AS DOUBLE)
+ELSE CAST(0 AS DOUBLE) END
+"""
+
+# non [a-z0-9 space] character fraction (DuckDB regexp_replace needs the
+# explicit 'g' flag; Spark's is global by default)
+_SYMRATIO_SPARK = """
+CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE)
+  / CAST(length(text) AS DOUBLE)
+"""
+_SYMRATIO_DUCK = """
+CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+  / CAST(length(text) AS DOUBLE)
+"""
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TRI_DUCK}) AS BIGINT) AS n_trigrams,
+       {_DUPTRI_DUCK} AS dup_trigram_fraction,
+       CAST(1 AS DOUBLE)
+         - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alnum_space_ratio
+FROM documents
+""",
+    tags=("text",),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals: token-trigram count, repeated-
+    trigram fraction (MassiveText 'duplicate n-gram fraction' rule), and
+    alphanumeric character ratio.  Pure array expressions — zero shuffle,
+    whole plan is one map stage over the scan."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({_TRI_SPARK}) AS BIGINT) AS n_trigrams",
+        f"{_DUPTRI_SPARK} AS dup_trigram_fraction",
+        "CAST(1 AS DOUBLE)"
+        " - CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE) AS alnum_space_ratio",
+    )
+
+
+# composite pass/fail rule set (Gopher-style): token-count window, mean
+# token length window, symbol ratio cap, repetition cap
+def _gopher_pass(dialect: str) -> str:
+    if dialect == "spark":
+        ntok = "CAST(size(split(text, ' ')) AS DOUBLE)"
+        mtl = f"CAST(length(text) AS DOUBLE) / {ntok}"
+        dup, sym = _DUPTRI_SPARK, _SYMRATIO_SPARK
+    else:
+        ntok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        mtl = f"CAST(length(text) AS DOUBLE) / {ntok}"
+        dup, sym = _DUPTRI_DUCK, _SYMRATIO_DUCK
+    return (
+        f"({ntok} >= 10 AND {ntok} <= 1000"
+        f" AND {mtl} >= 3 AND {mtl} <= 12"
+        f" AND ({sym}) <= 0.2"
+        f" AND ({dup}) <= 0.3)"
+    )
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE {_gopher_pass("duck")}) AS BIGINT) AS n_pass,
+       CAST(COUNT(*) FILTER (WHERE {_gopher_pass("duck")}) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM documents
+GROUP BY source
+""",
+    tags=("text",),
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-quality gate (Gopher-style rule set): token-count
+    window, mean-token-length window, symbol-ratio cap, repeated-trigram
+    cap — reported as per-source pass rates.  The predicate itself is a
+    pure row filter; only the audit rollup shuffles (on the low-
+    cardinality source key)."""
+    docs = table(spark, sf_dir, "documents")
+    passed = F.expr(_gopher_pass("spark"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(passed).alias("n_pass"),
+        (F.count_if(passed).cast("double") / F.count("*").cast("double")).alias(
+            "pass_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic sampling / dataset splits (training-data pipeline ops):
 # RNG-based sample() is irreproducible across engines, partitionings and
 # reruns; keying a hash uniform on the stable doc_id makes the sample a

@@ -124,12 +124,17 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("D7", "Connected-components dedup clustering", ["dedup_connected_components", "dedup_cluster_stats"],
      "operators/graph.py (hash-min propagation, O(diameter) rounds, vs union-find oracle)"),
     ("SIM1", "Brute-force cosine top-k", ["sim_cosine_topk"], ""),
+    ("SIM3", "int8 scalar-quantized ANN sweep", ["sim_quantized_topk"],
+     "per-vector symmetric quantization; 4x smaller candidate scan"),
     ("SIM2", "LSH-bucketed / IVF-partitioned ANN", ["sim_lsh_buckets", "sim_ivf_topk"], "IVF: shuffle-free centroid assignment + broadcast probe join"),
     ("T1", "Language ID", ["text_lang_id"], ""),
     ("T2", "Quality scoring", ["text_quality_score"], ""),
     ("T3", "Token counting", ["text_token_stats"], ""),
     ("T4", "Deterministic stratified sampling", ["text_sample_stratified"], "hash-uniform filter on stable key: reproducible + pushdown-friendly"),
     ("T5", "Train/val/test split", ["text_train_val_test_split"], "stable under repartitioning/appends (randomSplit is not)"),
+    ("T6", "Repetition stats (dup-trigram fraction)", ["text_repetition_stats"],
+     "zero-shuffle array expressions"),
+    ("T7", "Composite Gopher-style quality gate", ["text_gopher_filter"], ""),
     ("MM1", "Multimodal binary columns + metadata", ["mm_media_metadata"], ""),
     ("MM2", "Media decode via mapInPandas", ["mm_decode_features"], "operators/multimodal.py (pluggable decoder)"),
     # pipeline parity
