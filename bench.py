@@ -38,7 +38,9 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_signatures",
     "sim_cosine_topk",
+    "sim_quantized_topk",
     "text_quality_score",
+    "text_gopher_filter",
     "ml_mlp_inference",
 ]
 
@@ -56,11 +58,18 @@ def main() -> None:
     if names:
         queries[names[0]].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-2: single-shot numbers on a shared host swing 3-10x with
+    # background load; min-of-two is the standard noise floor estimate
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        queries[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # the copperhead-shaped headline: jagged-event stage1+stage2 with the
     # zero-shuffle array-native plan.  Input is materialized parquet
@@ -82,11 +91,14 @@ def main() -> None:
         events_fixture_distributed(spark, 5000).write.parquet(f"{tmp}/warmup")
         wu = spark.read.parquet(f"{tmp}/warmup")
         stage2_variations(stage1_arrays(wu)).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        stage2_variations(stage1_arrays(ev)).write.format("noop").mode("overwrite").save()
-        timings[f"pipeline_jagged_{n_events // 1000}k_events"] = round(
-            time.perf_counter() - t0, 4
-        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            stage2_variations(stage1_arrays(ev)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[f"pipeline_jagged_{n_events // 1000}k_events"] = round(best, 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
