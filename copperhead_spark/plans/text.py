@@ -200,14 +200,16 @@ CASE WHEN len({_TRI_DUCK}) > 0 THEN
 ELSE CAST(0 AS DOUBLE) END
 """
 
-# non [a-z0-9 space] character fraction (DuckDB regexp_replace needs the
-# explicit 'g' flag; Spark's is global by default)
+# non [a-z0-9 space] character fraction: stripping the alnum+space class
+# leaves exactly the symbol characters, so the ratio is len(stripped)/len
+# (DuckDB regexp_replace needs the explicit 'g' flag; Spark's is global
+# by default)
 _SYMRATIO_SPARK = """
-CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE)
+CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE)
   / CAST(length(text) AS DOUBLE)
 """
 _SYMRATIO_DUCK = """
-CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
   / CAST(length(text) AS DOUBLE)
 """
 
@@ -359,6 +361,63 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.selectExpr(f"{split} AS split", "text")
         .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation: the training-data pipeline as ONE query —
+# quality gate -> near-dup removal (LSH candidates -> connected
+# components -> keep cluster canonicals) -> deterministic train/val/test
+# split -> composition audit.  Every stage is an already-oracle-checked
+# operator; this registers their composition so the full pipeline
+# (filters + iterative clustering + split + rollup) faces one oracle.
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from copperhead_spark.plans.dedup import _CC_ORACLE
+
+    split = (
+        f"CASE WHEN {_SPLIT_U} < 0.8 THEN 'train' "
+        f"WHEN {_SPLIT_U} < 0.9 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH cc AS ({_CC_ORACLE})
+SELECT source, {split} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents JOIN cc USING (doc_id)
+WHERE {_gopher_pass("duck")} AND doc_id = component
+GROUP BY 1, 2
+"""
+
+
+@register("pipeline_corpus_curation", oracle=_curation_oracle(), tags=("text", "dedup"))
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: Gopher-style quality gate, near-dup
+    removal keeping one canonical doc per connected component of the
+    LSH candidate graph, deterministic 80/10/10 split, rolled up per
+    (source, split).  Plan shape at 100 TB: the quality gate and split
+    are zero-shuffle row predicates; dedup costs the LSH banding
+    shuffle + O(diameter) propagation rounds; the final rollup is one
+    partial-agg groupBy on a tiny key space."""
+    from copperhead_spark.plans.dedup import dedup_connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    cc = dedup_connected_components(spark, sf_dir)
+    split = (
+        f"CASE WHEN {_SPLIT_U} < 0.8 THEN 'train' "
+        f"WHEN {_SPLIT_U} < 0.9 THEN 'val' ELSE 'test' END"
+    )
+    return (
+        docs.join(cc, "doc_id")
+        .filter(F.expr(_gopher_pass("spark")) & (F.col("doc_id") == F.col("component")))
+        .selectExpr("source", f"{split} AS split", "text")
+        .groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.length("text")).cast("long").alias("total_chars"),
