@@ -210,3 +210,43 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(nodes, edf).collect()
     }
     assert got == expected
+
+
+def test_quality_signals_semantics(spark):
+    """Hand-crafted docs with known signal values: guards against
+    inverted/degenerate expressions that a shared-constant oracle can't
+    catch (both engines would agree on the same wrong formula)."""
+    from copperhead_spark.plans.text import (
+        _DUPTRI_SPARK,
+        _SYMRATIO_SPARK,
+        _gopher_pass,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 10 chars, 2 symbols (# and !) -> symratio 0.2
+            (0, "ab#cd ef!g"),
+            # trigrams: "a b c","b c a","c a b","a b c","b c a" -> 5 slots,
+            # 3 distinct -> dup fraction 2/5
+            (1, "a b c a b c a"),
+            # clean doc passing every gopher rule (20 tokens, mtl in
+            # window, no symbols, no repeated trigram)
+            (2, " ".join(f"tok{i:02d}" for i in range(20))),
+            # symbol-heavy doc failing the symratio cap
+            (3, " ".join("@@@@" for _ in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in docs.selectExpr(
+            "doc_id",
+            f"{_SYMRATIO_SPARK} AS sym",
+            f"{_DUPTRI_SPARK} AS dup",
+            f"{_gopher_pass('spark')} AS pass",
+        ).collect()
+    }
+    assert abs(got[0]["sym"] - 0.2) < 1e-12
+    assert abs(got[1]["dup"] - 0.4) < 1e-12
+    assert got[2]["sym"] == 0.0 and got[2]["dup"] == 0.0 and got[2]["pass"]
+    assert not got[3]["pass"]
