@@ -423,3 +423,47 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing (the redaction stage of corpus curation): span
+# counting + redacted text.  Patterns are written in the common subset of
+# RE2 (DuckDB) and Java regex (Spark) — no backrefs, no lookaround — so
+# one pattern string drives both engines; the semantic unit test
+# (tests/test_operators.py) pins the behavior on crafted strings since
+# the synthetic corpus itself is clean.
+# ---------------------------------------------------------------------------
+
+# [.] instead of \. — Spark SQL string literals process backslash
+# escapes (\. collapses to a bare wildcard .) while DuckDB's do not, so
+# an escaped dot means DIFFERENT regexes on the two engines; the
+# character class is escape-free and identical in both
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_URL_RE}', '<URL>', 'g')) AS BIGINT)
+         AS redacted_len
+FROM documents
+""",
+    tags=("text",),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/URL span counts and the redacted-text length.
+    Pure regex projection — zero shuffle; at 100 TB this is a map-only
+    pass fused into the scan stage."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS BIGINT) AS n_emails",
+        f"CAST(size(regexp_extract_all(text, '{_URL_RE}', 0)) AS BIGINT) AS n_urls",
+        f"CAST(length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>'),"
+        f" '{_URL_RE}', '<URL>')) AS BIGINT) AS redacted_len",
+    )

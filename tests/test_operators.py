@@ -250,3 +250,32 @@ def test_quality_signals_semantics(spark):
     assert abs(got[1]["dup"] - 0.4) < 1e-12
     assert got[2]["sym"] == 0.0 and got[2]["dup"] == 0.0 and got[2]["pass"]
     assert not got[3]["pass"]
+
+
+def test_pii_redaction_semantics(spark):
+    """Crafted strings pin the redaction behavior (the synthetic corpus
+    contains no PII, so the parity check alone is vacuous there)."""
+    from copperhead_spark.plans.text import _EMAIL_RE, _URL_RE
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact bob.smith+x@example.co.uk or see https://a.b/c?d=1 now"),
+            (1, "no pii here at all"),
+            (2, "two mails x@y.io z@w.ai and http://plain.url"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in docs.selectExpr(
+            "doc_id",
+            f"size(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS n_emails",
+            f"size(regexp_extract_all(text, '{_URL_RE}', 0)) AS n_urls",
+            f"regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>'),"
+            f" '{_URL_RE}', '<URL>') AS redacted",
+        ).collect()
+    }
+    assert got[0]["n_emails"] == 1 and got[0]["n_urls"] == 1
+    assert got[0]["redacted"] == "contact <EMAIL> or see <URL> now"
+    assert got[1]["n_emails"] == 0 and got[1]["n_urls"] == 0
+    assert got[2]["n_emails"] == 2 and got[2]["n_urls"] == 1

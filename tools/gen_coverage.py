@@ -135,6 +135,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("T6", "Repetition stats (dup-trigram fraction)", ["text_repetition_stats"],
      "zero-shuffle array expressions"),
     ("T7", "Composite Gopher-style quality gate", ["text_gopher_filter"], ""),
+    ("T8", "PII / URL redaction", ["text_pii_redaction"],
+     "regex projection, map-only; semantics pinned on crafted strings"),
     ("CUR1", "Corpus curation e2e (quality -> CC dedup -> split)",
      ["pipeline_corpus_curation"], "composition of oracle-checked stages, one oracle"),
     ("MM1", "Multimodal binary columns + metadata", ["mm_media_metadata"], ""),
