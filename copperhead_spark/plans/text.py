@@ -233,14 +233,54 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphanumeric character ratio.  Pure array expressions — zero shuffle,
     whole plan is one map stage over the scan."""
     docs = table(spark, sf_dir, "documents")
-    return docs.selectExpr(
+    return _doc_stats(docs, ["doc_id"]).selectExpr(
         "doc_id",
-        f"CAST(size({_TRI_SPARK}) AS BIGINT) AS n_trigrams",
-        f"{_DUPTRI_SPARK} AS dup_trigram_fraction",
-        "CAST(1 AS DOUBLE)"
-        " - CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE)"
-        " / CAST(length(text) AS DOUBLE) AS alnum_space_ratio",
+        "n_tri AS n_trigrams",
+        "dup AS dup_trigram_fraction",
+        "CAST(1 AS DOUBLE) - sym AS alnum_space_ratio",
     )
+
+
+# Spark execution path for the repetition/quality scalars: the naive
+# inline form re-evaluates split(text) INSIDE the trigram lambda (once
+# per element, interpreted — measured 2.5 ms/doc); materializing tokens,
+# then trigrams, behind successive Generate barriers makes each array
+# compute once per row.  Still zero shuffle — barriers are map-side.
+def _doc_stats(docs: DataFrame, keep: list[str]) -> DataFrame:
+    from copperhead_spark.operators.barrier import project_once
+
+    toks = project_once(docs, *keep, "text", "split(text, ' ') AS toks")
+    tri = project_once(
+        toks,
+        *keep,
+        "text",
+        "toks",
+        """
+CASE WHEN size(toks) >= 3 THEN
+  transform(sequence(1, size(toks) - 2),
+            i -> concat(element_at(toks, i), ' ',
+                        element_at(toks, i + 1), ' ',
+                        element_at(toks, i + 2)))
+ELSE array() END AS tri
+""",
+    )
+    return tri.selectExpr(
+        *keep,
+        "CAST(size(toks) AS DOUBLE) AS ntok",
+        "CAST(size(tri) AS BIGINT) AS n_tri",
+        "CAST(length(text) AS DOUBLE) / CAST(size(toks) AS DOUBLE) AS mtl",
+        f"{_SYMRATIO_SPARK} AS sym",
+        "CASE WHEN size(tri) > 0 THEN"
+        " CAST(size(tri) - size(array_distinct(tri)) AS DOUBLE)"
+        " / CAST(size(tri) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS dup",
+    )
+
+
+# the same rule set over _doc_stats scalar columns (Spark execution path)
+_GOPHER_SCALAR_PASS = (
+    "(ntok >= 10 AND ntok <= 1000 AND mtl >= 3 AND mtl <= 12"
+    " AND sym <= 0.2 AND dup <= 0.3)"
+)
 
 
 # composite pass/fail rule set (Gopher-style): token-count window, mean
@@ -282,8 +322,9 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure row filter; only the audit rollup shuffles (on the low-
     cardinality source key)."""
     docs = table(spark, sf_dir, "documents")
-    passed = F.expr(_gopher_pass("spark"))
-    return docs.groupBy("source").agg(
+    stats = _doc_stats(docs, ["source"])
+    passed = F.expr(_GOPHER_SCALAR_PASS)
+    return stats.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count_if(passed).alias("n_pass"),
         (F.count_if(passed).cast("double") / F.count("*").cast("double")).alias(
@@ -413,14 +454,16 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {_SPLIT_U} < 0.8 THEN 'train' "
         f"WHEN {_SPLIT_U} < 0.9 THEN 'val' ELSE 'test' END"
     )
+    stats = _doc_stats(docs, ["doc_id", "source", "length(text) AS _len"])
     return (
-        docs.join(cc, "doc_id")
-        .filter(F.expr(_gopher_pass("spark")) & (F.col("doc_id") == F.col("component")))
-        .selectExpr("source", f"{split} AS split", "text")
+        stats.filter(F.expr(_GOPHER_SCALAR_PASS))
+        .join(cc, "doc_id")
+        .filter(F.col("doc_id") == F.col("component"))
+        .selectExpr("source", f"{split} AS split", "_len")
         .groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum("_len").cast("long").alias("total_chars"),
         )
     )
 
