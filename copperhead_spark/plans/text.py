@@ -7,7 +7,7 @@ double divisions of integers), so every query is oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
@@ -509,4 +509,41 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(size(regexp_extract_all(text, '{_URL_RE}', 0)) AS BIGINT) AS n_urls",
         f"CAST(length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>'),"
         f" '{_URL_RE}', '<URL>')) AS BIGINT) AS redacted_len",
+    )
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+SELECT token, n, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rn
+  FROM (
+    SELECT t.token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, unnest(string_split(text, ' ')) AS t(token)
+    GROUP BY t.token
+  )
+) WHERE rn <= 50
+""",
+    tags=("text",),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (tokenizer-training
+    prep).  explode -> count is ONE shuffle with map-side partial
+    aggregation (token cardinality, not token count, crosses the wire);
+    the global top-k runs on the aggregated table, whose size is the
+    vocabulary, so the final single-partition sort is safe at any corpus
+    scale.  Ties broken by token for cross-engine determinism."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("token", "n", F.col("rn").cast("long").alias("rank"))
     )

@@ -135,6 +135,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("T6", "Repetition stats (dup-trigram fraction)", ["text_repetition_stats"],
      "zero-shuffle array expressions"),
     ("T7", "Composite Gopher-style quality gate", ["text_gopher_filter"], ""),
+    ("T9", "Corpus vocabulary top-k", ["text_vocab_topk"],
+     "explode -> partial-agg count; top-k on the agg table (vocab-sized)"),
     ("T8", "PII / URL redaction", ["text_pii_redaction"],
      "regex projection, map-only; semantics pinned on crafted strings"),
     ("CUR1", "Corpus curation e2e (quality -> CC dedup -> split)",
