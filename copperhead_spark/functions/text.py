@@ -43,7 +43,9 @@ def shingle_hashes_spark(col: str = "text") -> str:
     ProjectCollapse duplicates the expression per minhash the cost stays
     O(len)."""
     codes = f"transform(split({col}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
-    n4 = f"length({col}) - 4"
+    # clamp at 0: slice() throws on negative length for docs shorter than
+    # 5 chars (empty shingle set), which a 100TB corpus will contain
+    n4 = f"greatest(length({col}) - 4, 0)"
     s = {k: f"slice({codes}, {k + 1}, {n4})" for k in range(5)}
     inner = f"zip_with({s[3]}, {s[4]}, (x3, x4) -> x3 * {31**3} + x4 * {31**4})"
     inner = f"zip_with({s[2]}, {inner}, (x2, r) -> x2 * {31**2} + r)"
@@ -61,7 +63,10 @@ def shingle_hashes_duck(col: str = "text") -> str:
 
 def minhash_spark(k: int, hashes_expr: str) -> str:
     a, b = MINHASH_COEFFS[k]
-    return f"array_min(transform({hashes_expr}, h -> ({a} * h + {b}) % {MERSENNE31}))"
+    return (
+        f"coalesce(array_min(transform({hashes_expr},"
+        f" h -> ({a} * h + {b}) % {MERSENNE31})), CAST({MERSENNE31} AS BIGINT))"
+    )
 
 
 def minhash_signature_spark(hashes_expr: str) -> str:
@@ -80,10 +85,13 @@ def minhash_signature_spark(hashes_expr: str) -> str:
 
 
 def minhash_duck(k: int, hashes_expr: str) -> str:
+    # COALESCE: list_aggregate(.., 'min') is NULL on an empty shingle list;
+    # both Spark paths use the MERSENNE31 sentinel there, so pin the oracle
+    # to the same value for zero-shingle (short/empty) documents.
     a, b = MINHASH_COEFFS[k]
     return (
-        f"list_aggregate(list_transform({hashes_expr},"
-        f" h -> ({a} * h + {b}) % {MERSENNE31}), 'min')"
+        f"COALESCE(list_aggregate(list_transform({hashes_expr},"
+        f" h -> ({a} * h + {b}) % {MERSENNE31}), 'min'), {MERSENNE31})"
     )
 
 

@@ -41,7 +41,7 @@ def bucketed_range_join(
     join is an equi-join on bucket + refine filter."""
     w = float(bucket_width)
     exploded = intervals.withColumn(
-        "_bucket",
+        "_ibucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo) / F.lit(w)).cast("long"),
@@ -52,5 +52,14 @@ def bucketed_range_join(
     if broadcast_intervals:
         exploded = F.broadcast(exploded)
     keyed = points.withColumn("_bucket", F.floor(x / F.lit(w)).cast("long"))
-    joined = keyed.join(exploded, "_bucket", how)
-    return joined.filter((x >= F.col(lo)) & (x < F.col(hi))).drop("_bucket")
+    # The exact range predicate lives INSIDE the join condition (hash join
+    # on bucket equality + residual range filter), not as a post-join
+    # filter: with outer `how` a post-join filter would drop unmatched
+    # rows (NULL lo/hi fail any comparison) AND points whose bucket
+    # matched but whose refine failed, silently degrading to inner.
+    cond = (
+        (keyed["_bucket"] == exploded["_ibucket"])
+        & (x >= exploded[lo])
+        & (x < exploded[hi])
+    )
+    return keyed.join(exploded, cond, how).drop("_bucket", "_ibucket")

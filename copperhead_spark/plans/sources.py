@@ -58,17 +58,19 @@ GROUP BY o_orderstatus
     tags=("S4",),
 )
 def s4_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-pruned scan over the partitioned copy written by S3:
-    the priority predicate prunes directories before any file opens
-    (the reference's per-dataset glob, run_stage2.py:148-153, for free).
-    Depends on s3 having written; writes if missing."""
+    """Partition-pruned scan over a partitioned copy of orders: the
+    priority predicate prunes directories before any file opens (the
+    reference's per-dataset glob, run_stage2.py:148-153, for free).
+    Always rewrites its own sink dir (orders is tiny) so the result never
+    depends on stale /tmp state from an older fixture version."""
     out_dir = os.path.join(
-        tempfile.gettempdir(), "copperhead_spark_sink", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "copperhead_spark_sink_s4",
+        os.path.basename(sf_dir.rstrip("/")),
     )
-    if not os.path.isdir(out_dir):
-        write_partitioned(
-            table(spark, sf_dir, "orders"), out_dir, partition_by=("o_orderpriority",)
-        )
+    write_partitioned(
+        table(spark, sf_dir, "orders"), out_dir, partition_by=("o_orderpriority",)
+    )
     back = read_partitioned(spark, out_dir)
     return (
         back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))

@@ -89,7 +89,10 @@ GROUP BY user_id
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(ts, 30 min) per user — session count must equal the
-    batch lag-gap sessionization (t3_session_gaps)."""
+    batch lag-gap sessionization (t3_session_gaps).  Boundary semantics
+    verified live (tests/test_advice_regressions.py): a gap of EXACTLY
+    30 minutes merges into the same session, so the oracle gap predicate
+    is strictly >."""
     ev = events_stream(spark, sf_dir)
     sessions = (
         ev.withWatermark("ts", "1 hour")

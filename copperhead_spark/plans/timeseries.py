@@ -132,7 +132,8 @@ GROUP BY user_id
 def t3_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag(ts) per user + gap > 30 min starts a new
     session; count sessions per user.  The batch twin of streaming
-    session_window (registered separately)."""
+    session_window; an exactly-30-minute gap MERGES in both forms
+    (boundary pinned live in tests/test_advice_regressions.py)."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")

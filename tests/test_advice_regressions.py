@@ -1,0 +1,170 @@
+"""Regression tests for round-1 advisor findings (ADVICE.md):
+
+1. shingle/minhash expressions must not throw on documents shorter than
+   5 chars, and the Spark paths + DuckDB oracle forms must agree on the
+   empty-shingle sentinel (a 100TB corpus contains short/empty docs).
+2. bucketed_range_join with how='left' must keep unmatched point rows
+   (previously the post-join refine filter silently dropped them).
+3. session gap boundary semantics: verified LIVE (below) that Spark's
+   session_window MERGES an exactly-30-minute gap into one session on
+   this Spark version, so the lag-based batch twin and the DuckDB
+   oracles correctly use the strict > predicate.  (The advisor suggested
+   >=; the empirical pin below is authoritative.)
+"""
+
+import datetime
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from copperhead_spark.functions.text import (
+    MERSENNE31,
+    minhash_duck,
+    minhash_signature_spark,
+    minhash_spark,
+    shingle_hashes_duck,
+    shingle_hashes_spark,
+)
+
+SHORT_DOCS = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "hello world"]
+
+
+def test_short_docs_spark_paths_agree_with_duckdb(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(SHORT_DOCS)), "text": SHORT_DOCS})
+    df = spark.createDataFrame(pdf)
+
+    # expression path: must not throw, and must yield the sentinel for
+    # zero-shingle docs
+    got = (
+        df.selectExpr(
+            "doc_id",
+            f"{shingle_hashes_spark()} AS shingles",
+            f"{minhash_signature_spark(shingle_hashes_spark())} AS sig",
+            f"{minhash_spark(0, shingle_hashes_spark())} AS mh0",
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.sql(
+        f"SELECT doc_id, {shingle_hashes_duck()} AS shingles,"
+        f" {minhash_duck(0, shingle_hashes_duck())} AS mh0"
+        " FROM docs ORDER BY doc_id"
+    ).df()
+    con.close()
+
+    for i, text in enumerate(SHORT_DOCS):
+        n_shingles = max(len(text) - 4, 0)
+        assert list(got.loc[i, "shingles"]) == list(want.loc[i, "shingles"])
+        assert len(got.loc[i, "shingles"]) == n_shingles
+        assert got.loc[i, "mh0"] == want.loc[i, "mh0"]
+        if n_shingles == 0:
+            assert got.loc[i, "mh0"] == MERSENNE31
+            assert all(v == MERSENNE31 for v in got.loc[i, "sig"])
+        # the fold-based signature's first lane equals the k=0 minhash
+        assert got.loc[i, "sig"][0] == got.loc[i, "mh0"]
+
+
+def test_short_docs_arrow_kernel_matches_expressions(spark):
+    from copperhead_spark.operators.dedup import minhash_signature_udf
+
+    pdf = pd.DataFrame({"doc_id": range(len(SHORT_DOCS)), "text": SHORT_DOCS})
+    df = spark.createDataFrame(pdf)
+    kernel = (
+        df.select("doc_id", minhash_signature_udf()(F.col("text")).alias("sig"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expr = (
+        df.selectExpr(
+            "doc_id", f"{minhash_signature_spark(shingle_hashes_spark())} AS sig"
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i in range(len(SHORT_DOCS)):
+        assert list(kernel.loc[i, "sig"]) == list(expr.loc[i, "sig"])
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from copperhead_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3, 4], "x": [5.0, 55.0, 205.0, 350.0]})
+    )
+    # interval [50, 60) matches x=55; [200, 210) matches x=205;
+    # x=5 shares bucket 0 with NO interval; x=350 shares bucket 3 with
+    # [390, 395) but fails the refine — both must survive a left join.
+    intervals = spark.createDataFrame(
+        pd.DataFrame(
+            {"lo": [50.0, 200.0, 390.0], "hi": [60.0, 210.0, 395.0], "tag": ["a", "b", "c"]}
+        )
+    )
+    inner = bucketed_range_join(
+        points, intervals, F.col("x"), bucket_width=100.0, how="inner"
+    ).toPandas()
+    assert sorted(inner["pid"]) == [2, 3]
+
+    left = (
+        bucketed_range_join(points, intervals, F.col("x"), bucket_width=100.0, how="left")
+        .toPandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    assert sorted(left["pid"]) == [1, 2, 3, 4]
+    by_pid = left.set_index("pid")
+    assert by_pid.loc[2, "tag"] == "a"
+    assert by_pid.loc[3, "tag"] == "b"
+    assert pd.isna(by_pid.loc[1, "tag"])
+    assert pd.isna(by_pid.loc[4, "tag"])  # bucket matched, refine failed
+
+
+def test_exact_30min_gap_merges_session(spark):
+    """Boundary pin: an exactly-30-minute gap MERGES into one session
+    under session_window('30 minutes'); a 30min+1s gap splits. The
+    lag-based batch predicate (strict >) must agree on both."""
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": [
+                base,
+                base + datetime.timedelta(minutes=30),  # exactly 30 -> merges
+                base + datetime.timedelta(minutes=90, seconds=1),  # 30m1s gap -> splits
+                base,
+                base + datetime.timedelta(minutes=29, seconds=59),  # same session
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    via_window = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .toPandas()
+        .set_index("user_id")["n_sessions"]
+        .to_dict()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    via_lag = (
+        df.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTE"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .toPandas()
+        .set_index("user_id")["n_sessions"]
+        .to_dict()
+    )
+    assert via_window == via_lag == {1: 2, 2: 1}
