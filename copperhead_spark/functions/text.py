@@ -114,6 +114,29 @@ def token_hashes_duck(col: str = "text") -> str:
     )
 
 
+def token_ngram_hashes_spark(n: int, token_hashes: str) -> str:
+    """array<bigint> of rolling token n-gram hashes: for each window of
+    ``n`` consecutive token hashes, sum_k 31^k * tok_{i+k}.  Built as
+    shifted-slice zip_with (same O(len) array-level trick as
+    shingle_hashes_spark).  Token hashes are < 2^20 and 31^7 < 2^35, so
+    every term stays far below 2^62 — no modulus needed."""
+    m = f"greatest(size({token_hashes}) - {n - 1}, 0)"
+    s = {k: f"slice({token_hashes}, {k + 1}, {m})" for k in range(n)}
+    inner = f"zip_with({s[n - 2]}, {s[n - 1]}, (a, b) -> a * {31 ** (n - 2)} + b * {31 ** (n - 1)})"
+    for k in range(n - 3, 0, -1):
+        inner = f"zip_with({s[k]}, {inner}, (a, r) -> a * {31**k} + r)"
+    return f"zip_with({s[0]}, {inner}, (a, r) -> a + r)"
+
+
+def token_ngram_hashes_duck(n: int, th_col: str) -> str:
+    """DuckDB twin: explicit window sum via 1-based list indexing.
+    ``th_col`` must be a PLAIN COLUMN reference (materialize the token
+    hashes in a CTE first) — it is referenced n times per element, so an
+    inline expression would be re-evaluated n*len times."""
+    core = " + ".join(f"{31**k} * {th_col}[i + {k}]" for k in range(n))
+    return f"list_transform(range(1, length({th_col}) - {n - 2}), i -> {core})"
+
+
 def rolling_fingerprint_spark(col: str = "text") -> str:
     # fold over a chars->codes array: O(len), vs O(len^2) substring probes
     return (

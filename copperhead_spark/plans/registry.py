@@ -42,6 +42,8 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.sources",
     "copperhead_spark.plans.multimodal",
     "copperhead_spark.plans.ml",
+    "copperhead_spark.plans.scale_ext",
+    "copperhead_spark.plans.training",
 )
 
 

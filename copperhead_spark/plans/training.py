@@ -1,0 +1,144 @@
+"""Training-data assembly operators (beyond-reference capability, same
+family as plans/text.py): sequence packing into fixed context windows and
+benchmark decontamination screening.
+
+Scale design (100 TB corpus):
+- packing is PER-SHARD: the window cumsum runs inside hash shards, never
+  as one global sort, so the plan is one shuffle on (shard) with 100%
+  parallelism; pack ids are (shard, seq) pairs, globally unique without
+  coordination.
+- decontamination joins the corpus against a BROADCAST benchmark n-gram
+  set: the 100 TB side is never shuffled — explode is map-side, the join
+  is map-side, only the (tiny) matched-pair aggregate shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.functions.text import (
+    token_hashes_duck,
+    token_hashes_spark,
+    token_ngram_hashes_duck,
+    token_ngram_hashes_spark,
+)
+from copperhead_spark.operators.barrier import project_once
+from copperhead_spark.plans.registry import register
+
+_CTX = 2048  # context window (tokens)
+_NSHARDS = 32
+_PACK_STRIDE = 1_000_000  # pack_id = shard * stride + seq-within-shard
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+SELECT doc_id, n_tokens, shard,
+       shard * {_PACK_STRIDE} + (off // {_CTX}) AS pack_id,
+       off % {_CTX} AS offset_in_pack
+FROM (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS off
+  FROM (
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           doc_id % {_NSHARDS} AS shard
+    FROM documents
+  )
+)
+""",
+    tags=("text", "training", "W4"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    deterministic order and split into fixed {_CTX}-token context
+    windows; each doc is assigned the pack holding its first token plus
+    its offset inside that pack.  The cumsum runs PER SHARD (doc_id mod
+    {_NSHARDS}) — a global ORDER BY would serialize 100 TB through one
+    partition; per-shard packing keeps every shard independent and the
+    pack ids disjoint by construction."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        (F.col("doc_id") % _NSHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
+    return base.select("doc_id", "n_tokens", "shard", off).select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        (F.col("shard") * _PACK_STRIDE + F.expr(f"off div {_CTX}")).alias("pack_id"),
+        (F.col("off") % _CTX).alias("offset_in_pack"),
+    )
+
+
+_NGRAM = 8
+_BENCH_MOD = 11  # benchmark set: doc_id % 11 == 0 (deterministic stand-in)
+
+
+def _contamination_oracle() -> str:
+    th = token_hashes_duck("text")
+    grams = token_ngram_hashes_duck(_NGRAM, "th")
+    return f"""
+WITH th AS (SELECT doc_id, {th} AS th FROM documents),
+g AS (SELECT doc_id, list_distinct({grams}) AS grams FROM th),
+ben AS (
+  SELECT doc_id AS bench_id, length(grams) AS n_bench, unnest(grams) AS gram
+  FROM g WHERE doc_id % {_BENCH_MOD} = 0
+),
+cor AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+SELECT c.doc_id, b.bench_id,
+       COUNT(*) AS n_shared,
+       CAST(COUNT(*) AS DOUBLE) / b.n_bench AS containment
+FROM cor c JOIN ben b USING (gram)
+WHERE c.doc_id <> b.bench_id
+GROUP BY c.doc_id, b.bench_id, b.n_bench
+"""
+
+
+@register(
+    "text_contamination_screen",
+    oracle=_contamination_oracle(),
+    tags=("text", "training", "dedup"),
+)
+def text_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: token {_NGRAM}-gram containment
+    of each benchmark document inside each corpus document (the standard
+    n-gram-overlap contamination test for training corpora).  The
+    benchmark n-gram set is tiny and BROADCAST, so the corpus side stays
+    map-side: tokenize -> n-gram -> explode -> broadcast-join; only the
+    matched pairs (a vanishing fraction) reach the shuffle.  n-grams are
+    array_distinct per doc, so COUNT(*) per pair IS the distinct shared
+    count; containment = n_shared / |bench grams|."""
+    docs = table(spark, sf_dir, "documents")
+    th = project_once(docs, "doc_id", f"{token_hashes_spark()} AS th")
+    grams = project_once(
+        th,
+        "doc_id",
+        f"array_distinct({token_ngram_hashes_spark(_NGRAM, 'th')}) AS grams",
+    )
+    ben = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.size("grams").cast("long").alias("n_bench"),
+            F.explode("grams").alias("gram"),
+        )
+    )
+    cor = grams.select("doc_id", F.explode("grams").alias("gram"))
+    return (
+        cor.join(F.broadcast(ben), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id", "n_bench")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_bench")).alias("containment"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -35,8 +36,11 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
         for pdf in batches:
             n += len(pdf)
             # fixed-point per ROW (not per batch): bit-equal to the SQL
-            # sum(round(value*1e4)) regardless of batching
-            vsum += int((pdf["value"] * 10000).round().astype("int64").sum())
+            # sum(round(value*1e4)) regardless of batching.  Rounding is
+            # half-AWAY-from-zero to match SQL ROUND (pandas .round() is
+            # half-even and would disagree on exact .5 scaled values).
+            v = pdf["value"].to_numpy() * 10000.0
+            vsum += int(np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum())
             last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
         state.update((n, vsum, last))
         yield pd.DataFrame(

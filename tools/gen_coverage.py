@@ -79,7 +79,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("O1", "Per-group sort", ["w1_rank_in_group"], "window ordering / sortWithinPartitions"),
     ("O2", "Global sort", ["o2_global_topk", "a10_yield_bin_edges"], ""),
     ("O3", "Top-k per group", ["j4_top2_pivot", "w1_rank_in_group", "sim_cosine_topk"], ""),
-    ("O4", "Presentation sort", [], "driver-side on collected data (finishing/)"),
+    ("O4", "Presentation sort", ["o4_presentation_sort"], "agg-then-sort: ORDER BY cost independent of corpus size"),
     ("O5", "maxchunks limit", ["o2_global_topk"], "limit(n) on sorted scan"),
     # 2.7 set ops
     ("U1", "UNION ALL", ["u1_union_all", "p12_overlap_removal"], ""),
@@ -98,11 +98,11 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("ST2", "Sliding window", ["stream_sliding_window"], ""),
     ("ST3", "Session window", ["stream_session_window"], ""),
     ("ST4", "Dedup within watermark", ["stream_dedup_watermark"], ""),
-    ("ST5", "Custom stateful operator (applyInPandasWithState)", [], "streaming/stateful.py (vs batch oracle, tests/test_streaming_stateful.py)"),
+    ("ST5", "Custom stateful operator (applyInPandasWithState)", ["st5_stateful_profile"], "streaming/stateful.py (vs batch oracle, tests/test_streaming_stateful.py)"),
     ("ST6", "Stream-static broadcast join", ["stream_static_join"], "stateless enrichment; state only in the downstream agg"),
     ("RJ1", "Generic bucketed range join (overlapping intervals)", ["range_join_bucketed"], "operators/rangejoin.py (hash join, no BNLJ)"),
-    ("SK1", "Skew-salted aggregation", [], "operators/skew.py (bit-equal to unsalted; tests/test_scale_ops.py)"),
-    ("BK1", "Bucketed co-located join", [], "tests/test_scale_ops.py (no Exchange in bucketed SMJ)"),
+    ("SK1", "Skew-salted aggregation", ["sk1_salted_skew_agg"], "operators/skew.py (bit-equal to unsalted; tests/test_scale_ops.py)"),
+    ("BK1", "Bucketed co-located join", ["bk1_bucketed_join_agg"], "tests/test_scale_ops.py (no Exchange in bucketed SMJ)"),
     # 2.10 UDF surface
     ("F1", "Batched DNN inference + fold routing", ["ml_mlp_inference"], "ml/inference.py (UDF vs unrolled-SQL oracle)"),
     ("F2", "Batched BDT inference", ["ml_mlp_inference"], "same operator shape; model payload swappable"),
@@ -112,7 +112,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("F6", "Row-wise helper (max_abs_eta)", ["a4_global_aggregates"], "greatest(abs(...)) expression"),
     # 2.11 finishing
     ("FIN1", "Parametric fits + chi2 model selection", [], "finishing/fits.py (chebyshev/bernstein/bwZ; tests recover params)"),
-    ("FIN2", "Templates / group summation", [], "finishing/templates.py"),
+    ("FIN2", "Templates / group summation", ["fin2_group_templates"], "finishing/templates.py (driver-side twin on collected data)"),
     ("FIN3", "Datacard emission", [], "finishing/templates.py make_datacard"),
     # beyond-reference mandated families
     ("D1", "Exact dedup", ["dedup_exact_groups"], ""),
@@ -139,6 +139,10 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "explode -> partial-agg count; top-k on the agg table (vocab-sized)"),
     ("T8", "PII / URL redaction", ["text_pii_redaction"],
      "regex projection, map-only; semantics pinned on crafted strings"),
+    ("T10", "Sequence packing (concat-and-chunk)", ["pack_sequences"],
+     "per-shard cumsum: no global sort; pack ids disjoint by construction"),
+    ("T11", "Benchmark decontamination screen", ["text_contamination_screen"],
+     "token 8-gram containment vs broadcast benchmark set; corpus never shuffled"),
     ("CUR1", "Corpus curation e2e (quality -> CC dedup -> split)",
      ["pipeline_corpus_curation"], "composition of oracle-checked stages, one oracle"),
     ("MM1", "Multimodal binary columns + metadata", ["mm_media_metadata"], ""),
