@@ -78,31 +78,23 @@ FROM (
 
 @register("sim_cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("similarity",))
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: query vectors (vec_id < 5) broadcast
-    against all candidates; JVM-side zip_with/aggregate dot products; one
-    window per query for the top-5."""
+    """Brute-force cosine top-k: the query set (vec_id < 5) ships into a
+    vectorized Arrow kernel; each batch scores all pairs as ONE int64
+    matmul and emits its local top-5 per query, so the final window sees
+    O(partitions * nq * k) rows, never the candidate set
+    (functions/vectors.py batch_cosine_topk).  Micro-int arithmetic keeps
+    it bit-equal to the zip_with/aggregate expression form the DuckDB
+    oracle runs."""
+    from copperhead_spark.functions.vectors import batch_cosine_topk
+
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < _NQ).selectExpr(
-        "vec_id AS query_id", "embedding AS qe", f"{_norm2_spark('embedding')} AS qn"
+    queries = (
+        emb.filter(F.col("vec_id") < _NQ)
+        .selectExpr("vec_id AS query_id", "embedding")
+        .toPandas()
     )
-    c = emb.filter(F.col("vec_id") >= _NQ).selectExpr(
-        "vec_id AS cand_id", "embedding AS ce", f"{_norm2_spark('embedding')} AS cn"
-    )
-    scored = (
-        c.join(F.broadcast(q))
-        .selectExpr(
-            "query_id",
-            "cand_id",
-            f"CAST({_dot_spark('qe', 'ce')} AS DOUBLE)"
-            " / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS cosine",
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOPK)
-        .select("query_id", "cand_id", "cosine", F.col("rn").cast("long").alias("rank"))
-    )
+    c = emb.filter(F.col("vec_id") >= _NQ).selectExpr("vec_id AS cand_id", "embedding")
+    return batch_cosine_topk(c, queries, _TOPK, score_name="cosine")
 
 
 # random-hyperplane LSH: 8 deterministic +/-1 planes over 64 dims
@@ -378,42 +370,22 @@ FROM (
 @register("sim_quantized_topk", oracle=_Q8_TOPK_ORACLE, tags=("similarity",))
 def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over int8-quantized vectors: per-vector symmetric
-    scale (amax/127), quantized dot products in int64.  Same plan shape
-    as the brute-force baseline (broadcast queries, per-query window) but
-    the candidate side scans 1/4 the bytes — the shortlist generator that
-    exact re-ranking then consumes."""
-    from copperhead_spark.operators.barrier import project_once
+    scale (amax/127) applied inside the same Arrow matmul kernel as the
+    exact sweep (quantize_q8 ∘ batch_cosine_topk) — the candidate scan
+    touches 1/4 the bytes, per-batch local top-k keeps the shuffle
+    negligible, and the quantization rounding (half away from zero, the
+    SQL ROUND rule) keeps every value bit-equal to the expression-form
+    oracle."""
+    from copperhead_spark.functions.vectors import batch_cosine_topk, quantize_q8
 
     emb = table(spark, sf_dir, "embeddings")
-    s = project_once(
-        emb.selectExpr("vec_id", f"{_E6_SPARK} AS e6"),
-        "vec_id",
-        f"{_Q8_SPARK.format(e6='e6')} AS q8",
+    queries = (
+        emb.filter(F.col("vec_id") < _NQ)
+        .selectExpr("vec_id AS query_id", "embedding")
+        .toPandas()
     )
-    q = s.filter(F.col("vec_id") < _NQ).selectExpr(
-        "vec_id AS query_id", "q8 AS qq",
-        f"{_QDOT_SPARK.format(a='q8', b='q8')} AS qn",
-    )
-    c = s.filter(F.col("vec_id") >= _NQ).selectExpr(
-        "vec_id AS cand_id", "q8 AS cq",
-        f"{_QDOT_SPARK.format(a='q8', b='q8')} AS cn",
-    )
-    scored = c.join(F.broadcast(q)).selectExpr(
-        "query_id",
-        "cand_id",
-        f"CAST({_QDOT_SPARK.format(a='qq', b='cq')} AS DOUBLE)"
-        " / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS qcosine",
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qcosine").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOPK)
-        .select(
-            "query_id", "cand_id", "qcosine", F.col("rn").cast("long").alias("rank")
-        )
-    )
+    c = emb.filter(F.col("vec_id") >= _NQ).selectExpr("vec_id AS cand_id", "embedding")
+    return batch_cosine_topk(c, queries, _TOPK, transform=quantize_q8, score_name="qcosine")
 
 
 _NEARDUP_T = 0.40
