@@ -59,3 +59,56 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return decode_media(docs)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         1 + strlen(text) % 4 AS n_frames,
+         40 * strlen(text) AS duration_ms
+  FROM documents
+), f AS (
+  SELECT doc_id, n_frames, duration_ms,
+         unnest(range(0, n_frames)) AS frame_idx
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST((frame_idx * duration_ms) // n_frames AS BIGINT) AS frame_ts_ms
+FROM f
+""",
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: per media row, expand to one row
+    per sampled frame with its integer timestamp — the UDTF-shaped
+    explode every multimodal pipeline needs before per-frame decode
+    (decode itself stays in operators/multimodal.decode_media).  The
+    expansion is a Generate (explode of sequence) — map-side only, no
+    shuffle; at 100 TB the row multiplier is bounded by n_frames, so
+    input splits stay balanced without a repartition.  Frame metadata
+    here derives deterministically from the payload length (the same
+    fake-decoder contract as mm_decode_features)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "CAST(1 + octet_length(text) % 4 AS BIGINT) AS n_frames",
+            "CAST(40 * octet_length(text) AS BIGINT) AS duration_ms",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_frames",
+            "duration_ms",
+            "explode(sequence(CAST(0 AS BIGINT), n_frames - 1)) AS frame_idx",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            "CAST((frame_idx * duration_ms) DIV n_frames AS BIGINT) AS frame_ts_ms",
+        )
+    )

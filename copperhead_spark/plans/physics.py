@@ -118,3 +118,24 @@ def phys_geofit_piecewise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum(F.col("pt_corr"), 6).alias("pt_corr_sum"),
     )
+
+
+@register("pipeline_hmm_histogram", oracle=None, tags=("E2E",))
+def pipeline_hmm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end H->mumu pipeline (run_stage1.py -> run_stage2.py as ONE
+    lazy plan): jagged events with Muon/Jet/FsrPhoton collections flow
+    through HLT/flag filters, FSR recovery, muon selection, opposite-sign
+    pairing, dR jet cleaning, region labels and the weight ledger
+    (stage1_arrays — zero shuffles, pure array HOFs inside codegen), then
+    the region x channel x variation weighted histogram (stage2_variations
+    — the single event-data shuffle).  Input is the deterministic
+    executor-side fixture, so the result is stable across runs/partitions;
+    no SQL oracle — the per-stage operators are oracle-checked separately
+    and the pipeline is pinned against an independent pandas mirror in
+    tests/test_pipeline.py (reference: stage1/processor.py:95-516,
+    stage2/histogrammer.py:28-120)."""
+    from copperhead_spark.fixtures import events_fixture_distributed
+    from copperhead_spark.pipeline import stage1_arrays, stage2_variations
+
+    ev = events_fixture_distributed(spark, 20_000)
+    return stage2_variations(stage1_arrays(ev))

@@ -204,3 +204,48 @@ def st5_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(value_sum_scaled, n_events)") / F.lit(10000.0)
         ).alias("value_sum"),
     )
+
+
+_DC_PROC = "CASE WHEN l_returnflag = 'N' THEN 'signal' ELSE 'background' END"
+_DC_UP = "(1 - l_discount) * (1.0 + 0.01 * (l_linenumber % 3))"
+_DC_DOWN = "(1 - l_discount) * (1.0 - 0.01 * (l_linenumber % 3))"
+
+
+@register(
+    "fin3_datacard_yields",
+    oracle=f"""
+SELECT l_linestatus AS channel,
+       {_DC_PROC} AS process,
+       {exact_sum_sql("1 - l_discount", 4)} AS rate_nominal,
+       {exact_sum_sql(_DC_UP, 6)} AS rate_up,
+       {exact_sum_sql(_DC_DOWN, 6)} AS rate_down
+FROM lineitem
+GROUP BY 1, 2
+""",
+    tags=("FIN3", "A6"),
+)
+def fin3_datacard_yields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datacard rate block (make_datacards.py:64-113): per (channel,
+    process) nominal yield plus the up/down systematic-variation yields
+    whose ratios become the lnN kappas in the emitted text card
+    (finishing/templates.py make_datacard consumes exactly this table).
+    One grouped aggregate over the event table — the reference's
+    per-group python loops collapse into a single partial-agg shuffle on
+    a key space of O(channels x processes), trivially broadcastable to
+    the driver-side card writer at any corpus scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(
+            "l_linestatus AS channel",
+            f"{_DC_PROC} AS process",
+            "1 - l_discount AS _w",
+            f"{_DC_UP} AS _wu",
+            f"{_DC_DOWN} AS _wd",
+        )
+        .groupBy("channel", "process")
+        .agg(
+            exact_sum(F.col("_w"), 4).alias("rate_nominal"),
+            exact_sum(F.col("_wu"), 6).alias("rate_up"),
+            exact_sum(F.col("_wd"), 6).alias("rate_down"),
+        )
+    )

@@ -77,3 +77,47 @@ def s4_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), exact_sum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@register(
+    "s10_csv_lookup_join",
+    oracle="""
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(n.n_name) AS first_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("S10", "J5"),
+)
+def s10_csv_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV lookup-table round-trip (btag_weights.py:4-10 CSV corrections):
+    write the region dim as CSV, re-read it with an EXPLICIT schema under
+    FAILFAST (inferSchema would be a second pass and can drift), broadcast
+    join it to nation, aggregate.  The oracle reads the ORIGINAL parquet
+    region table, so any loss in the CSV writer/parser (quoting, type
+    round-trip) fails the value hash."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_csv",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    from copperhead_spark.sources.tabular_io import read_lookup_csv
+
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region.write.mode("overwrite").option("header", "true").csv(out_dir)
+    lookup = read_lookup_csv(
+        spark, out_dir, "r_regionkey BIGINT, r_name STRING"
+    )
+    nation = table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(lookup),
+            nation["n_regionkey"] == lookup["r_regionkey"],
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )

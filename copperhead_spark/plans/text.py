@@ -547,3 +547,89 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("token", "n", F.col("rn").cast("long").alias("rank"))
     )
+
+# ---------------------------------------------------------------------------
+# line/segment-level dedup (boilerplate removal): the corpus-curation op
+# that exact/minhash DOC-level dedup misses — headers, nav bars, license
+# blurbs repeated across otherwise-distinct documents.  Segments are
+# non-overlapping 8-token windows; a segment seen in too many documents
+# is boilerplate and gets dropped from every document carrying it.
+# ---------------------------------------------------------------------------
+
+_SEG_N = 8
+_SEG_MAX_COUNT = 2  # a segment in > 2 docs is boilerplate
+
+
+def _seg_hashes_spark() -> str:
+    """array<bigint> of non-overlapping 8-token window hashes over the
+    materialized token-hash array column `_th`.  Windows are addressed by
+    explicit element_at (O(1) each); the CASE guard keeps every index in
+    range, so no try_* fallback and no ANSI out-of-bounds error.  Token
+    hashes < 2^20 and 31^7 < 2^35 keep every term below 2^58: no modulus.
+    """
+    core = " + ".join(
+        f"element_at(_th, (j - 1) * {_SEG_N} + {k + 1}) * {31 ** k}"
+        for k in range(_SEG_N)
+    )
+    return (
+        f"filter(transform(sequence(1, CAST(greatest(size(_th) div {_SEG_N}, 1) AS INT)),"
+        f" j -> IF(j * {_SEG_N} <= size(_th), {core}, CAST(NULL AS BIGINT))),"
+        f" v -> v IS NOT NULL)"
+    )
+
+
+def _seg_hashes_duck() -> str:
+    from copperhead_spark.functions.text import token_hashes_duck  # noqa: F401
+
+    core = " + ".join(
+        f"th[(j - 1) * {_SEG_N} + {k + 1}] * {31 ** k}" for k in range(_SEG_N)
+    )
+    return f"list_transform(range(1, len(th) // {_SEG_N} + 1), j -> {core})"
+
+
+def _line_dedup_oracle() -> str:
+    from copperhead_spark.functions.text import token_hashes_duck
+
+    return f"""
+WITH th AS (
+  SELECT doc_id, {token_hashes_duck("text")} AS th FROM documents
+), segs AS (
+  SELECT doc_id, unnest({_seg_hashes_duck()}) AS seg_hash FROM th
+), counts AS (
+  SELECT seg_hash, COUNT(*) AS seg_count FROM segs GROUP BY seg_hash
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN c.seg_count <= {_SEG_MAX_COUNT} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM segs s JOIN counts c USING (seg_hash)
+GROUP BY s.doc_id
+"""
+
+
+@register("text_line_dedup", oracle=_line_dedup_oracle(), tags=("text", "dedup"))
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (line-level) dedup: per-document count of segments
+    kept after dropping segments that appear in more than
+    ``_SEG_MAX_COUNT`` documents corpus-wide.  Two-pass shape (the Dolma
+    / CCNet boilerplate-removal pattern): (1) one partial-agg groupBy on
+    the segment hash builds the global count table; (2) the exploded
+    segment stream joins it on the same hash — both shuffles key on
+    seg_hash, so AQE plans them back-to-back without re-partitioning,
+    and the doc-level rollup is the only event-keyed exchange."""
+    from copperhead_spark.functions.text import token_hashes_spark
+    from copperhead_spark.operators.barrier import project_once
+
+    docs = table(spark, sf_dir, "documents")
+    th = project_once(docs, "doc_id", f"{token_hashes_spark('text')} AS _th")
+    segs = th.selectExpr("doc_id", f"explode({_seg_hashes_spark()}) AS seg_hash")
+    counts = segs.groupBy("seg_hash").agg(F.count("*").alias("seg_count"))
+    return (
+        segs.join(counts, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("seg_count") <= _SEG_MAX_COUNT, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

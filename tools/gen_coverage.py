@@ -28,7 +28,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("S7", "Histogram sink/source", ["a5_weighted_histogram"], "histogram is a DataFrame -> plain parquet sink; no pickles"),
     ("S8", "ROOT TH1 template sink", [], "finishing/templates.py (to_template_arrays; ROOT write gated on uproot)"),
     ("S9", "Output overwrite management", ["s3_partitioned_sink_roundtrip"], "dynamic partition overwrite (idempotency probed)"),
-    ("S10", "CSV/JSON/ORC lookup + interchange IO", [], "sources/tabular_io.py (explicit-schema CSV -> broadcast lookup joins, FAILFAST; tests/test_tabular_io.py)"),
+    ("S10", "CSV/JSON/ORC lookup + interchange IO", ["s10_csv_lookup_join"], "sources/tabular_io.py (JSON/ORC round-trips in tests/test_tabular_io.py)"),
     # 2.2 projections / filters
     ("P1", "Conjunctive predicate filter", ["p1_conjunctive_filter", "flagship_selection_yield"], ""),
     ("P2", "OR-of-booleans predicate", ["p2_or_of_booleans"], ""),
@@ -113,7 +113,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     # 2.11 finishing
     ("FIN1", "Parametric fits + chi2 model selection", [], "finishing/fits.py (chebyshev/bernstein/bwZ; tests recover params)"),
     ("FIN2", "Templates / group summation", ["fin2_group_templates"], "finishing/templates.py (driver-side twin on collected data)"),
-    ("FIN3", "Datacard emission", [], "finishing/templates.py make_datacard"),
+    ("FIN3", "Datacard emission", ["fin3_datacard_yields"], "finishing/templates.py make_datacard consumes the rate table"),
     # beyond-reference mandated families
     ("D1", "Exact dedup", ["dedup_exact_groups"], ""),
     ("D2", "MinHash + LSH dedup", ["dedup_minhash_signatures", "dedup_minhash_signatures_sql", "dedup_minhash_lsh_pairs"], "operators/dedup.py vectorized kernels"),
@@ -141,14 +141,16 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "regex projection, map-only; semantics pinned on crafted strings"),
     ("T10", "Sequence packing (concat-and-chunk)", ["pack_sequences"],
      "per-shard cumsum: no global sort; pack ids disjoint by construction"),
+    ("T12", "Line/segment-level boilerplate dedup", ["text_line_dedup"], "two-pass global segment counts; Dolma/CCNet pattern"),
     ("T11", "Benchmark decontamination screen", ["text_contamination_screen"],
      "token 8-gram containment vs broadcast benchmark set; corpus never shuffled"),
     ("CUR1", "Corpus curation e2e (quality -> CC dedup -> split)",
      ["pipeline_corpus_curation"], "composition of oracle-checked stages, one oracle"),
     ("MM1", "Multimodal binary columns + metadata", ["mm_media_metadata"], ""),
     ("MM2", "Media decode via mapInPandas", ["mm_decode_features"], "operators/multimodal.py (pluggable decoder)"),
+    ("MM3", "Frame sampling expansion (UDTF-shaped)", ["mm_frame_sample"], "map-side Generate; bounded row multiplier"),
     # pipeline parity
-    ("E2E", "stage1->2->3 pipeline on jagged events", [], "pipeline.py stage1 (exploded) + stage1_arrays (zero-shuffle array-native, bit-identical, benched at 1M events in bench.py) + distributed executor-side fixture; vs independent pandas mirror, tests/test_pipeline.py"),
+    ("E2E", "stage1->2->3 pipeline on jagged events", ["pipeline_hmm_histogram"], "pipeline.py stage1 (exploded) + stage1_arrays (zero-shuffle array-native, bit-identical, benched at 1M events in bench.py) + distributed executor-side fixture; vs independent pandas mirror, tests/test_pipeline.py"),
 ]
 
 
