@@ -168,3 +168,46 @@ def test_exact_30min_gap_merges_session(spark):
         .to_dict()
     )
     assert via_window == via_lag == {1: 2, 2: 1}
+
+
+def test_segment_hashes_short_docs_agree_with_duckdb(spark):
+    """text_line_dedup segment windows on docs with fewer / exactly /
+    just-over 8 tokens: Spark expression and DuckDB twin must both yield
+    the same (possibly empty) segment list, and never throw (ANSI
+    element_at is guarded by the in-range IF)."""
+    from copperhead_spark.functions.text import token_hashes_duck, token_hashes_spark
+    from copperhead_spark.plans.text import _seg_hashes_duck, _seg_hashes_spark
+
+    docs = [
+        "",  # empty
+        "one",  # 1 token
+        "a b c d e f g",  # 7 tokens -> no segment
+        "a b c d e f g h",  # exactly 8 -> one segment
+        "a b c d e f g h i",  # 9 -> one segment, trailing token dropped
+        "a b c d e f g h i j k l m n o p",  # 16 -> two segments
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.selectExpr(
+            "doc_id", f"{token_hashes_spark('text')} AS _th"
+        )
+        .selectExpr("doc_id", f"{_seg_hashes_spark()} AS segs")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.sql(
+        f"WITH t AS (SELECT doc_id, {token_hashes_duck('text')} AS th FROM docs)"
+        f" SELECT doc_id, {_seg_hashes_duck()} AS segs FROM t ORDER BY doc_id"
+    ).df()
+    con.close()
+
+    exp_counts = [0, 0, 0, 1, 1, 2]
+    for i in range(len(docs)):
+        g = [int(x) for x in got.loc[i, "segs"]]
+        w = [int(x) for x in want.loc[i, "segs"]]
+        assert g == w, f"doc {i}: spark {g} != duck {w}"
+        assert len(g) == exp_counts[i], f"doc {i}: {len(g)} segments"
