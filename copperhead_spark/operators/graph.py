@@ -57,10 +57,15 @@ def connected_components(
     internally (one count per round) — call it like an algorithm, not a
     lazy transform.
     """
-    # symmetrize once; hash-min needs messages in both directions
+    # symmetrize once; hash-min needs messages in both directions.
+    # Repartition on the join key BEFORE checkpointing: the checkpoint
+    # materializes the edge list already hash-partitioned on b, so every
+    # round's edges-join-labels reuses that layout instead of re-shuffling
+    # |E| rows per iteration — at corpus scale the edge shuffle dominates
+    # everything else in the loop.
     fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     rev = edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-    sym = fwd.unionByName(rev).localCheckpoint()
+    sym = fwd.unionByName(rev).repartition(F.col("b")).localCheckpoint()
 
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("comp")
