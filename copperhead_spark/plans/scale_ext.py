@@ -249,3 +249,43 @@ def fin3_datacard_yields(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("_wd"), 6).alias("rate_down"),
         )
     )
+
+
+@register("fin1_chi2_model_selection", oracle=None, tags=("FIN1",))
+def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric fit + chi2 model selection (fitter.py:12-128,
+    fit_models.py:20-392): the distributed part is the weighted histogram
+    (one groupBy shuffle); each category's fit then consumes O(nbins)
+    collected numbers driver-side — chebyshev/bernstein via exact
+    weighted least squares, Breit-Wigner via profiled width scan — and
+    the minimum-chi2/ndf family wins.  No SQL oracle (iterative model
+    selection is not SQL-expressible); the fit kernels recover known
+    parameters in tests/test_finishing.py and the input histogram shape
+    is oracle-checked via fin2_group_templates/a5_weighted_histogram."""
+    from copperhead_spark.finishing.fits import fit_histogram_table
+
+    li = table(spark, sf_dir, "lineitem")
+    fine = histogram(
+        li,
+        value=F.col("l_extendedprice"),
+        lo=_T_LO,
+        hi=_T_HI,
+        nbins=_T_N,
+        by=[F.col("l_returnflag").alias("dataset")],
+        weight=1 - F.col("l_discount"),
+    )
+    fits = fit_histogram_table(fine.toPandas(), _T_LO, _T_HI, _T_N, by=("dataset",))
+    rows = [
+        (
+            # pandas groupby([one_col]) yields 1-tuples — unwrap to the label
+            key[0] if isinstance(key, tuple) and len(key) == 1 else str(key),
+            r.model,
+            float(r.chi2),
+            int(r.ndf),
+            float(r.chi2_ndf),
+        )
+        for key, r in sorted(fits.items(), key=lambda kv: str(kv[0]))
+    ]
+    return spark.createDataFrame(
+        rows, "dataset string, model string, chi2 double, ndf long, chi2_ndf double"
+    )

@@ -111,7 +111,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("F5", "Weights accumulator (ledger)", ["f5_weights_ledger"], "operators/weights.py (zero-safe variations unit-tested)"),
     ("F6", "Row-wise helper (max_abs_eta)", ["a4_global_aggregates"], "greatest(abs(...)) expression"),
     # 2.11 finishing
-    ("FIN1", "Parametric fits + chi2 model selection", [], "finishing/fits.py (chebyshev/bernstein/bwZ; tests recover params)"),
+    ("FIN1", "Parametric fits + chi2 model selection", ["fin1_chi2_model_selection"], "finishing/fits.py (chebyshev/bernstein/bwZ; tests recover params; rows-only query — fits are not SQL-expressible)"),
     ("FIN2", "Templates / group summation", ["fin2_group_templates"], "finishing/templates.py (driver-side twin on collected data)"),
     ("FIN3", "Datacard emission", ["fin3_datacard_yields"], "finishing/templates.py make_datacard consumes the rate table"),
     # beyond-reference mandated families
