@@ -80,6 +80,52 @@ def s4_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s5_multipath_clustered_scan",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n, {exact_sum_sql("o_totalprice")} AS total
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY o_orderstatus
+""",
+    tags=("S5", "S4"),
+)
+def s5_multipath_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-listing multi-path scan (preprocessor.py:55-69 per-dataset
+    glob) over an optimize_layout'd copy of orders: re-layout into
+    date-clustered files (range-partition + sort -> parquet min/max
+    prunes whole files for the year predicate), enumerate the data files
+    explicitly, and scan the path LIST rather than the directory.  The
+    oracle reads the ORIGINAL single-file table, so the rewrite, the
+    listing, and the multi-path union must all be lossless.  Always
+    rewrites its sink (orders is tiny) — no stale-/tmp dependence."""
+    from copperhead_spark.sources.layout import list_data_files, optimize_layout
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_layout_s5",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    optimize_layout(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        out_dir,
+        target_file_bytes=256 * 1024,
+        cluster_by=("o_orderdate",),
+        min_files=4,
+    )
+    paths = list_data_files(out_dir)
+    back = spark.read.parquet(*paths)
+    return (
+        back.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), exact_sum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@register(
     "s10_csv_lookup_join",
     oracle="""
 SELECT r.r_name,

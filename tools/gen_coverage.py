@@ -23,7 +23,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("S2", "Source column pruning", ["p1_conjunctive_filter"], "Catalyst column pruning (ReadSchema verified in plan audit)"),
     ("S3", "Partitioned parquet sink", ["s3_partitioned_sink_roundtrip"], "sources/parquet_io.py"),
     ("S4", "Partitioned scan + repartition", ["s4_partition_pruned_scan"], "AQE coalescing in session defaults"),
-    ("S5", "File listing", [], "built-in datasource listing (multi-path spark.read.parquet)"),
+    ("S5", "File listing + layout-optimized ingest", ["s5_multipath_clustered_scan"],
+     "sources/layout.py optimize_layout (target file sizing, range-clustered files for min/max pruning); explicit path-list scan"),
     ("S6", "Metadata pre-scan aggregate", ["s6_metadata_prescan"], ""),
     ("S7", "Histogram sink/source", ["a5_weighted_histogram"], "histogram is a DataFrame -> plain parquet sink; no pickles"),
     ("S8", "ROOT TH1 template sink", [], "finishing/templates.py (to_template_arrays; ROOT write gated on uproot)"),
