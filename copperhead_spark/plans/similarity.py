@@ -404,6 +404,142 @@ WHERE CAST({_dot_duck("a.embedding", "b.embedding")} AS DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means (the IVF centroid training job) + SemDeDup-style semantic dedup.
+# Lloyd's loop is iterative (rows-only check); its single data-touching
+# pass — the update step — IS SQL-expressible and full-value checked.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+
+
+def _kmeans_update_oracle() -> str:
+    from copperhead_spark.operators.kmeans import (
+        E6_DUCK,
+        assign_expr_duck,
+        deterministic_centroids,
+    )
+
+    cents = deterministic_centroids(_KM_K, _KM_DIM)
+    sums = ", ".join(
+        f"CAST(SUM(e6[{i + 1}]) AS BIGINT) AS s{i}" for i in range(_KM_DIM)
+    )
+    return f"""
+WITH m AS (SELECT {E6_DUCK.format(vec="embedding")} AS e6 FROM embeddings),
+a AS (SELECT {assign_expr_duck(cents)} AS cid, e6 FROM m)
+SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n, {sums}
+FROM a GROUP BY cid
+"""
+
+
+@register("kmeans_update_step", oracle=_kmeans_update_oracle(), tags=("similarity", "ml"))
+def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means update (operators/kmeans.py): map-only nearest-
+    centroid assignment against literal centroids (no crossJoin, no
+    shuffle) + ONE hash aggregate of per-dimension int64 sums.  This is
+    the entire per-iteration data pass of the IVF centroid training job;
+    micro-int arithmetic makes assignment and sums bit-deterministic, so
+    even the argmin tie behavior is oracle-pinned."""
+    from copperhead_spark.operators.kmeans import deterministic_centroids, update_step
+
+    emb = table(spark, sf_dir, "embeddings")
+    return update_step(emb, deterministic_centroids(_KM_K, _KM_DIM))
+
+
+@register("sim_kmeans_train", oracle=None, tags=("similarity", "ml"))
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd training loop (3 iterations): driver orchestrates, every
+    data pass is the oracle-checked update_step shape, and only k rows
+    cross the driver boundary per iteration.  Iterative — no SQL oracle
+    (rows-only check); bit-exact vs an independent numpy mirror in
+    tests/test_operators.py."""
+    from copperhead_spark.operators.kmeans import kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(emb, k=_KM_K, iters=3, dim=_KM_DIM)
+    rows = [(cid, cent) for cid, cent in enumerate(cents)]
+    return spark.createDataFrame(rows, "cid int, centroid array<bigint>")
+
+
+_SEM_T = 0.35
+
+
+def _semantic_dedup_oracle() -> str:
+    from copperhead_spark.operators.kmeans import (
+        E6_DUCK,
+        assign_expr_duck,
+        deterministic_centroids,
+    )
+
+    cents = deterministic_centroids(_KM_K, _KM_DIM)
+    return f"""
+WITH m AS (SELECT vec_id, {E6_DUCK.format(vec="embedding")} AS e6 FROM embeddings),
+v AS (SELECT vec_id, e6, {assign_expr_duck(cents)} AS cid,
+             list_aggregate(list_transform(e6, x -> x * x), 'sum') AS n2
+      FROM m),
+p AS (SELECT DISTINCT b.vec_id AS v2
+      FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(list_aggregate(list_transform(range(1, {_KM_DIM + 1}),
+                   i -> a.e6[i] * b.e6[i]), 'sum') AS DOUBLE)
+              / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+            >= {_SEM_T})
+SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cluster_id,
+       (p.v2 IS NOT NULL) AS is_dup
+FROM v LEFT JOIN p ON v.vec_id = p.v2
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_semantic_dedup_oracle(), tags=("dedup", "similarity"))
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every vector to a k-means
+    cluster (map-only, literal centroids), then mark a vector as a
+    duplicate iff some LOWER-id vector in the SAME cluster has cosine >=
+    {_SEM_T} — keep-lowest-id semantics, deterministic.  The quadratic
+    pair space is confined to single clusters (the SemDeDup trick): the
+    equi-join on cluster id shuffles each cluster to one task and the
+    global cost is sum(|cluster|^2), not n^2.  At 100 TB the cluster
+    count scales with the corpus so |cluster| stays bounded; the
+    centroids come from sim_kmeans_train."""
+    from copperhead_spark.operators.barrier import project_once
+    from copperhead_spark.operators.kmeans import (
+        E6_SPARK,
+        assign_expr,
+        deterministic_centroids,
+    )
+
+    cents = deterministic_centroids(_KM_K, _KM_DIM)
+    emb = table(spark, sf_dir, "embeddings")
+    v = project_once(
+        emb, "vec_id", f"{E6_SPARK.format(vec='embedding')} AS e6"
+    ).selectExpr(
+        "vec_id",
+        "e6",
+        f"{assign_expr(cents)} AS cid",
+        "aggregate(transform(e6, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS n2",
+    )
+    a = v.selectExpr("vec_id AS vec1", "e6 AS ea", "cid", "n2 AS na")
+    b = v.selectExpr("vec_id AS vec2", "e6 AS eb", "cid", "n2 AS nb")
+    dups = (
+        a.join(b, ["cid"])
+        .filter(F.col("vec1") < F.col("vec2"))
+        .selectExpr(
+            "vec2",
+            "CAST(aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v) AS DOUBLE)"
+            " / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cosine",
+        )
+        .filter(F.col("cosine") >= _SEM_T)
+        .select("vec2")
+        .distinct()
+    )
+    return v.join(dups, v.vec_id == dups.vec2, "left").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.col("vec2").isNotNull().alias("is_dup"),
+    )
+
+
 @register("dedup_embedding_cosine_pairs", oracle=_NEARDUP_ORACLE, tags=("dedup", "similarity"))
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.40).  All-pairs on

@@ -279,3 +279,34 @@ def test_pii_redaction_semantics(spark):
     assert got[0]["redacted"] == "contact <EMAIL> or see <URL> now"
     assert got[1]["n_emails"] == 0 and got[1]["n_urls"] == 0
     assert got[2]["n_emails"] == 2 and got[2]["n_urls"] == 1
+
+
+def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
+    """Distributed Lloyd vs an independent numpy mirror: same micro-int
+    quantization, same min-distance/lowest-cid assignment, same
+    round(sum/n) update — centroids must be integer-identical after 3
+    iterations (no float accumulation anywhere in the distributed path)."""
+    import numpy as np
+
+    from copperhead_spark.catalog import table
+    from copperhead_spark.operators.kmeans import deterministic_centroids, kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = kmeans_lloyd(emb, k=8, iters=3, dim=64)
+
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    e6 = np.round(x * 1_000_000).astype(np.int64)
+    cents = np.array(deterministic_centroids(8, 64), dtype=np.int64)
+    for _ in range(3):
+        d2 = ((e6[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes first (lowest cid) on ties
+        for cid in range(8):
+            members = e6[assign == cid]
+            if len(members):
+                cents[cid] = np.array(
+                    [round(s / len(members)) for s in members.sum(axis=0)],
+                    dtype=np.int64,
+                )
+    assert got == cents.tolist()
