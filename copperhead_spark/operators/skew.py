@@ -38,3 +38,34 @@ def salted_sum(
         *[F.sum(name).alias(name) for name in sums],
         F.sum("_n").alias("n"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[tuple[str, str]],
+    salt_from: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Shuffle join with explicit hot-key salting: the (small) ``dim``
+    side is replicated once per salt; the ``fact`` side derives a
+    deterministic salt from ``salt_from`` (any well-spread row attribute
+    — NOT the join key), so each hot join key fans out over ``n_salts``
+    reducers instead of serializing one.  ``on`` is [(fact_col, dim_col)].
+
+    This complements AQE's skew-join splitting (which only splits
+    post-shuffle partitions of sort-merge joins): salting also spreads
+    the *map-side combine* of a following aggregation, and works for
+    shuffled-hash joins.  Replication cost is n_salts * |dim| rows —
+    only use when |dim| is small but too hot/too big to broadcast.
+    The salt never appears in the output, so correctness is independent
+    of n_salts (oracle-pinned by sk2_salted_skew_join)."""
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    fact_s = fact.withColumn("_salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salts)))
+    cond = [fact_s[a] == dim_s[b] for a, b in on] + [fact_s["_salt"] == dim_s["_salt"]]
+    # shuffle_hash: partition BOTH sides by (key, salt) — the salted
+    # hash-partitioning is the skew-spreading mechanism; without the hint
+    # Spark would broadcast the replicated dim and skip the shuffle
+    return fact_s.join(dim_s.hint("shuffle_hash"), cond).drop("_salt")

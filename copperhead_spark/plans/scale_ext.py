@@ -289,3 +289,44 @@ def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dataset string, model string, chi2 double, ndf long, chi2_ndf double"
     )
+
+
+@register(
+    "sk2_salted_skew_join",
+    oracle=f"""
+SELECT d.label AS label,
+       COUNT(*) AS n,
+       {exact_sum_sql("l.l_extendedprice")} AS total
+FROM lineitem l
+JOIN (VALUES ('A', 'accepted'), ('N', 'new'), ('R', 'returned')) d(flag, label)
+  ON l.l_returnflag = d.flag
+GROUP BY 1
+""",
+    tags=("SK1", "J5"),
+)
+def sk2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle JOIN (operators/skew.py salted_join): the
+    entire fact table joins a 3-row dim on l_returnflag — 3 hot keys
+    that would each serialize one reducer in a plain shuffle join.  The
+    dim side is replicated across 16 salts and the fact side salts on a
+    hash of (orderkey, linenumber), so each hot key spreads over 16
+    reducers AND the downstream per-label aggregation inherits the
+    spread.  The salt must be invisible in the result: the oracle is the
+    plain unsalted join + group."""
+    from copperhead_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")], ["flag", "label"]
+    )
+    joined = salted_join(
+        li,
+        dim,
+        on=[("l_returnflag", "flag")],
+        salt_from=F.struct(F.col("l_orderkey"), F.col("l_linenumber")),
+        n_salts=16,
+    )
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n"),
+        exact_sum(F.col("l_extendedprice")).alias("total"),
+    )

@@ -633,3 +633,58 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function) — the one Spark API surface the rest of
+# the engine doesn't exercise.  Kept to a genuinely row-generating shape:
+# context-window chunking of documents (the RAG/embedding preprocessing
+# step).  NOTE: Python UDTFs are the slow path (per-row Python); the
+# engine's production chunker for this exact shape is the pure-SQL
+# explode form (see pack_sequences / mm_frame_sample).  The UDTF is
+# registered because the API matters for user-defined operators that
+# cannot be expressed as expressions — and even the slow path must be
+# oracle-correct.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 16
+
+
+@register(
+    "udtf_token_chunks",
+    oracle=f"""
+WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+       array_to_string(toks[(t.i-1)*{_CHUNK_W}+1 : t.i*{_CHUNK_W}], ' ') AS chunk,
+       CAST(least({_CHUNK_W}, length(toks) - (t.i-1)*{_CHUNK_W}) AS BIGINT) AS n_tokens
+FROM b CROSS JOIN LATERAL (
+  SELECT unnest(range(1, CAST(ceil(length(toks)/{float(_CHUNK_W)}) AS BIGINT) + 1)) AS i
+) t
+""",
+    tags=("text", "training", "UDTF"),
+)
+def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width context chunking as a Python UDTF invoked via LATERAL:
+    each document expands to ceil(n_tokens/{_CHUNK_W}) chunk rows.  The
+    UDTF runs row-at-a-time in Python workers (Arrow-serialized batches
+    in/out) — it parallelizes per-partition and never shuffles, but stays
+    ~10-100x slower than the equivalent explode expression; use it for
+    logic that genuinely needs Python (custom tokenizers, model-specific
+    chunk boundaries)."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk string, n_tokens bigint")
+    class TokenChunks:
+        def eval(self, doc_id, text):
+            toks = (text or "").split(" ")
+            for i in range(1, math.ceil(len(toks) / _CHUNK_W) + 1):
+                part = toks[(i - 1) * _CHUNK_W : i * _CHUNK_W]
+                yield doc_id, i, " ".join(part), len(part)
+
+    spark.udtf.register("cph_token_chunks", TokenChunks)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("cph_udtf_docs")
+    return spark.sql(
+        "SELECT c.* FROM cph_udtf_docs d, LATERAL cph_token_chunks(d.doc_id, d.text) c"
+    )

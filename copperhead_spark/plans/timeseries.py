@@ -147,3 +147,67 @@ def t3_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_sessions"))
     )
+
+
+@register(
+    "asof_cogroup_merge",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+    tags=("J8", "asof", "date"),
+)
+def asof_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via cogrouped applyInPandas: purchases and clicks
+    cogroup on user_id, and each group pair runs pd.merge_asof
+    (direction='backward', inclusive) in one Arrow batch.  This is the
+    second as-of strategy next to operators/asof.py's union+running-max
+    (asof_last_purchase): cogroup shuffles BOTH sides once on the key and
+    the per-key merge is O(n log n) local — the right choice when per-key
+    group sizes are modest and the pandas ecosystem (merge_asof
+    tolerances, nearest-direction) is wanted.  Clicks are pre-deduped per
+    (user, ts) keeping max event_id so the match is unique and engine-
+    independent.  The oracle is DuckDB's native ASOF LEFT JOIN."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["purchase_id", "user_id", "ts", "click_id", "click_ts"]
+            )
+        out = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("click_ts")[["click_ts", "click_id"]],
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out["click_id"] = out["click_id"].astype("Int64")
+        return out[["purchase_id", "user_id", "ts", "click_id", "click_ts"]]
+
+    return purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        merge,
+        "purchase_id long, user_id long, ts timestamp_ntz, "
+        "click_id long, click_ts timestamp_ntz",
+    )

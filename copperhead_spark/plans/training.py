@@ -142,3 +142,53 @@ def text_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared").cast("double") / F.col("n_bench")).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis-Spirakis A-Res): sample k docs
+# with probability proportional to a quality weight, deterministically.
+# key_i = u_i^(1/w_i) with u_i a hash-uniform; taking the k LARGEST keys
+# is exactly weighted sampling without replacement.  We rank by the
+# monotone-equivalent ln(u)/w, quantized to 1e-12 with a doc_id
+# tie-break so the two engines' last-ulp ln() differences cannot flip
+# the ordering.
+# ---------------------------------------------------------------------------
+
+_RES_K = 40
+_RES_P = 2_147_483_647  # Mersenne prime; same hash family as operators/rochester.py
+
+
+def _res_score_sql(key: str, weight: str) -> str:
+    """ROUND(ln(u)/w * 1e12) — identical text for Spark and DuckDB."""
+    h = f"((({key}) % {_RES_P}) * 1013904223 + 7 * 1664525) % {_RES_P}"
+    u = f"(CAST(({h}) + 1 AS DOUBLE) / {float(_RES_P + 1)})"
+    return f"CAST(ROUND(LN({u}) / CAST({weight} AS DOUBLE) * 1e12) AS BIGINT)"
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY {_res_score_sql("doc_id", "n_chars")} DESC, doc_id ASC
+LIMIT {_RES_K}
+""",
+    tags=("text", "training", "O3"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample: {_RES_K} documents drawn
+    with probability proportional to n_chars (the A-Res scheme — rank by
+    u^(1/w), keep the top k).  The hash-uniform replaces np.random so the
+    sample is reproducible and partitioning-independent; orderBy+limit
+    compiles to TakeOrderedAndProject — every partition keeps its local
+    top-k and the driver merges k-sized heaps, which IS the distributed
+    reservoir merge (no global sort, no single reducer, 100 TB safe)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id", "n_chars", f"{_res_score_sql('doc_id', 'n_chars')} AS _score"
+        )
+        .orderBy(F.col("_score").desc(), F.col("doc_id").asc())
+        .limit(_RES_K)
+        .select("doc_id", "n_chars")
+    )

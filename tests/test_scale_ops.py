@@ -80,3 +80,41 @@ def test_bin_by_edges_matches_digitize(spark):
     # np.digitize maps >= last edge to len(edges)-1 too; clamp identical
     expected = np.clip(expected, -1, len(edges) - 1)
     assert (got == expected).all(), (got, expected)
+
+
+def test_salted_join_spreads_and_matches_plain(spark):
+    """salted_join must (a) equal the plain join row-for-row, (b) hash-
+    partition both sides on (key, salt) — a ShuffledHashJoin, never a
+    broadcast (broadcasting would silently drop the skew-spreading)."""
+    import numpy as np
+
+    from copperhead_spark.operators.skew import salted_join
+
+    rng = np.random.RandomState(7)
+    fact = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rid": np.arange(30000),
+                # one hot key holding 90% of rows
+                "k": np.where(rng.uniform(size=30000) < 0.9, 0, rng.randint(1, 5, 30000)),
+            }
+        )
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"dk": np.arange(5), "label": [f"l{i}" for i in range(5)]})
+    )
+    joined = salted_join(fact, dim, on=[("k", "dk")], salt_from=F.col("rid"), n_salts=8)
+    got = joined.groupBy("label").count().toPandas().set_index("label").sort_index()
+    plain = (
+        fact.join(dim, fact.k == dim.dk)
+        .groupBy("label")
+        .count()
+        .toPandas()
+        .set_index("label")
+        .sort_index()
+    )
+    assert got["count"].equals(plain["count"])
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan

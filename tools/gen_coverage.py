@@ -51,7 +51,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("J5", "Broadcast scalar-map join", ["j5_broadcast_dim_join", "s6_metadata_prescan"], ""),
     ("J6", "1-D binned lookup join", ["j6_binned_lookup_1d"], "operators/lookup.py bucket equi-join rewrite"),
     ("J7", "2-D binned lookup join", ["j7_binned_lookup_2d"], ""),
-    ("J8", "Piecewise-linear interpolation / as-of", ["j8_interp_piecewise", "asof_last_purchase"], "operators/asof.py, operators/lookup.py interp1d"),
+    ("J8", "Piecewise-linear interpolation / as-of", ["j8_interp_piecewise", "asof_last_purchase", "asof_cogroup_merge"],
+     "operators/asof.py (union+running-max) + cogrouped applyInPandas merge_asof (vs DuckDB ASOF JOIN)"),
     ("J9", "Multi-dim parameterized lookup (Rochester/JEC)", ["j9_param_lookup_udf"], "operators/rochester.py (broadcast tables + Arrow UDF)"),
     ("J10", "b-tag SF lookup join + product", ["j10_sf_product"], ""),
     ("J11", "Aggregate-back join", ["j11_aggregate_back_join"], ""),
@@ -101,8 +102,12 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("ST4", "Dedup within watermark", ["stream_dedup_watermark"], ""),
     ("ST5", "Custom stateful operator (applyInPandasWithState)", ["st5_stateful_profile"], "streaming/stateful.py (vs batch oracle, tests/test_streaming_stateful.py)"),
     ("ST6", "Stream-static broadcast join", ["stream_static_join"], "stateless enrichment; state only in the downstream agg"),
+    ("ST7", "Stream-stream interval join", ["stream_stream_join"],
+     "watermarks both sides + event-time-bounded state (click-attribution shape)"),
     ("RJ1", "Generic bucketed range join (overlapping intervals)", ["range_join_bucketed"], "operators/rangejoin.py (hash join, no BNLJ)"),
     ("SK1", "Skew-salted aggregation", ["sk1_salted_skew_agg"], "operators/skew.py (bit-equal to unsalted; tests/test_scale_ops.py)"),
+    ("SK2", "Skew-salted shuffle join", ["sk2_salted_skew_join"],
+     "operators/skew.py salted_join (dim replicated per salt; ShuffledHashJoin pinned, no broadcast)"),
     ("BK1", "Bucketed co-located join", ["bk1_bucketed_join_agg"], "tests/test_scale_ops.py (no Exchange in bucketed SMJ)"),
     # 2.10 UDF surface
     ("F1", "Batched DNN inference + fold routing", ["ml_mlp_inference"], "ml/inference.py (UDF vs unrolled-SQL oracle)"),
@@ -124,6 +129,10 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("D6", "Document fingerprinting", ["text_rolling_fingerprint", "dedup_exact_groups"], ""),
     ("D7", "Connected-components dedup clustering", ["dedup_connected_components", "dedup_cluster_stats"],
      "operators/graph.py (hash-min propagation, O(diameter) rounds, vs union-find oracle)"),
+    ("D8", "Semantic dedup (SemDeDup: within-k-means-cluster cosine)", ["dedup_semantic_clusters"],
+     "pair scan confined to clusters: sum(|cluster|^2), not n^2"),
+    ("KM1", "Distributed k-means (IVF centroid training)", ["kmeans_update_step", "sim_kmeans_train"],
+     "operators/kmeans.py (map-only assignment vs literal centroids; exact int64 update; vs numpy mirror)"),
     ("SIM1", "Brute-force cosine top-k", ["sim_cosine_topk"], ""),
     ("SIM3", "int8 scalar-quantized ANN sweep", ["sim_quantized_topk"],
      "per-vector symmetric quantization; 4x smaller candidate scan"),
@@ -132,6 +141,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("T2", "Quality scoring", ["text_quality_score"], ""),
     ("T3", "Token counting", ["text_token_stats"], ""),
     ("T4", "Deterministic stratified sampling", ["text_sample_stratified"], "hash-uniform filter on stable key: reproducible + pushdown-friendly"),
+    ("T13", "Weighted reservoir sampling (A-Res)", ["sample_weighted_reservoir"],
+     "hash-uniform u^(1/w) top-k via TakeOrderedAndProject (per-partition heaps, no global sort)"),
     ("T5", "Train/val/test split", ["text_train_val_test_split"], "stable under repartitioning/appends (randomSplit is not)"),
     ("T6", "Repetition stats (dup-trigram fraction)", ["text_repetition_stats"],
      "zero-shuffle array expressions"),
@@ -150,6 +161,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("MM1", "Multimodal binary columns + metadata", ["mm_media_metadata"], ""),
     ("MM2", "Media decode via mapInPandas", ["mm_decode_features"], "operators/multimodal.py (pluggable decoder)"),
     ("MM3", "Frame sampling expansion (UDTF-shaped)", ["mm_frame_sample"], "map-side Generate; bounded row multiplier"),
+    ("UDTF1", "Python UDTF via LATERAL (context chunking)", ["udtf_token_chunks"],
+     "row-generating Python table function; slow path by design — explode form is the production twin"),
     # pipeline parity
     ("E2E", "stage1->2->3 pipeline on jagged events", ["pipeline_hmm_histogram"], "pipeline.py stage1 (exploded) + stage1_arrays (zero-shuffle array-native, bit-identical, benched at 1M events in bench.py) + distributed executor-side fixture; vs independent pandas mirror, tests/test_pipeline.py"),
 ]
