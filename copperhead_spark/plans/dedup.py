@@ -19,7 +19,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
@@ -403,3 +403,57 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (mod 1e9+7) — the content-defined-chunking primitive."""
     docs = table(spark, sf_dir, "documents")
     return docs.selectExpr("doc_id", f"{rolling_fingerprint_spark()} AS fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster representative selection: the final dedup OUTPUT.
+# CC gives every doc a cluster label; the kept corpus is one doc per
+# cluster.  Policy here: keep the longest doc (argmax n_chars, min
+# doc_id tiebreak) — integer ordering, so the choice is exact and
+# engine-portable.  One window over cluster-partitioned data: the
+# shuffle key is the component label, cluster sizes are tiny (bounded
+# by near-dup group size), so there is no skew pathology.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+WITH cc AS ({_CC_ORACLE})
+SELECT component, doc_id AS kept_doc_id, n_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM (
+  SELECT cc.component, cc.doc_id, d.n_chars,
+         COUNT(*) OVER (PARTITION BY cc.component) AS cluster_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY cc.component
+           ORDER BY d.n_chars DESC, cc.doc_id ASC
+         ) AS rn
+  FROM cc JOIN documents d USING (doc_id)
+)
+WHERE rn = 1
+""",
+    tags=("dedup",),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept corpus after near-dup clustering: one representative per
+    connected component (longest doc wins, doc_id breaks ties), with the
+    cluster size for audit.  Composes CC labeling with a per-cluster
+    argmax window — the standard 'pick canonical page' policy in
+    dedup pipelines."""
+    cc = dedup_connected_components(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = cc.join(docs, "doc_id")
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_chars",
+            "cluster_size",
+        )
+    )

@@ -44,6 +44,8 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.ml",
     "copperhead_spark.plans.scale_ext",
     "copperhead_spark.plans.training",
+    "copperhead_spark.plans.retrieval",
+    "copperhead_spark.plans.linalg",
 )
 
 

@@ -1,0 +1,137 @@
+"""Lexical retrieval over the documents corpus: BM25 scoring + top-k.
+
+Beyond-reference capability (LLM-training-data pipeline): corpus-level
+relevance ranking is the workhorse of data curation — scoring every
+document against a query/topic filter ("find textbook-like pages") and
+keeping the top slice.  BM25 is the standard lexical scorer.
+
+Scale design (100 TB corpus):
+- tf/dl are per-row array expressions on the token array — map-only,
+  no explode, no shuffle of the corpus.
+- df/avgdl are ONE global aggregate row (bytes, not rows) — partial
+  aggregation map-side, a single-row exchange, then broadcast back via
+  cross join (BroadcastNestedLoopJoin over 1 row = free).
+- top-k compiles to TakeOrderedAndProject: per-partition heaps merged
+  on the driver — no global sort.
+- the corpus is scanned exactly twice (stats pass + scoring pass); at
+  scale the stats row is tiny enough to cache/reuse across queries.
+
+BM25's idf is a transcendental (LN) — only ulp-accurate per libm — so
+the final score is rounded through fixed point at 1e-9 (the established
+pattern, functions/exact.py) where a few-ulp wobble cannot flip the
+value; ordering ties are broken by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.plans.registry import register
+
+_TERMS = ("spark", "window", "merge")
+_K1 = 1.2
+_B = 0.75
+_TOPN = 25
+
+
+def _tf_expr(i: int, engine: str) -> str:
+    """Per-doc term frequency from the token array (identical math, per-
+    engine HOF spelling)."""
+    t = _TERMS[i]
+    if engine == "spark":
+        return f"CAST(size(filter(toks, w -> w = '{t}')) AS BIGINT)"
+    return f"CAST(len(list_filter(toks, w -> w = '{t}')) AS BIGINT)"
+
+
+def _score_sql() -> str:
+    """BM25 score as one expression over tf_i/df_i/dl/avgdl — the same
+    text runs on both engines (only +,*,/ and LN; LN wobble absorbed by
+    the final fixed-point rounding)."""
+    terms = []
+    for i in range(len(_TERMS)):
+        idf = (
+            f"LN((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        tfn = (
+            f"(CAST(tf_{i} AS DOUBLE) * {_K1 + 1.0})"
+            f" / (CAST(tf_{i} AS DOUBLE) + {_K1} * (1.0 - {_B}"
+            f" + {_B} * CAST(dl AS DOUBLE) / avgdl))"
+        )
+        terms.append(f"({idf}) * ({tfn})")
+    raw = " + ".join(terms)
+    return f"CAST(ROUND(({raw}) * 1e9) AS BIGINT) / 1e9"
+
+
+def _bm25_oracle() -> str:
+    tfs = ", ".join(f"{_tf_expr(i, 'duck')} AS tf_{i}" for i in range(len(_TERMS)))
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_TERMS))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tfs}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {dfs}
+  FROM d
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, bm25
+FROM (SELECT d.doc_id, {_score_sql()} AS bm25 FROM d CROSS JOIN s)
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_TOPN}
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle(), tags=("text", "retrieval"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_TOPN} retrieval for a fixed query ({_TERMS}): tf/dl are
+    map-only array expressions, df/avgdl one broadcast stats row, top-k a
+    TakeOrderedAndProject — the corpus is never shuffled."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.selectExpr("doc_id", "split(text, ' ') AS toks").selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS dl",
+        *[f"{_tf_expr(i, 'spark')} AS tf_{i}" for i in range(len(_TERMS))],
+    )
+    # the 1-row corpus stats are materialized driver-side and re-injected
+    # as literals — the scalar-subquery execution model (two jobs, zero
+    # joins; a literal-key broadcast join gets constant-folded back into
+    # a BNLJ, so this is also what keeps the plan-audit no-BNLJ invariant
+    # strict).  bytes moved: one row.
+    srow = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(len(_TERMS))
+        ],
+    ).first()
+    lits = [
+        f"CAST({srow['n_docs']} AS BIGINT) AS n_docs",
+        # repr() is the shortest exact round-trip, so the literal parses
+        # back to the identical double the oracle computes
+        f"CAST({srow['avgdl']!r} AS DOUBLE) AS avgdl",
+        *[
+            f"CAST({srow[f'df_{i}']} AS BIGINT) AS df_{i}"
+            for i in range(len(_TERMS))
+        ],
+    ]
+    scored = d.selectExpr("doc_id", "dl", *[f"tf_{i}" for i in range(len(_TERMS))], *lits
+    ).selectExpr("doc_id", f"{_score_sql()} AS bm25")
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(_TOPN)
+    # rank over the already-limited top slice: the window sees _TOPN rows,
+    # not the corpus, so the single-partition window is driver-scale
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "bm25"
+    )

@@ -192,3 +192,71 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RES_K)
         .select("doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted domain mixture sampling: the "source mixing" step
+# of pretraining-data assembly (UniMax / Pile-style): per-source sampling
+# rates proportional to (token mass)^(1/T), normalized so the heaviest
+# source keeps everything; documents kept by a deterministic hash-uniform
+# against their source's rate.  T=2 means exponent 0.5 = SQRT, which is
+# IEEE-exact, so the whole query is bit-deterministic (general T would
+# need POW routed through fixed-point rounding like LN elsewhere).
+#
+# Scale: per-source mass is one vocabulary-sized aggregate (20 rows);
+# rates broadcast back; the keep filter is map-only — the corpus is
+# scanned twice and never shuffled.
+# ---------------------------------------------------------------------------
+
+_MIX_P = 2_147_483_647
+
+
+def _mix_u_sql(key: str) -> str:
+    """Hash-uniform in (0,1] from the repo's LCG family — identical text
+    on both engines."""
+    h = f"((({key}) % {_MIX_P}) * 1013904223 + 11 * 1664525) % {_MIX_P}"
+    return f"(CAST(({h}) + 1 AS DOUBLE) / {float(_MIX_P + 1)})"
+
+
+_MIX_RATE_SQL = (
+    "SQRT(CAST(mass AS DOUBLE)) / SQRT(CAST(max_mass AS DOUBLE))"
+)
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+WITH m AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, {_MIX_RATE_SQL} AS rate
+  FROM m CROSS JOIN (SELECT MAX(mass) AS max_mass FROM m)
+)
+SELECT d.doc_id, d.source, r.rate
+FROM documents d JOIN r USING (source)
+WHERE {_mix_u_sql("d.doc_id")} < r.rate
+""",
+    tags=("text", "training"),
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (T=2) domain mixture sample: keep each doc
+    with probability sqrt(source token mass) / sqrt(max source mass),
+    decided by a reproducible hash-uniform on doc_id — the sample is
+    independent of partitioning and stable across appends of other
+    sources' data."""
+    docs = table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("mass"))
+    # the global max is one scalar: materialize it driver-side and inline
+    # as a literal (the scalar-subquery execution model) — a literal-key
+    # broadcast join would constant-fold back into a BNLJ
+    max_mass = int(mass.agg(F.max("mass")).first()[0])
+    rates = mass.selectExpr(
+        "source", "mass", f"CAST({max_mass} AS BIGINT) AS max_mass"
+    ).selectExpr("source", f"{_MIX_RATE_SQL} AS rate")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.expr(f"{_mix_u_sql('doc_id')} < rate"))
+        .select("doc_id", "source", "rate")
+    )

@@ -35,11 +35,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # watermarks require TIMESTAMP (not NTZ): timestamp_micros gives an
         # absolute-epoch instant, so windows/watermarks are tz-independent
         # (Spark windows are epoch-aligned, not calendar-aware)
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # parquet timestamp[us] without isAdjustedToUTC arrives as NTZ;
+        # with the session timezone pinned to UTC the cast is wall-time
+        # preserving, and watermarks get the TIMESTAMP they require
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

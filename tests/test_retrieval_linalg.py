@@ -1,0 +1,147 @@
+"""Semantic unit tests for the retrieval / linalg / mixture / dedup-
+representative operators (the oracle gate checks cross-engine parity;
+these check the MATH against independent numpy / python mirrors)."""
+
+import math
+
+import numpy as np
+import pytest
+
+
+def _embeddings(spark, sf_dir):
+    from copperhead_spark.catalog import table
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    from copperhead_spark.catalog import table
+    from copperhead_spark.operators.linalg import E6_SCALE, gram_matrix
+
+    X = _embeddings(spark, sf_dir)
+    Xi = np.rint(X * E6_SCALE).astype(np.int64)
+    want = (Xi.T @ Xi).astype(np.float64) / float(E6_SCALE) ** 2
+
+    got = gram_matrix(table(spark, sf_dir, "embeddings"), dim=64).collect()
+    assert len(got) == 64 * 65 // 2
+    for r in got:
+        assert r["sum_xy"] == pytest.approx(want[r["i"] - 1, r["j"] - 1], abs=0.0)
+
+
+def test_gram_matrix_partition_invariant(spark, sf_dir):
+    """Partial-aggregation correctness: the result must not depend on how
+    rows are batched across partitions."""
+    from copperhead_spark.catalog import table
+    from copperhead_spark.operators.linalg import gram_matrix
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = {(r["i"], r["j"]): r["sum_xy"] for r in gram_matrix(emb, dim=64).collect()}
+    b = {
+        (r["i"], r["j"]): r["sum_xy"]
+        for r in gram_matrix(emb.repartition(7), dim=64).collect()
+    }
+    assert a == b
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    from copperhead_spark.operators.linalg import jl_signs
+    from copperhead_spark.plans.registry import all_queries
+
+    X = _embeddings(spark, sf_dir)
+    Xi = np.rint(X * 1e6).astype(np.int64)
+    S = np.array(jl_signs(64, 8), dtype=np.int64)  # (8, 64)
+    want = (Xi @ S.T).astype(np.float64) / 1e6 / math.sqrt(8.0)
+
+    q = all_queries()["emb_random_projection"]
+    got = q.builder(spark, sf_dir).orderBy("vec_id").collect()
+    for k, r in enumerate(got):
+        for j in range(8):
+            assert r[f"p{j}"] == pytest.approx(want[k, j], abs=0.0)
+
+
+def test_jl_signs_deterministic_and_balanced():
+    from copperhead_spark.operators.linalg import jl_signs
+
+    s1, s2 = jl_signs(64, 8), jl_signs(64, 8)
+    assert s1 == s2
+    flat = [v for row in s1 for v in row]
+    assert set(flat) == {-1, 1}
+    # a sign matrix that is all +1 (or heavily imbalanced) is no
+    # projection at all; the hash family must mix
+    frac = sum(1 for v in flat if v == 1) / len(flat)
+    assert 0.3 < frac < 0.7
+
+
+def test_bm25_semantics(spark, sf_dir):
+    from copperhead_spark.plans.registry import all_queries
+    from copperhead_spark.plans.retrieval import _TERMS, _TOPN
+
+    q = all_queries()["text_bm25_topk"]
+    rows = q.builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _TOPN
+    # ranks are 1..n and scores non-increasing along them
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["bm25"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+    # the top doc must actually contain at least one query term
+    from copperhead_spark.catalog import table
+
+    top_doc = (
+        table(spark, sf_dir, "documents")
+        .filter(f"doc_id = {rows[0]['doc_id']}")
+        .collect()[0]["text"]
+    )
+    assert any(t in top_doc.split(" ") for t in _TERMS)
+
+
+def test_domain_mixture_rates(spark, sf_dir):
+    from copperhead_spark.catalog import table
+    from copperhead_spark.plans.registry import all_queries
+
+    docs = table(spark, sf_dir, "documents")
+    mass = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source").agg({"n_chars": "sum"}).withColumnRenamed(
+            "sum(n_chars)", "m"
+        ).collect()
+    }
+    max_mass = max(mass.values())
+
+    q = all_queries()["sample_domain_mixture"]
+    kept = q.builder(spark, sf_dir).collect()
+    # per-source rate is sqrt(mass/max): verify the emitted rate column
+    for r in kept:
+        want = math.sqrt(float(mass[r["source"]])) / math.sqrt(float(max_mass))
+        assert r["rate"] == pytest.approx(want, rel=1e-12)
+    # the heaviest source has rate 1.0 => every one of its docs is kept
+    heaviest = max(mass, key=lambda s: (mass[s], s))
+    n_heaviest = docs.filter(docs.source == heaviest).count()
+    assert sum(1 for r in kept if r["source"] == heaviest) == n_heaviest
+    # lighter sources are downsampled (strictly fewer than total docs)
+    assert len(kept) < docs.count()
+
+
+def test_cluster_representatives_semantics(spark, sf_dir):
+    from copperhead_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    cc = {
+        r["doc_id"]: r["component"]
+        for r in qs["dedup_connected_components"].builder(spark, sf_dir).collect()
+    }
+    reps = qs["dedup_cluster_representatives"].builder(spark, sf_dir).collect()
+    # exactly one representative per component
+    comps = [r["component"] for r in reps]
+    assert len(comps) == len(set(comps)) == len(set(cc.values()))
+    # every representative belongs to the component it represents
+    for r in reps:
+        assert cc[r["kept_doc_id"]] == r["component"]
+    # sizes add back up to the corpus
+    assert sum(r["cluster_size"] for r in reps) == len(cc)

@@ -131,18 +131,28 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "operators/graph.py (hash-min propagation, O(diameter) rounds, vs union-find oracle)"),
     ("D8", "Semantic dedup (SemDeDup: within-k-means-cluster cosine)", ["dedup_semantic_clusters"],
      "pair scan confined to clusters: sum(|cluster|^2), not n^2"),
+    ("D9", "Cluster representative selection (kept corpus)", ["dedup_cluster_representatives"],
+     "argmax-length per CC cluster; shuffle key = component label (no skew: cluster sizes bounded)"),
     ("KM1", "Distributed k-means (IVF centroid training)", ["kmeans_update_step", "sim_kmeans_train"],
      "operators/kmeans.py (map-only assignment vs literal centroids; exact int64 update; vs numpy mirror)"),
     ("SIM1", "Brute-force cosine top-k", ["sim_cosine_topk"], ""),
     ("SIM3", "int8 scalar-quantized ANN sweep", ["sim_quantized_topk"],
      "per-vector symmetric quantization; 4x smaller candidate scan"),
     ("SIM2", "LSH-bucketed / IVF-partitioned ANN", ["sim_lsh_buckets", "sim_ivf_topk"], "IVF: shuffle-free centroid assignment + broadcast probe join"),
+    ("LA1", "Gram / second-moment matrix (PCA data pass)", ["emb_gram_matrix"],
+     "operators/linalg.py: per-batch int64 matmul partials in mapInPandas; shuffle = O(partitions*dim^2) rows"),
+    ("LA2", "Signed (JL) random projection", ["emb_random_projection"],
+     "compile-time literal sign matrix; map-only, zero shuffle, bit-exact integer dots"),
+    ("IR1", "BM25 scoring + top-k retrieval", ["text_bm25_topk"],
+     "map-only tf/dl; df/avgdl one broadcast stats row; TakeOrderedAndProject top-k — corpus never shuffled"),
     ("T1", "Language ID", ["text_lang_id"], ""),
     ("T2", "Quality scoring", ["text_quality_score"], ""),
     ("T3", "Token counting", ["text_token_stats"], ""),
     ("T4", "Deterministic stratified sampling", ["text_sample_stratified"], "hash-uniform filter on stable key: reproducible + pushdown-friendly"),
     ("T13", "Weighted reservoir sampling (A-Res)", ["sample_weighted_reservoir"],
      "hash-uniform u^(1/w) top-k via TakeOrderedAndProject (per-partition heaps, no global sort)"),
+    ("T14", "Temperature-weighted domain mixture sampling", ["sample_domain_mixture"],
+     "per-source mass agg (vocab-sized) -> broadcast rates -> map-only hash-uniform keep filter"),
     ("T5", "Train/val/test split", ["text_train_val_test_split"], "stable under repartitioning/appends (randomSplit is not)"),
     ("T6", "Repetition stats (dup-trigram fraction)", ["text_repetition_stats"],
      "zero-shuffle array expressions"),
