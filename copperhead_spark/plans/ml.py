@@ -38,3 +38,65 @@ def ml_mlp_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum(F.col("score"), 4).alias("score_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped-agg pandas UDF (the true Python-UDAF surface, completing §2.10:
+# scalar-iter, mapInPandas, cogrouped applyInPandas, applyInPandasWithState
+# and UDTF are registered elsewhere).  The aggregate is the LOWER MEDIAN —
+# an order statistic, picked not interpolated, so the result is an exact
+# element of the group and bit-equal to the oracle's window form with no
+# float tolerance games.
+#
+# Scale note: a grouped-agg UDF materializes each group in one pandas
+# Series, so it requires bounded group sizes (here: per-supplier groups,
+# ~n/|suppliers| rows).  For corpus-scale medians over giant groups the
+# production path is a8_quantiles (approx_percentile) — this query is the
+# UDAF *surface*, value-checked.
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT l_suppkey, med_price, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT l_suppkey, l_extendedprice AS med_price,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM lineitem
+)
+WHERE rn = (n + 1) // 2
+"""
+
+
+@register("udaf_grouped_median", oracle=_MEDIAN_ORACLE, tags=("F1", "ml", "udaf"))
+def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier lower-median price via a grouped-agg pandas UDF
+    (np.partition selection, O(n) per group — not a sort), with the group
+    count carried alongside; the oracle computes the same order statistic
+    as a ROW_NUMBER window."""
+    import numpy as np
+    import pandas as pd
+
+    # NB: the module-level `from __future__ import annotations` turns hints
+    # into strings, which pandas_udf's type-hint inference resolves against
+    # module globals — so the signature is declared hint-free and the eval
+    # type forced explicitly
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def lower_median(v):
+        a = v.to_numpy(dtype=np.float64)
+        k = (len(a) - 1) // 2
+        return float(np.partition(a, k)[k])
+
+    # Spark refuses to mix a grouped-agg pandas UDF with JVM aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count rides along as
+    # a second pandas aggregate
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_count(v):
+        return len(v)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        lower_median(F.col("l_extendedprice")).alias("med_price"),
+        group_count(F.col("l_extendedprice")).alias("n"),
+    )

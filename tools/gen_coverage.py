@@ -173,6 +173,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("MM3", "Frame sampling expansion (UDTF-shaped)", ["mm_frame_sample"], "map-side Generate; bounded row multiplier"),
     ("UDTF1", "Python UDTF via LATERAL (context chunking)", ["udtf_token_chunks"],
      "row-generating Python table function; slow path by design — explode form is the production twin"),
+    ("UDAF1", "Grouped-agg pandas UDF (Python UDAF)", ["udaf_grouped_median"],
+     "exact lower-median order statistic; bounded group sizes required — a8_quantiles is the giant-group path"),
     # pipeline parity
     ("E2E", "stage1->2->3 pipeline on jagged events", ["pipeline_hmm_histogram"], "pipeline.py stage1 (exploded) + stage1_arrays (zero-shuffle array-native, bit-identical, benched at 1M events in bench.py) + distributed executor-side fixture; vs independent pandas mirror, tests/test_pipeline.py"),
 ]
