@@ -203,3 +203,65 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(joined, mode="append")
     return out.select("purchase_id", "click_id", "user_id")
+
+
+@register(
+    "stream_foreachbatch_sink",
+    oracle=f"""
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start_us,
+       COUNT(*) AS n,
+       {exact_sum_sql("value", 4)} AS value_sum
+FROM events
+GROUP BY 1
+""",
+    tags=("streaming", "sources"),
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once STREAMING SINK pattern: update-mode windowed
+    aggregate delivered through foreachBatch into a parquet table with
+    dynamic partition overwrite keyed on the window — each micro-batch
+    rewrites only the window partitions it touched, so replaying a batch
+    (failure/retry) overwrites the same partitions with the same rows
+    instead of duplicating them (idempotent upsert; the batch_id is
+    recorded for audit).  Reading the sink back must equal the batch
+    aggregation — that is the oracle.
+
+    Scale: the sink write per micro-batch is proportional to the UPDATED
+    windows only (update output mode + watermark bounds state); dynamic
+    overwrite touches only those partitions of the sink table.
+    """
+    import tempfile
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), exact_sum(F.col("value"), 4).alias("value_sum"))
+        .select(
+            F.unix_micros("window.start").alias("win_start_us"), "n", "value_sum"
+        )
+    )
+    sink = tempfile.mkdtemp(prefix="cph_fes_")  # run-scoped: never stale
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("win_start_us")
+            .parquet(sink)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink).select("win_start_us", "n", "value_sum")

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
 from copperhead_spark.functions.text import (
+    rolling_fingerprint_duck,
+    rolling_fingerprint_spark,
     token_hashes_duck,
     token_hashes_spark,
     token_ngram_hashes_duck,
@@ -259,4 +261,79 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .filter(F.expr(f"{_mix_u_sql('doc_id')} < rate"))
         .select("doc_id", "source", "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff: the CDC-shaped "what changed between corpus v1
+# and v2" operator behind incremental training-data refreshes — added /
+# removed / modified / unchanged per doc_id, with change detection by
+# content fingerprint rather than full-text compare.
+#
+# The two snapshots are carved deterministically from the fixture
+# (v1 drops doc_id % 11 == 0, v2 drops doc_id % 13 == 0 and rewrites
+# text for doc_id % 5 == 0), so both engines diff identical inputs.
+#
+# Scale: one full-outer hash join on the snapshot key; both sides carry
+# only (doc_id, fingerprint) — bytes per row are tens, not the document
+# body, so 100 TB of corpus diffs as ~tens of GB of shuffle.  The
+# fingerprint is the repo's portable rolling hash (functions/text.py),
+# computed map-side before the join.
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_sql(engine: str, version: int) -> str:
+    """v1/v2 carve-outs with identical expression text per engine."""
+    mod = 11 if version == 1 else 13
+    text = (
+        "text"
+        if version == 1
+        else "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') ELSE text END"
+    )
+    return f"SELECT doc_id, {text} AS text FROM documents WHERE doc_id % {mod} <> 0"
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+WITH v1 AS (SELECT doc_id, {rolling_fingerprint_duck("text")} AS fp
+            FROM ({_snapshot_sql("duck", 1)})),
+v2 AS (SELECT doc_id, {rolling_fingerprint_duck("text")} AS fp
+       FROM ({_snapshot_sql("duck", 2)}))
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.fp <> v2.fp THEN 'modified'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp <> v2.fp
+""",
+    tags=("text", "training", "sources"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: full-outer join of two
+    fingerprint projections keyed on doc_id, emitting only changed rows
+    (added/removed/modified) — the incremental-refresh changelog.  The
+    'unchanged' majority is filtered pre-shuffle-free (post-join
+    predicate on the tiny fingerprint columns)."""
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+
+    def snap(version: int) -> DataFrame:
+        return spark.sql(_snapshot_sql("spark", version)).selectExpr(
+            "doc_id", f"{rolling_fingerprint_spark('text')} AS fp"
+        )
+
+    v1, v2 = snap(1).alias("v1"), snap(2).alias("v2")
+    joined = v1.join(v2, F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("v1.doc_id"), F.col("v2.doc_id")).alias("doc_id"),
+            F.when(F.col("v1.doc_id").isNull(), "added")
+            .when(F.col("v2.doc_id").isNull(), "removed")
+            .when(F.col("v1.fp") != F.col("v2.fp"), "modified")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .filter(F.col("status") != "unchanged")
     )

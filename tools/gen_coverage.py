@@ -104,6 +104,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("ST6", "Stream-static broadcast join", ["stream_static_join"], "stateless enrichment; state only in the downstream agg"),
     ("ST7", "Stream-stream interval join", ["stream_stream_join"],
      "watermarks both sides + event-time-bounded state (click-attribution shape)"),
+    ("ST8", "foreachBatch idempotent sink (exactly-once upsert)", ["stream_foreachbatch_sink"],
+     "update-mode window agg -> dynamic partition overwrite keyed on window; replay-safe, write bounded by updated windows"),
     ("RJ1", "Generic bucketed range join (overlapping intervals)", ["range_join_bucketed"], "operators/rangejoin.py (hash join, no BNLJ)"),
     ("SK1", "Skew-salted aggregation", ["sk1_salted_skew_agg"], "operators/skew.py (bit-equal to unsalted; tests/test_scale_ops.py)"),
     ("SK2", "Skew-salted shuffle join", ["sk2_salted_skew_join"],
@@ -153,6 +155,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "hash-uniform u^(1/w) top-k via TakeOrderedAndProject (per-partition heaps, no global sort)"),
     ("T14", "Temperature-weighted domain mixture sampling", ["sample_domain_mixture"],
      "per-source mass agg (vocab-sized) -> broadcast rates -> map-only hash-uniform keep filter"),
+    ("T15", "Corpus snapshot diff (CDC changelog)", ["corpus_snapshot_diff"],
+     "full-outer hash join on (doc_id, fingerprint) projections — corpus bodies never shuffled"),
     ("T5", "Train/val/test split", ["text_train_val_test_split"], "stable under repartitioning/appends (randomSplit is not)"),
     ("T6", "Repetition stats (dup-trigram fraction)", ["text_repetition_stats"],
      "zero-shuffle array expressions"),
