@@ -46,6 +46,7 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.training",
     "copperhead_spark.plans.retrieval",
     "copperhead_spark.plans.linalg",
+    "copperhead_spark.plans.sketches",
 )
 
 

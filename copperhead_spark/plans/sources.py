@@ -167,3 +167,48 @@ def s10_csv_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_nation"),
         )
     )
+
+
+@register(
+    "s11_schema_evolution_scan",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_urgent,
+       {exact_sum_sql("o_totalprice")} AS total
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("S10", "sources"),
+)
+def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: the table is written as two generations of
+    parquet files — generation 1 WITHOUT the o_orderpriority column
+    (dropped at write), generation 2 with it — and read back with
+    mergeSchema, which unions the file schemas and fills the missing
+    column with NULL for old files.  The aggregate counts urgent rows
+    only where the column exists (CASE treats NULL as 0), exactly how a
+    100 TB corpus tolerates columns added mid-history without a rewrite.
+
+    Scale: schema merge is footer-only work at planning time (one footer
+    read per file, no data scan); the data-plane plan is identical to a
+    single-schema scan.
+    """
+    import tempfile as _tf
+
+    out = _tf.mkdtemp(prefix="cph_evo_")  # run-scoped: never stale
+    orders = table(spark, sf_dir, "orders")
+    gen1 = orders.filter("o_orderkey % 2 = 0").drop("o_orderpriority")
+    gen2 = orders.filter("o_orderkey % 2 = 1")
+    gen1.write.mode("append").parquet(out)
+    gen2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).cast("long").alias("n_urgent"),
+        exact_sum(F.col("o_totalprice")).alias("total"),
+    )

@@ -145,3 +145,84 @@ def test_cluster_representatives_semantics(spark, sf_dir):
         assert cc[r["kept_doc_id"]] == r["component"]
     # sizes add back up to the corpus
     assert sum(r["cluster_size"] for r in reps) == len(cc)
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    """The sketch must land near the exact distinct count (p=12 =>
+    ~1.6% std error; linear-counting regime here is tighter)."""
+    from copperhead_spark.catalog import table
+    from copperhead_spark.plans.registry import all_queries
+
+    li = table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg({"l_orderkey": "approx_count_distinct"})
+        .withColumnRenamed("approx_count_distinct(l_orderkey)", "n")
+        .collect()
+    }
+    # approx_count_distinct is itself a sketch; get the true value instead
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.selectExpr("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    est = {
+        r["grp"]: r["n_distinct_est"]
+        for r in all_queries()["sketch_hll_distinct"].builder(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.10, (g, est[g], exact[g])
+
+
+def test_hll_sketch_merges(spark, sf_dir):
+    """Mergeability: sketching two halves and MAX-merging the cells must
+    give the identical estimate to sketching the whole — the property
+    that makes the sketch incrementally maintainable at scale."""
+    from pyspark.sql import functions as F
+
+    from copperhead_spark.catalog import table
+    from copperhead_spark.plans.sketches import (
+        _bucket_sql,
+        _estimate_sql,
+        _rank_sql,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def cells(df):
+        return (
+            df.selectExpr(
+                "l_returnflag AS grp",
+                f"{_bucket_sql('l_orderkey')} AS bucket",
+                f"{_rank_sql('l_orderkey')} AS rank",
+            )
+            .groupBy("grp", "bucket")
+            .agg(F.max("rank").alias("r"))
+        )
+
+    def estimate(cells_df):
+        sk = cells_df.groupBy("grp").agg(
+            F.count("*").cast("long").alias("v_present"),
+            F.sum(
+                F.expr(
+                    "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)"
+                )
+            ).alias("z"),
+        )
+        return {
+            r["grp"]: r["e"]
+            for r in sk.selectExpr("grp", f"{_estimate_sql()} AS e").collect()
+        }
+
+    whole = estimate(cells(li))
+    h1, h2 = li.filter("l_orderkey % 2 = 0"), li.filter("l_orderkey % 2 = 1")
+    merged_cells = (
+        cells(h1).unionAll(cells(h2)).groupBy("grp", "bucket").agg(F.max("r").alias("r"))
+    )
+    assert estimate(merged_cells) == whole

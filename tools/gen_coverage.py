@@ -30,6 +30,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("S8", "ROOT TH1 template sink", [], "finishing/templates.py (to_template_arrays; ROOT write gated on uproot)"),
     ("S9", "Output overwrite management", ["s3_partitioned_sink_roundtrip"], "dynamic partition overwrite (idempotency probed)"),
     ("S10", "CSV/JSON/ORC lookup + interchange IO", ["s10_csv_lookup_join"], "sources/tabular_io.py (JSON/ORC round-trips in tests/test_tabular_io.py)"),
+    ("S11", "Schema-evolution scan (mergeSchema)", ["s11_schema_evolution_scan"],
+     "two file generations, column added mid-history; footer-only merge at planning time, NULL-filled for old files"),
     # 2.2 projections / filters
     ("P1", "Conjunctive predicate filter", ["p1_conjunctive_filter", "flagship_selection_yield"], ""),
     ("P2", "OR-of-booleans predicate", ["p2_or_of_booleans"], ""),
@@ -141,6 +143,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("SIM3", "int8 scalar-quantized ANN sweep", ["sim_quantized_topk"],
      "per-vector symmetric quantization; 4x smaller candidate scan"),
     ("SIM2", "LSH-bucketed / IVF-partitioned ANN", ["sim_lsh_buckets", "sim_ivf_topk"], "IVF: shuffle-free centroid assignment + broadcast probe join"),
+    ("SKE1", "HyperLogLog distinct sketch (mergeable)", ["sketch_hll_distinct"],
+     "shuffle = |groups| x 4096 cells, never the key space; quadratic-mixed portable hash; merge-by-MAX property tested"),
     ("LA1", "Gram / second-moment matrix (PCA data pass)", ["emb_gram_matrix"],
      "operators/linalg.py: per-batch int64 matmul partials in mapInPandas; shuffle = O(partitions*dim^2) rows"),
     ("LA2", "Signed (JL) random projection", ["emb_random_projection"],
