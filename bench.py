@@ -42,6 +42,11 @@ HEADLINE = [
     "text_quality_score",
     "text_gopher_filter",
     "ml_mlp_inference",
+    # round-2 additions: retrieval, sketches, bloom semi-join reduction
+    "text_bm25_topk",
+    "sketch_hll_distinct",
+    "sketch_cms_counts",
+    "bloom_semijoin_reduction",
 ]
 
 

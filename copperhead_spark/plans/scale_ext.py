@@ -330,3 +330,41 @@ def sk2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum(F.col("l_extendedprice")).alias("total"),
     )
+
+
+_BLOOM_DIM_PRED = "o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'"
+
+
+@register(
+    "bloom_semijoin_reduction",
+    oracle=f"""
+SELECT l.l_returnflag, COUNT(*) AS n, {exact_sum_sql("l.l_extendedprice")} AS price_sum
+FROM lineitem l
+JOIN (SELECT o_orderkey FROM orders WHERE {_BLOOM_DIM_PRED}) o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_returnflag
+""",
+    tags=("scale", "J1"),
+)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side Bloom prefilter ahead of a shuffle join: the dim keys
+    (urgent finalized orders) collapse to a 8 KiB bitmap via one
+    vocabulary-sized bit_or aggregate; the fact table is filtered
+    map-side by the bitmap BEFORE the exchange, so the shuffle carries
+    only matches plus ~0.4% false positives — which the exact join then
+    removes, making the result bit-identical to the plain join (the
+    oracle).  The join is hinted MERGE to model the dim-too-big-to-
+    broadcast regime this pattern exists for."""
+    from copperhead_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = table(spark, sf_dir, "orders").filter(_BLOOM_DIM_PRED).select("o_orderkey")
+    bitmap = build_bloom(dim, "o_orderkey", log2_bits=16)
+    pre = li.filter(bloom_might_contain(bitmap, "l_orderkey", log2_bits=16))
+    joined = pre.hint("merge").join(
+        dim, pre["l_orderkey"] == dim["o_orderkey"]
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        exact_sum(F.col("l_extendedprice")).alias("price_sum"),
+    )

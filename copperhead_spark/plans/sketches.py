@@ -126,3 +126,110 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     )
     return sk.selectExpr("grp", "v_present", f"{_estimate_sql()} AS n_distinct_est")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: point-query frequency estimation over the token
+# stream.  Build cost is one aggregate with AT MOST depth x width cells
+# (map-side combine bounds the shuffle the same way the HLL cells do);
+# queries are O(depth) lookups.  CMS never undercounts (collisions only
+# add), and with the deterministic hash family the whole sketch — cells
+# and estimates — is reproduced exactly by the oracle.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024
+_CMS_SALTS = (37, 41, 43)
+_CMS_TERMS = ("spark", "window", "merge", "the")
+_TOKEN_P = 1_000_003
+
+
+def _token_hash_py(w: str) -> int:
+    """Driver-side twin of functions/text.py token_hashes_*."""
+    h = 0
+    for ch in w:
+        h = (h * 31 + ord(ch)) % _TOKEN_P
+    return h
+
+
+def _mix_py(x: int, salt: int) -> int:
+    s = ((x % _P) * 1013904223 + salt * 1664525) % _P
+    return (s * s) % _P
+
+
+def _mix_sql_text(key: str, salt: int) -> str:
+    s = f"(((({key}) % {_P}) * 1013904223 + {salt} * 1664525) % {_P})"
+    return f"(({s} * {s}) % {_P})"
+
+
+def _cms_candidates() -> list[tuple[str, int, int]]:
+    out = []
+    for term in _CMS_TERMS:
+        th = _token_hash_py(term)
+        for salt in _CMS_SALTS:
+            out.append((term, salt, _mix_py(th, salt) % _CMS_W))
+    return out
+
+
+def _cms_oracle() -> str:
+    from copperhead_spark.functions.text import token_hashes_duck
+
+    cand_rows = ", ".join(
+        f"('{t}', {s}, {b})" for t, s, b in _cms_candidates()
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {salt} AS salt, ({_mix_sql_text('th', salt)} % {_CMS_W}) AS bucket"
+        " FROM toks"
+        for salt in _CMS_SALTS
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({token_hashes_duck("text")}) AS th FROM documents
+),
+cells AS (
+  SELECT salt, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({arms})
+  GROUP BY salt, bucket
+),
+cand(term, salt, bucket) AS (VALUES {cand_rows})
+SELECT term, MIN(COALESCE(c, 0)) AS est_count
+FROM cand LEFT JOIN cells USING (salt, bucket)
+GROUP BY term
+"""
+
+
+@register("sketch_cms_counts", oracle=_cms_oracle(), tags=("sketch", "A13"))
+def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point queries for a fixed term set over the corpus
+    token stream: depth {len(_CMS_SALTS)} x width {_CMS_W} cells built in
+    one bounded aggregate; estimates are MIN over the term's cells.
+    Never undercounts; overcount bounded by collisions (~n_tokens/width
+    per cell)."""
+    from copperhead_spark.functions.text import token_hashes_spark
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(f"explode({token_hashes_spark('text')}) AS th")
+    cells = (
+        toks.selectExpr(
+            "stack(3, "
+            + ", ".join(
+                f"{salt}, ({_mix_sql_text('th', salt)} % {_CMS_W})"
+                for salt in _CMS_SALTS
+            )
+            + ") AS (salt, bucket)"
+        )
+        .groupBy("salt", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cand = spark.createDataFrame(
+        _cms_candidates(), schema="term string, salt int, bucket int"
+    ).selectExpr("term", "CAST(salt AS BIGINT) AS salt", "CAST(bucket AS BIGINT) AS bucket")
+    cells = cells.selectExpr(
+        "CAST(salt AS BIGINT) AS salt", "CAST(bucket AS BIGINT) AS bucket", "c"
+    )
+    est = (
+        F.broadcast(cand)
+        .join(cells, ["salt", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+    return est

@@ -226,3 +226,52 @@ def test_hll_sketch_merges(spark, sf_dir):
         cells(h1).unionAll(cells(h2)).groupBy("grp", "bucket").agg(F.max("r").alias("r"))
     )
     assert estimate(merged_cells) == whole
+
+
+def test_bloom_no_false_negatives_and_reduces(spark, sf_dir):
+    from copperhead_spark.catalog import table
+    from copperhead_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'")
+        .select("o_orderkey")
+    )
+    bitmap = build_bloom(dim, "o_orderkey", log2_bits=16)
+
+    true_matches = li.join(
+        dim, li["l_orderkey"] == dim["o_orderkey"], "left_semi"
+    ).count()
+    passed = li.filter(bloom_might_contain(bitmap, "l_orderkey", 16)).count()
+    total = li.count()
+    # every true match passes (Bloom filters have no false negatives)
+    assert passed >= true_matches
+    # and the prefilter is an actual reduction: false positives are a
+    # small fraction of the non-matching rows
+    fp = passed - true_matches
+    assert fp <= 0.05 * (total - true_matches), (passed, true_matches, total)
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """CMS property: estimate >= true frequency for every queried term,
+    and the overcount stays within the collision budget."""
+    from copperhead_spark.catalog import table
+    from copperhead_spark.plans.registry import all_queries
+    from copperhead_spark.plans.sketches import _CMS_TERMS, _CMS_W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("explode(split(text, ' ')) AS w")
+    n_total = toks.count()
+    true = {
+        t: toks.filter(toks.w == t).count() for t in _CMS_TERMS
+    }
+    est = {
+        r["term"]: r["est_count"]
+        for r in all_queries()["sketch_cms_counts"].builder(spark, sf_dir).collect()
+    }
+    assert set(est) == set(true)
+    for t in _CMS_TERMS:
+        assert est[t] >= true[t], (t, est[t], true[t])
+        # standard CMS bound: overcount < e * n_tokens / width  (w=1024)
+        assert est[t] - true[t] <= 2.72 * n_total / _CMS_W + 1, (t, est[t], true[t])

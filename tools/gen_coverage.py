@@ -113,6 +113,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("SK2", "Skew-salted shuffle join", ["sk2_salted_skew_join"],
      "operators/skew.py salted_join (dim replicated per salt; ShuffledHashJoin pinned, no broadcast)"),
     ("BK1", "Bucketed co-located join", ["bk1_bucketed_join_agg"], "tests/test_scale_ops.py (no Exchange in bucketed SMJ)"),
+    ("BF1", "Bloom-filter semi-join reduction", ["bloom_semijoin_reduction"],
+     "operators/bloom.py: 8 KiB literal bitmap prefilters the fact side map-side before the exchange; no false negatives tested"),
     # 2.10 UDF surface
     ("F1", "Batched DNN inference + fold routing", ["ml_mlp_inference"], "ml/inference.py (UDF vs unrolled-SQL oracle)"),
     ("F2", "Batched BDT inference", ["ml_mlp_inference"], "same operator shape; model payload swappable"),
@@ -145,6 +147,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("SIM2", "LSH-bucketed / IVF-partitioned ANN", ["sim_lsh_buckets", "sim_ivf_topk"], "IVF: shuffle-free centroid assignment + broadcast probe join"),
     ("SKE1", "HyperLogLog distinct sketch (mergeable)", ["sketch_hll_distinct"],
      "shuffle = |groups| x 4096 cells, never the key space; quadratic-mixed portable hash; merge-by-MAX property tested"),
+    ("SKE2", "Count-min sketch point queries", ["sketch_cms_counts"],
+     "depth x width bounded aggregate over the token stream; never-undercounts + collision-bound tested"),
     ("LA1", "Gram / second-moment matrix (PCA data pass)", ["emb_gram_matrix"],
      "operators/linalg.py: per-batch int64 matmul partials in mapInPandas; shuffle = O(partitions*dim^2) rows"),
     ("LA2", "Signed (JL) random projection", ["emb_random_projection"],
