@@ -99,3 +99,37 @@ def test_interp_formula_matches_numpy(xs, x):
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     return spark
+
+
+def _token_hash_ref(w: str) -> int:
+    h = 0
+    for ch in w:
+        h = (h * 31 + ord(ch)) % 1_000_003
+    return h
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_token_hashes_np_matches_reference(texts):
+    """The vectorized char-position kernel must equal the per-token
+    polynomial for arbitrary docs: empty docs, doubled spaces, leading/
+    trailing spaces, non-ASCII."""
+    from copperhead_spark.operators.sketch_kernels import token_hashes_np
+
+    got = token_hashes_np(texts).tolist()
+    want = [
+        _token_hash_ref(w)
+        for w in " ".join(texts).split(" ")
+    ]
+    assert got == want

@@ -275,3 +275,22 @@ def test_cms_never_undercounts(spark, sf_dir):
         assert est[t] >= true[t], (t, est[t], true[t])
         # standard CMS bound: overcount < e * n_tokens / width  (w=1024)
         assert est[t] - true[t] <= 2.72 * n_total / _CMS_W + 1, (t, est[t], true[t])
+
+
+def test_cms_kernel_bitequal_to_expression_form(spark, sf_dir):
+    """The vectorized bincount kernel and the explode/stack SQL form must
+    produce the identical cell table."""
+    from copperhead_spark.catalog import table
+    from copperhead_spark.operators.sketch_kernels import cms_cells
+    from copperhead_spark.plans.sketches import _CMS_SALTS, _CMS_W, cms_cells_expr
+
+    docs = table(spark, sf_dir, "documents")
+    got = {
+        (r["salt"], r["bucket"]): r["c"]
+        for r in cms_cells(docs, "text", _CMS_SALTS, _CMS_W).collect()
+    }
+    want = {
+        (r["salt"], r["bucket"]): r["c"]
+        for r in cms_cells_expr(spark, sf_dir).collect()
+    }
+    assert got == want
