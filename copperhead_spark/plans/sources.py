@@ -212,3 +212,78 @@ def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_urgent"),
         exact_sum(F.col("o_totalprice")).alias("total"),
     )
+
+
+@register(
+    "s12_merge_upsert",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 13 <> 0
+),
+changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'delete'
+              WHEN o_orderkey % 13 = 0 THEN 'insert'
+              ELSE 'update' END AS op,
+         o_orderstatus,
+         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 3 = 0 OR o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'delete'
+)
+SELECT o_orderstatus, COUNT(*) AS n, {exact_sum_sql("o_totalprice")} AS total
+FROM merged GROUP BY o_orderstatus
+""",
+    tags=("sources", "S9"),
+)
+def s12_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (the Delta/Iceberg upsert,
+    re-expressed): base FULL OUTER JOIN changeset; matched+update takes
+    the new row, matched+delete drops it, unmatched insert appends, rest
+    keep the base row.  One hash-shuffle join on the merge key produces
+    the new table version; pairing it with the partitioned sink
+    (S3/S9 dynamic overwrite) rewrites only partitions that received
+    changes — the batch twin of stream_foreachbatch_sink.
+
+    The changeset is carved deterministically from the fixture: deletes
+    (key%3=0), inserts (key%13=0, absent from base), updates (key%7=0,
+    price uplift).  Aggregated output keeps the oracle order-free.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter("o_orderkey % 13 <> 0")
+    changes = orders.filter(
+        "o_orderkey % 3 = 0 OR o_orderkey % 13 = 0 OR o_orderkey % 7 = 0"
+    ).selectExpr(
+        "o_orderkey",
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'delete'"
+        " WHEN o_orderkey % 13 = 0 THEN 'insert'"
+        " ELSE 'update' END AS op",
+        "o_orderstatus",
+        "o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice",
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    merged = (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "delete"))
+        .select(
+            F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice")).alias(
+                "o_totalprice"
+            ),
+        )
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), exact_sum(F.col("o_totalprice")).alias("total")
+    )

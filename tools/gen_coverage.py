@@ -32,6 +32,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("S10", "CSV/JSON/ORC lookup + interchange IO", ["s10_csv_lookup_join"], "sources/tabular_io.py (JSON/ORC round-trips in tests/test_tabular_io.py)"),
     ("S11", "Schema-evolution scan (mergeSchema)", ["s11_schema_evolution_scan"],
      "two file generations, column added mid-history; footer-only merge at planning time, NULL-filled for old files"),
+    ("S12", "MERGE INTO upsert (batch changeset apply)", ["s12_merge_upsert"],
+     "base FULL OUTER JOIN changeset on the merge key; insert/update/delete semantics; batch twin of ST8"),
     # 2.2 projections / filters
     ("P1", "Conjunctive predicate filter", ["p1_conjunctive_filter", "flagship_selection_yield"], ""),
     ("P2", "OR-of-booleans predicate", ["p2_or_of_booleans"], ""),
