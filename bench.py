@@ -96,8 +96,14 @@ def main() -> None:
         events_fixture_distributed(spark, 5000).write.parquet(f"{tmp}/warmup")
         wu = spark.read.parquet(f"{tmp}/warmup")
         stage2_variations(stage1_arrays(wu)).write.format("noop").mode("overwrite").save()
+        # measured: after the 20 headline queries the same plan swings
+        # 2.1s -> 6s from accumulated JVM heap/GC pressure; drop cached
+        # state and take min-of-3 so the number reflects the plan, not
+        # the session's garbage history
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             stage2_variations(stage1_arrays(ev)).write.format("noop").mode(
                 "overwrite"

@@ -245,12 +245,15 @@ FROM merged GROUP BY o_orderstatus
 )
 def s12_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics on plain parquet (the Delta/Iceberg upsert,
-    re-expressed): base FULL OUTER JOIN changeset; matched+update takes
-    the new row, matched+delete drops it, unmatched insert appends, rest
-    keep the base row.  One hash-shuffle join on the merge key produces
-    the new table version; pairing it with the partitioned sink
-    (S3/S9 dynamic overwrite) rewrites only partitions that received
-    changes — the batch twin of stream_foreachbatch_sink.
+    re-expressed): matched+update takes the new row, matched+delete
+    drops it, unmatched insert appends, rest keep the base row.  The
+    changeset (a daily increment — small next to the table) BROADCASTS:
+    base LEFT JOIN broadcast(changes) is map-only, inserts arrive by
+    union, so the 100 TB side is NEVER shuffled; pairing with the
+    partitioned sink (S3/S9 dynamic overwrite) rewrites only partitions
+    that received changes — the batch twin of stream_foreachbatch_sink.
+    (A changeset too big to broadcast degrades gracefully to the
+    full-outer shuffle-join form — same semantics, one exchange.)
 
     The changeset is carved deterministically from the fixture: deletes
     (key%3=0), inserts (key%13=0, absent from base), updates (key%7=0,
@@ -271,11 +274,13 @@ def s12_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice",
     )
     b, c = base.alias("b"), changes.alias("c")
-    merged = (
-        b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    survivors = (
+        b.join(
+            F.broadcast(c), F.col("b.o_orderkey") == F.col("c.o_orderkey"), "left"
+        )
         .filter(F.col("c.op").isNull() | (F.col("c.op") != "delete"))
         .select(
-            F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.col("b.o_orderkey").alias("o_orderkey"),
             F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
                 "o_orderstatus"
             ),
@@ -284,6 +289,10 @@ def s12_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    inserts = changes.filter(F.col("op") == "insert").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    merged = survivors.unionAll(inserts)
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), exact_sum(F.col("o_totalprice")).alias("total")
     )
