@@ -457,3 +457,58 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             "cluster_size",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash Jaccard ESTIMATION: the step between candidate generation and
+# exact verification.  est = fraction of agreeing minhashes (unbiased
+# estimator of Jaccard); at 100 TB the estimate ranks/filters the LSH
+# candidates so only the top sliver pays the exact shingle-join
+# verification.  Signature agreement is integer equality — exact on both
+# engines, the estimate an 1/K-grained rational.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_jaccard_est",
+    oracle=f"""
+WITH sig AS ({_SIG_ORACLE}),
+pairs AS ({_LSH_ORACLE})
+SELECT p.doc1, p.doc2,
+       CAST({" + ".join(
+           f"CASE WHEN s1.mh{k} = s2.mh{k} THEN 1 ELSE 0 END" for k in range(_K)
+       )} AS DOUBLE) / {float(_K)!r} AS jaccard_est
+FROM pairs p
+JOIN sig s1 ON s1.doc_id = p.doc1
+JOIN sig s2 ON s2.doc_id = p.doc2
+""",
+    tags=("dedup",),
+)
+def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair Jaccard estimate from signature agreement
+    (matches/K): ranks LSH candidates so exact verification runs only on
+    the promising sliver.  Signatures join back by doc_id — two hash
+    joins against the (doc_id-keyed) signature table, the same access
+    pattern a signature store would serve at scale."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
+    s1 = sig.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(_K)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(_K)
+    )
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (agree.cast("double") / F.lit(float(_K))).alias("jaccard_est"),
+        )
+    )

@@ -130,7 +130,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("FIN3", "Datacard emission", ["fin3_datacard_yields"], "finishing/templates.py make_datacard consumes the rate table"),
     # beyond-reference mandated families
     ("D1", "Exact dedup", ["dedup_exact_groups"], ""),
-    ("D2", "MinHash + LSH dedup", ["dedup_minhash_signatures", "dedup_minhash_signatures_sql", "dedup_minhash_lsh_pairs"], "operators/dedup.py vectorized kernels"),
+    ("D2", "MinHash + LSH dedup", ["dedup_minhash_signatures", "dedup_minhash_signatures_sql", "dedup_minhash_lsh_pairs", "dedup_minhash_jaccard_est"], "operators/dedup.py vectorized kernels; signature-agreement Jaccard estimate ranks candidates before exact verify"),
     ("D3", "SimHash dedup", ["dedup_simhash_signatures", "dedup_simhash_pairs"], ""),
     ("D4", "n-gram Jaccard dedup", ["dedup_ngram_jaccard_pairs"], ""),
     ("D5", "Embedding-cosine near-dup", ["dedup_embedding_cosine_pairs"], ""),
