@@ -84,8 +84,78 @@ def register(
     return deco
 
 
+# The driver's correctness gate reads the FIRST 50 entries of queries().
+# Rounds 1-2 verified the same 50 relational/physics queries, leaving the
+# dedup/similarity/sketch/text/streaming surface driver-unchecked; this
+# window rotates those into the gate (round 3).  Names listed here are
+# emitted first, in this order; everything else follows in registration
+# order.  Rotate again next round for the remainder.
+_DRIVER_WINDOW = (
+    # dedup family
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_signatures_sql",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_jaccard_est",
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_connected_components",
+    "dedup_cluster_stats",
+    "dedup_cluster_representatives",
+    "dedup_semantic_clusters",
+    "dedup_embedding_cosine_pairs",
+    # similarity / ANN / k-means
+    "sim_cosine_topk",
+    "sim_lsh_buckets",
+    "sim_ivf_topk",
+    "sim_quantized_topk",
+    "kmeans_update_step",
+    # sketches / bloom / linalg / retrieval
+    "sketch_hll_distinct",
+    "sketch_cms_counts",
+    "bloom_semijoin_reduction",
+    "emb_gram_matrix",
+    "emb_random_projection",
+    "text_bm25_topk",
+    # text analysis / curation
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_length_by_source",
+    "text_repetition_stats",
+    "text_gopher_filter",
+    "text_rolling_fingerprint",
+    "text_pii_redaction",
+    "text_vocab_topk",
+    "text_line_dedup",
+    "text_sample_stratified",
+    "text_train_val_test_split",
+    "text_contamination_screen",
+    "pipeline_corpus_curation",
+    # streaming (batch-oracle checked)
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_static_join",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "stream_foreachbatch_sink",
+    "st5_stateful_profile",
+    # sources / ml / aggregates not yet driver-checked
+    "s3_partitioned_sink_roundtrip",
+    "s4_partition_pruned_scan",
+    "ml_mlp_inference",
+    "a5_weighted_histogram",
+)
+
+
 def all_queries() -> dict[str, Query]:
-    """Import all plan modules (idempotent) and return the registry."""
+    """Import all plan modules (idempotent) and return the registry.
+
+    Output order is ``_DRIVER_WINDOW`` first, then registration order —
+    the driver's correctness gate samples the first 50 entries.
+    """
     for mod in _PLAN_MODULES:
         try:
             importlib.import_module(mod)
@@ -94,4 +164,11 @@ def all_queries() -> dict[str, Query]:
             if e.name and e.name.startswith("copperhead_spark"):
                 continue
             raise
-    return dict(_REGISTRY)
+    ordered: dict[str, Query] = {}
+    for name in _DRIVER_WINDOW:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
