@@ -26,13 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_P = 2_147_483_647
-
-# quadratic-mixed portable hash (see plans/sketches.py for why plain
-# affine LCGs are unusable as bit-mixers on dense keys)
-def _mix_sql(key: str, salt: int) -> str:
-    s = f"(((({key}) % {_P}) * 1013904223 + {salt} * 1664525) % {_P})"
-    return f"(({s} * {s}) % {_P})"
+from copperhead_spark.functions.hashing import mix_sql as _mix_sql
 
 
 def build_bloom(dim: DataFrame, key_col: str, log2_bits: int = 16) -> list[int]:

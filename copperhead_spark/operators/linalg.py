@@ -40,13 +40,16 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> Dat
     import numpy as np
     import pandas as pd
 
+    from copperhead_spark.functions.vectors import _round_half_away
+
     iu0, iu1 = np.triu_indices(dim)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.rint(
+            # SQL ROUND (half away from zero), matching the DuckDB oracle
+            X = _round_half_away(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * E6_SCALE
             ).astype(np.int64)
             G = X.T @ X  # int64 matmul: exact, order-independent

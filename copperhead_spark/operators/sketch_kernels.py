@@ -17,7 +17,9 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 
-P31 = 2_147_483_647
+from copperhead_spark.functions.hashing import MIX_P as P31
+from copperhead_spark.functions.hashing import mix_py
+
 TOKEN_P = 1_000_003
 
 
@@ -82,8 +84,7 @@ def cms_cells(
                 continue
             touched = True
             for i, salt in enumerate(salts_arr):
-                s = ((th % P31) * 1013904223 + salt * 1664525) % P31
-                b = ((s * s) % P31) % width
+                b = mix_py(th, int(salt)) % width
                 acc[i] += np.bincount(b, minlength=width)
         if touched:
             nz_salt, nz_bucket = np.nonzero(acc)

@@ -196,9 +196,16 @@ def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     read per file, no data scan); the data-plane plan is identical to a
     single-schema scan.
     """
-    import tempfile as _tf
+    import shutil
 
-    out = _tf.mkdtemp(prefix="cph_evo_")  # run-scoped: never stale
+    # stable per-sf scratch path (not mkdtemp): repeated runs overwrite
+    # one tree instead of accumulating orphaned directories
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_evo",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out, ignore_errors=True)
     orders = table(spark, sf_dir, "orders")
     gen1 = orders.filter("o_orderkey % 2 = 0").drop("o_orderpriority")
     gen2 = orders.filter("o_orderkey % 2 = 1")

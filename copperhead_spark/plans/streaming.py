@@ -230,6 +230,8 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows only (update output mode + watermark bounds state); dynamic
     overwrite touches only those partitions of the sink table.
     """
+    import os
+    import shutil
     import tempfile
 
     ev = events_stream(spark, sf_dir)
@@ -241,7 +243,14 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("window.start").alias("win_start_us"), "n", "value_sum"
         )
     )
-    sink = tempfile.mkdtemp(prefix="cph_fes_")  # run-scoped: never stale
+    # stable per-sf scratch path: reruns overwrite instead of leaking
+    # a fresh mkdtemp tree per invocation
+    sink = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_fes",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(sink, ignore_errors=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -317,11 +317,20 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     'unchanged' majority is filtered pre-shuffle-free (post-join
     predicate on the tiny fingerprint columns)."""
     docs = table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents")
 
     def snap(version: int) -> DataFrame:
-        return spark.sql(_snapshot_sql("spark", version)).selectExpr(
-            "doc_id", f"{rolling_fingerprint_spark('text')} AS fp"
+        # same carve-outs as _snapshot_sql, built with DataFrame ops so no
+        # session-level 'documents' view is clobbered as a side effect
+        mod = 11 if version == 1 else 13
+        text = (
+            "text"
+            if version == 1
+            else "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') ELSE text END"
+        )
+        return (
+            docs.filter(f"doc_id % {mod} <> 0")
+            .selectExpr("doc_id", f"{text} AS text")
+            .selectExpr("doc_id", f"{rolling_fingerprint_spark('text')} AS fp")
         )
 
     v1, v2 = snap(1).alias("v1"), snap(2).alias("v2")

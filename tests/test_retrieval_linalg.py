@@ -24,8 +24,11 @@ def test_gram_matrix_matches_numpy(spark, sf_dir):
     from copperhead_spark.catalog import table
     from copperhead_spark.operators.linalg import E6_SCALE, gram_matrix
 
+    from copperhead_spark.functions.vectors import _round_half_away
+
     X = _embeddings(spark, sf_dir)
-    Xi = np.rint(X * E6_SCALE).astype(np.int64)
+    # SQL ROUND semantics (half away from zero), same as the oracle
+    Xi = _round_half_away(X * E6_SCALE).astype(np.int64)
     want = (Xi.T @ Xi).astype(np.float64) / float(E6_SCALE) ** 2
 
     got = gram_matrix(table(spark, sf_dir, "embeddings"), dim=64).collect()
@@ -53,8 +56,10 @@ def test_random_projection_matches_numpy(spark, sf_dir):
     from copperhead_spark.operators.linalg import jl_signs
     from copperhead_spark.plans.registry import all_queries
 
+    from copperhead_spark.functions.vectors import _round_half_away
+
     X = _embeddings(spark, sf_dir)
-    Xi = np.rint(X * 1e6).astype(np.int64)
+    Xi = _round_half_away(X * 1e6).astype(np.int64)
     S = np.array(jl_signs(64, 8), dtype=np.int64)  # (8, 64)
     want = (Xi @ S.T).astype(np.float64) / 1e6 / math.sqrt(8.0)
 
@@ -154,14 +159,6 @@ def test_hll_estimate_accuracy(spark, sf_dir):
     from copperhead_spark.plans.registry import all_queries
 
     li = table(spark, sf_dir, "lineitem")
-    exact = {
-        r["l_returnflag"]: r["n"]
-        for r in li.groupBy("l_returnflag")
-        .agg({"l_orderkey": "approx_count_distinct"})
-        .withColumnRenamed("approx_count_distinct(l_orderkey)", "n")
-        .collect()
-    }
-    # approx_count_distinct is itself a sketch; get the true value instead
     exact = {
         r["l_returnflag"]: r["n"]
         for r in li.selectExpr("l_returnflag", "l_orderkey")
