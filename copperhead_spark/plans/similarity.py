@@ -165,7 +165,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NC = 8  # centroids
 _IVF_DIM = 64
-_IVF_NPROBE = 2  # clusters probed per query
+_IVF_NPROBE = 4  # clusters probed per query (recall floor: sim_ivf_recall)
 
 
 def _ivf_centroids() -> list[list[int]]:
@@ -270,8 +270,8 @@ FROM (
 @register("sim_ivf_topk", oracle=_ivf_oracle(), tags=("similarity",))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: cluster assignment is a shuffle-free projection
-    against driver-held quantized centroids; each query probes its 2
-    nearest clusters; exact cosine re-ranking runs only inside probed
+    against driver-held quantized centroids; each query probes its
+    {_IVF_NPROBE} nearest clusters; exact cosine re-ranking runs only inside probed
     clusters.  The oracle mirrors the IVF algorithm itself (same
     centroids, same integer arithmetic), so parity is exact even though
     IVF is approximate relative to the brute-force `sim_cosine_topk`."""
@@ -386,6 +386,52 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = emb.filter(F.col("vec_id") >= _NQ).selectExpr("vec_id AS cand_id", "embedding")
     return batch_cosine_topk(c, queries, _TOPK, transform=quantize_q8, score_name="qcosine")
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ({_COSINE_TOPK_ORACLE}) e
+LEFT JOIN ({_ivf_oracle()}) i
+  ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+GROUP BY e.query_id
+"""
+
+
+@register("sim_ivf_recall", oracle=_ivf_recall_oracle(), tags=("similarity",))
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k quality gate for the IVF ANN path: per query, the number
+    of exact brute-force top-{_TOPK} neighbors the IVF probe recovered.
+    Both inputs are the registered, oracle-checked builders, and both are
+    deterministic integer pipelines, so the recall fraction itself is an
+    exact, hashable value — the ANN approximation QUALITY is pinned by
+    the correctness gate, not just its determinism.  The floor (mean
+    recall >= 0.6 at nprobe={_IVF_NPROBE}) is asserted in
+    tests/test_operators.py; production tunes nprobe against this same
+    query."""
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = (
+        sim_ivf_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_match"),
+            F.count("*").cast("long").alias("k"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("recall"),
+        )
+    )
 
 
 _NEARDUP_T = 0.40
@@ -540,24 +586,52 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_BLOCKS = 8
+
+
 @register("dedup_embedding_cosine_pairs", oracle=_NEARDUP_ORACLE, tags=("dedup", "similarity"))
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.40).  All-pairs on
-    this table; at scale the pair space is pre-pruned by sim_lsh_buckets
-    (same-bucket candidates only).  The pair dot product runs through the
-    vectorized Arrow kernel (functions/vectors.py) — same int64 values as
-    the HOF expression form, ~5x faster on the O(n^2) sweep — and the
-    oracle still checks every value."""
+    """Exact embedding-cosine near-dup pairs (threshold {_NEARDUP_T}) via
+    triangle block-partitioning: each vector gets block b = vec_id mod P;
+    the left side replicates to block-pair keys (b, j>=b), the right to
+    (i<=b, b), and the join is a plain EQUI-join on (bi, bj) — the
+    O(n^2) pair compute (irreducible for exact semantics) is spread
+    evenly over P(P+1)/2 hash-join tasks with shuffle O(n*P), no
+    nested-loop join anywhere.  Every unordered pair meets in exactly one
+    task (same-block orientations deduped by va < vb).  The dot products
+    run through the vectorized Arrow kernel (functions/vectors.py), and
+    the brute-force oracle checks every value.  At 100 TB exact all-pairs
+    is still quadratic work by definition — the subquadratic production
+    near-dup is dedup_semantic_clusters (pair space confined to k-means
+    clusters, sum(|c|^2) not n^2)."""
     from copperhead_spark.functions.vectors import pair_dot
 
+    blocks = _NEARDUP_BLOCKS
     emb = table(spark, sf_dir, "embeddings")
-    v = emb.selectExpr("vec_id", "embedding", f"{_norm2_spark('embedding')} AS n2")
-    a = v.selectExpr("vec_id AS vec1", "embedding AS e1", "n2 AS na")
-    b = v.selectExpr("vec_id AS vec2", "embedding AS e2", "n2 AS nb")
-    pairs = pair_dot(a.join(b, F.col("vec1") < F.col("vec2")), "e1", "e2")
-    scored = pairs.selectExpr(
-        "vec1",
-        "vec2",
+    v = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"{_norm2_spark('embedding')} AS n2",
+        f"CAST(pmod(vec_id, {blocks}) AS INT) AS blk",
+    )
+    a = v.selectExpr(
+        "vec_id AS va",
+        "embedding AS e1",
+        "n2 AS na",
+        "blk AS bi",
+        f"explode(sequence(blk, {blocks - 1})) AS bj",
+    )
+    b = v.selectExpr(
+        "vec_id AS vb",
+        "embedding AS e2",
+        "n2 AS nb",
+        "explode(sequence(0, blk)) AS bi",
+        "blk AS bj",
+    )
+    cand = a.join(b, ["bi", "bj"]).filter("bi < bj OR va < vb")
+    scored = pair_dot(cand, "e1", "e2").selectExpr(
+        "least(va, vb) AS vec1",
+        "greatest(va, vb) AS vec2",
         "CAST(dot AS DOUBLE)"
         " / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cosine",
     )

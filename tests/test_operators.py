@@ -310,3 +310,18 @@ def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
                     dtype=np.int64,
                 )
     assert got == cents.tolist()
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """The ANN quality gate: IVF top-k at nprobe=4 must recover >= 60%
+    of the exact brute-force neighbors on average (per-query recall is
+    also bounded away from zero)."""
+    from copperhead_spark.plans.registry import all_queries
+
+    rows = all_queries()["sim_ivf_recall"].builder(spark, sf_dir).collect()
+    assert len(rows) == 5
+    recalls = [r["recall"] for r in rows]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    assert min(recalls) >= 0.2, recalls
+    for r in rows:
+        assert r["k"] == 5 and 0 <= r["n_match"] <= 5

@@ -25,7 +25,6 @@ from copperhead_spark.plans.registry import all_queries
 # registered query (LSH-bucketed), per SURVEY §7 / COVERAGE SIM1-2, D5
 BNLJ_BASELINES = {
     "sim_cosine_topk": "sim_lsh_buckets",
-    "dedup_embedding_cosine_pairs": "sim_lsh_buckets",
     # the quantized sweep is deliberately all-pairs: it IS the cheap
     # shortlist generator; cluster pruning comes from sim_ivf_topk
     "sim_quantized_topk": "sim_ivf_topk",
