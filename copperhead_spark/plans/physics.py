@@ -120,7 +120,13 @@ def phys_geofit_piecewise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_hmm_histogram", oracle=None, tags=("E2E",))
+def _hmm_oracle() -> str:
+    from copperhead_spark.plans.hmm_oracle import hmm_pipeline_oracle
+
+    return hmm_pipeline_oracle(20_000)
+
+
+@register("pipeline_hmm_histogram", oracle=_hmm_oracle(), tags=("E2E",))
 def pipeline_hmm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end H->mumu pipeline (run_stage1.py -> run_stage2.py as ONE
     lazy plan): jagged events with Muon/Jet/FsrPhoton collections flow
@@ -129,11 +135,12 @@ def pipeline_hmm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stage1_arrays — zero shuffles, pure array HOFs inside codegen), then
     the region x channel x variation weighted histogram (stage2_variations
     — the single event-data shuffle).  Input is the deterministic
-    executor-side fixture, so the result is stable across runs/partitions;
-    no SQL oracle — the per-stage operators are oracle-checked separately
-    and the pipeline is pinned against an independent pandas mirror in
-    tests/test_pipeline.py (reference: stage1/processor.py:95-516,
-    stage2/histogrammer.py:28-120)."""
+    executor-side fixture, so the result is stable across runs/partitions
+    AND re-derivable: the oracle (plans/hmm_oracle.py) rebuilds the whole
+    fixture->stage1->stage2 chain relationally in DuckDB, making the
+    showcase query full-value hash-checked cross-engine (reference:
+    stage1/processor.py:95-516, stage2/histogrammer.py:28-120); an
+    independent pandas mirror also pins it in tests/test_pipeline.py."""
     from copperhead_spark.fixtures import events_fixture_distributed
     from copperhead_spark.pipeline import stage1_arrays, stage2_variations
 

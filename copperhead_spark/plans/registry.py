@@ -95,7 +95,6 @@ _DRIVER_WINDOW = (
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_signatures",
-    "dedup_minhash_signatures_sql",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_jaccard_est",
     "dedup_simhash_signatures",
@@ -110,6 +109,7 @@ _DRIVER_WINDOW = (
     "sim_lsh_buckets",
     "sim_ivf_topk",
     "sim_quantized_topk",
+    "sim_ivf_recall",
     "kmeans_update_step",
     # sketches / bloom / linalg / retrieval
     "sketch_hll_distinct",
@@ -122,7 +122,6 @@ _DRIVER_WINDOW = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    "text_length_by_source",
     "text_repetition_stats",
     "text_gopher_filter",
     "text_rolling_fingerprint",
@@ -142,11 +141,12 @@ _DRIVER_WINDOW = (
     "stream_stream_join",
     "stream_foreachbatch_sink",
     "st5_stateful_profile",
-    # sources / ml / aggregates not yet driver-checked
+    # sources / ml / aggregates / flagship E2E not yet driver-checked
     "s3_partitioned_sink_roundtrip",
     "s4_partition_pruned_scan",
     "ml_mlp_inference",
     "a5_weighted_histogram",
+    "pipeline_hmm_histogram",
 )
 
 
