@@ -100,10 +100,171 @@ def fit_bwz(x, y, sigma, mass: float = 91.1876) -> FitResult:
     return FitResult("bwZ", params, chi2, len(x) - 2, yhat)
 
 
+def _golden_min(f, lo: float, hi: float, iters: int = 60) -> float:
+    """Derivative-free 1-D minimizer (same scheme as fit_bwz)."""
+    phi = (1 + 5**0.5) / 2
+    a, b = lo, hi
+    c, d = b - (b - a) / phi, a + (b - a) / phi
+    for _ in range(iters):
+        if f(c) < f(d):
+            b = d
+        else:
+            a = c
+        c, d = b - (b - a) / phi, a + (b - a) / phi
+    return (a + b) / 2
+
+
+def _profiled_coordinate_fit(
+    model: str,
+    shape,
+    x: np.ndarray,
+    y: np.ndarray,
+    sigma: np.ndarray,
+    params0: list[float],
+    bounds: list[tuple[float, float]],
+    sweeps: int = 8,
+) -> FitResult:
+    """Nonlinear families with a profiled linear normalization: cyclic
+    coordinate descent, each coordinate minimized by golden section with
+    the norm re-solved exactly per evaluation (weighted lstsq on the
+    single shape column).  Deterministic — no RNG, no scipy."""
+    p = list(params0)
+
+    def chi2_at(q: list[float]) -> tuple[float, np.ndarray, np.ndarray]:
+        with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+            basis = shape(x, *q)[:, None]
+        if not np.all(np.isfinite(basis)):
+            # out-of-domain shape (e.g. exp overflow on a wildly scaled
+            # x): this family simply cannot describe the data here
+            return float("inf"), np.zeros(1), np.zeros_like(y)
+        coef, chi2, yhat = _weighted_lstsq(basis, y, sigma)
+        return chi2, coef, yhat
+
+    for _ in range(sweeps):
+        for i, (lo, hi) in enumerate(bounds):
+
+            def f(v: float, i: int = i) -> float:
+                q = p.copy()
+                q[i] = v
+                return chi2_at(q)[0]
+
+            p[i] = _golden_min(f, lo, hi, iters=40)
+    chi2, coef, yhat = chi2_at(p)
+    return FitResult(
+        model,
+        np.array([coef[0], *p]),
+        chi2,
+        len(x) - (len(p) + 1),
+        yhat,
+    )
+
+
+def _bwz_redux_shape(x: np.ndarray, a1: float, a2: float, a3: float) -> np.ndarray:
+    """fit_models.py bwZredux: exp(a2*(x/100) + a3*(x/100)^2) * 2.5 /
+    ((x - 91.2)^a1 + (2.5/2)^a1) — perturbed exponential times an
+    off-power Breit-Wigner."""
+    t = x / 100.0
+    return (
+        np.exp(a2 * t + a3 * t * t)
+        * 2.5
+        / (np.abs(x - 91.2) ** a1 + (2.5 / 2.0) ** a1)
+    )
+
+
+def fit_bwz_redux(x, y, sigma) -> FitResult:
+    return _profiled_coordinate_fit(
+        "bwZredux",
+        _bwz_redux_shape,
+        x,
+        y,
+        sigma,
+        params0=[1.39, 0.46, -0.26],
+        bounds=[(0.7, 2.1), (0.30, 0.62), (-0.40, -0.12)],
+    )
+
+
+def _bw_gamma_shape(x: np.ndarray, exp_param: float) -> np.ndarray:
+    """fit_models.py bwGamma: exp(x * expParam) * x^-2 — the photon
+    contribution, falling exponential over 1/x^2."""
+    return np.exp(x * exp_param) / (x * x)
+
+
+def fit_bw_gamma(x, y, sigma) -> FitResult:
+    def f(v: float) -> float:
+        with np.errstate(over="ignore", invalid="ignore"):
+            basis = _bw_gamma_shape(x, v)[:, None]
+        if not np.all(np.isfinite(basis)):
+            return float("inf")
+        _, chi2, _ = _weighted_lstsq(basis, y, sigma)
+        return chi2
+
+    best = _golden_min(f, -0.1, 0.1)
+    with np.errstate(over="ignore", invalid="ignore"):
+        basis = _bw_gamma_shape(x, best)[:, None]
+    if not np.all(np.isfinite(basis)):
+        return FitResult(
+            "bwGamma", np.array([0.0, best]), float("inf"), len(x) - 2, np.zeros_like(y)
+        )
+    coef, chi2, yhat = _weighted_lstsq(basis, y, sigma)
+    return FitResult(
+        "bwGamma", np.array([coef[0], best]), chi2, len(x) - 2, yhat
+    )
+
+
+def _double_cb_shape(
+    x: np.ndarray,
+    mean: float,
+    sigma_: float,
+    alpha1: float,
+    n1: float,
+    alpha2: float,
+    n2: float,
+) -> np.ndarray:
+    """RooDoubleCB (fit_models.py:384-392): Gaussian core with power-law
+    tails below -alpha1 and above +alpha2 (in pulls t = (x-mean)/sigma),
+    continuous and differentiable at the junctions."""
+    t = (x - mean) / sigma_
+    a1_ = np.exp(-0.5 * alpha1 * alpha1) * (n1 / alpha1) ** n1
+    b1 = n1 / alpha1 - alpha1
+    a2_ = np.exp(-0.5 * alpha2 * alpha2) * (n2 / alpha2) ** n2
+    b2 = n2 / alpha2 - alpha2
+    core = np.exp(-0.5 * t * t)
+    left = a1_ * (b1 - t) ** (-n1)
+    right = a2_ * (b2 + t) ** (-n2)
+    return np.where(t < -alpha1, left, np.where(t > alpha2, right, core))
+
+
+def fit_double_cb(x, y, sigma) -> FitResult:
+    return _profiled_coordinate_fit(
+        "doubleCB",
+        _double_cb_shape,
+        x,
+        y,
+        sigma,
+        params0=[125.0, 2.0, 2.0, 1.5, 2.0, 1.5],
+        bounds=[
+            (120.0, 130.0),
+            (0.3, 5.0),
+            (0.3, 10.0),
+            (0.1, 10.0),
+            (0.3, 10.0),
+            (0.1, 10.0),
+        ],
+        # 6 correlated params need more cycles than the 3-param families
+        sweeps=40,
+    )
+
+
+# the reference's six-model menu (fit_models.py:20-392): three linear-in-
+# coefficient polynomial/series families solved exactly, three nonlinear
+# lineshapes via profiled-norm golden-section / coordinate descent
 FAMILIES = {
     "chebyshev3": lambda x, y, s: fit_chebyshev(x, y, s, 3),
     "bernstein3": lambda x, y, s: fit_bernstein(x, y, s, 3),
     "bwZ": fit_bwz,
+    "bwZredux": fit_bwz_redux,
+    "bwGamma": fit_bw_gamma,
+    "doubleCB": fit_double_cb,
 }
 
 
@@ -111,9 +272,12 @@ def select_best_model(
     x: np.ndarray, y: np.ndarray, sigma: np.ndarray, families=FAMILIES
 ) -> FitResult:
     """chi2-argmin model selection (fitter.py:40-52): fit every family,
-    keep the minimum chi2/ndf."""
+    keep the minimum chi2/ndf.  Families whose shape blows up on this
+    x-range (non-finite chi2) are excluded, mirroring the reference's
+    chi2<=0 -> 999 guard."""
     results = [fit(x, y, sigma) for fit in families.values()]
-    return min(results, key=lambda r: r.chi2_ndf)
+    finite = [r for r in results if math.isfinite(r.chi2)]
+    return min(finite or results, key=lambda r: r.chi2_ndf)
 
 
 def fit_histogram_table(

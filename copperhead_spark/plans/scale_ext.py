@@ -256,10 +256,12 @@ def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parametric fit + chi2 model selection (fitter.py:12-128,
     fit_models.py:20-392): the distributed part is the weighted histogram
     (one groupBy shuffle); each category's fit then consumes O(nbins)
-    collected numbers driver-side — chebyshev/bernstein via exact
-    weighted least squares, Breit-Wigner via profiled width scan — and
-    the minimum-chi2/ndf family wins.  No SQL oracle (iterative model
-    selection is not SQL-expressible); the fit kernels recover known
+    collected numbers driver-side — the reference's SIX-model menu
+    (chebyshev/bernstein via exact weighted least squares; bwZ, bwZredux,
+    bwGamma, doubleCB via profiled-norm golden-section / coordinate
+    descent) with the minimum-chi2/ndf family winning and non-finite
+    (out-of-domain) families excluded.  No SQL oracle (iterative model
+    selection is not SQL-expressible); every family recovers known
     parameters in tests/test_finishing.py and the input histogram shape
     is oracle-checked via fin2_group_templates/a5_weighted_histogram."""
     from copperhead_spark.finishing.fits import fit_histogram_table

@@ -95,3 +95,83 @@ def test_templates_and_datacard():
     assert "process      ggH DY Top" in card
     assert "process      0 1 2" in card
     assert "lumi         lnN 1.025 1.025 -" in card
+
+
+def test_bwz_redux_fit_recovers_params():
+    from copperhead_spark.finishing.fits import _bwz_redux_shape, fit_bwz_redux
+
+    x = np.linspace(110, 150, 80)
+    true = (1.39, 0.46, -0.26)
+    y = 3000.0 * _bwz_redux_shape(x, *true)
+    res = fit_bwz_redux(x, y, np.sqrt(np.maximum(y, 1e-9)))
+    assert res.model == "bwZredux"
+    assert np.allclose(res.params[1:], true, atol=0.02), res.params
+    assert res.chi2_ndf < 1e-6
+
+
+def test_bw_gamma_fit_recovers_param():
+    from copperhead_spark.finishing.fits import _bw_gamma_shape, fit_bw_gamma
+
+    x = np.linspace(110, 150, 80)
+    y = 1e7 * _bw_gamma_shape(x, -0.013)
+    res = fit_bw_gamma(x, y, np.sqrt(np.maximum(y, 1e-9)))
+    assert res.model == "bwGamma"
+    assert abs(res.params[1] - (-0.013)) < 1e-4, res.params
+    assert res.chi2_ndf < 1e-8
+
+
+def test_double_cb_fit_recovers_core():
+    from copperhead_spark.finishing.fits import _double_cb_shape, fit_double_cb
+
+    x = np.linspace(110, 150, 160)
+    true = (125.3, 1.8, 1.4, 2.0, 1.9, 3.0)
+    y = 800.0 * _double_cb_shape(x, *true)
+    res = fit_double_cb(x, y, np.sqrt(np.maximum(y, 1e-9)))
+    assert res.model == "doubleCB"
+    # core parameters are tightly identified; tails more loosely
+    assert abs(res.params[1] - 125.3) < 0.05, res.params
+    assert abs(res.params[2] - 1.8) < 0.1, res.params
+    assert res.chi2_ndf < 1e-3
+
+
+def test_double_cb_shape_continuous_at_junctions():
+    from copperhead_spark.finishing.fits import _double_cb_shape
+
+    mean, sig, a1, n1, a2, n2 = 125.0, 2.0, 1.5, 2.5, 1.8, 3.5
+    eps = 1e-9
+    for t_edge in (-a1, a2):
+        lo = _double_cb_shape(np.array([mean + (t_edge - eps) * sig]), mean, sig, a1, n1, a2, n2)
+        hi = _double_cb_shape(np.array([mean + (t_edge + eps) * sig]), mean, sig, a1, n1, a2, n2)
+        assert abs(lo[0] - hi[0]) < 1e-6
+
+
+def test_six_family_menu_selects_each_lineshape():
+    """Every nonlinear family wins model selection on data it generated
+    (the 6-model menu parity vs fit_models.py:20-392)."""
+    from copperhead_spark.finishing.fits import (
+        _bw_gamma_shape,
+        _bwz_redux_shape,
+        _double_cb_shape,
+    )
+
+    assert set(FAMILIES) == {
+        "chebyshev3", "bernstein3", "bwZ", "bwZredux", "bwGamma", "doubleCB",
+    }
+    x = np.linspace(110, 150, 120)
+    cases = {
+        "doubleCB": 800.0 * _double_cb_shape(x, 125.3, 1.8, 1.4, 2.0, 1.9, 3.0),
+        "bwZredux": 3000.0 * _bwz_redux_shape(x, 1.39, 0.46, -0.26),
+        "bwGamma": 1e7 * _bw_gamma_shape(x, -0.013),
+    }
+    for want, y in cases.items():
+        best = select_best_model(x, y, np.sqrt(np.maximum(y, 1e-9)))
+        assert best.model == want, (want, best.model, best.chi2_ndf)
+
+
+def test_select_best_model_survives_wild_x_range():
+    """fin1 runs the menu on price-scaled x (0..110000): exp-based
+    lineshapes overflow there and must lose gracefully, not crash."""
+    x = np.linspace(1000.0, 109000.0, 55)
+    y = 100.0 + 0.001 * x
+    best = select_best_model(x, y, np.sqrt(np.maximum(y, 1.0)))
+    assert np.isfinite(best.chi2)
