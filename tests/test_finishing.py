@@ -175,3 +175,99 @@ def test_select_best_model_survives_wild_x_range():
     y = 100.0 + 0.001 * x
     best = select_best_model(x, y, np.sqrt(np.maximum(y, 1.0)))
     assert np.isfinite(best.chi2)
+
+
+def _toy_hist_pdf():
+    """Histogram table for 2 MC groups + data over 4 bins, with an
+    underflow (-1) and overflow (4) row to check edge folding."""
+    rows = []
+    for grp, vals in (
+        ("dy", [50.0, 40.0, 30.0, 20.0]),
+        ("ttbar", [5.0, 6.0, 7.0, 8.0]),
+        ("data", [60.0, 44.0, 40.0, 28.0]),
+        ("ggh", [1.0, 2.0, 2.0, 1.0]),
+    ):
+        for b, v in enumerate(vals):
+            rows.append(("h-peak", "vbf", "nominal", grp, b, v, v))
+    rows.append(("h-peak", "vbf", "nominal", "dy", -1, 3.0, 3.0))   # underflow
+    rows.append(("h-peak", "vbf", "nominal", "dy", 4, 2.0, 2.0))    # overflow
+    rows.append(("z-peak", "vbf", "nominal", "dy", 0, 999.0, 999.0))  # other region
+    return pd.DataFrame(
+        rows,
+        columns=["region", "channel", "variation", "group", "bin_idx", "value", "sumw2"],
+    )
+
+
+def test_plot_spec_axes_contents_and_totals():
+    from copperhead_spark.finishing.plots import build_plot_spec
+
+    spec = build_plot_spec(
+        _toy_hist_pdf(),
+        lo=110.0, hi=150.0, nbins=4,
+        groups={"dy": "stack", "ttbar": "stack", "ggh": "step", "data": "errorbar"},
+        region="h-peak", channel="vbf",
+    )
+    assert np.allclose(spec["edges"], [110, 120, 130, 140, 150])
+    # ascending integral: ttbar (26) stacks below dy (145 + folded 5)
+    assert spec["stack_order"] == ["ttbar", "dy"]
+    # under/overflow folded into edge bins
+    dy = spec["groups"]["dy"]["values"]
+    assert np.allclose(dy, [53.0, 40.0, 30.0, 22.0])
+    assert np.allclose(spec["total_mc"], dy + np.array([5.0, 6.0, 7.0, 8.0]))
+    assert np.allclose(spec["stack_cumulative"][-1], spec["total_mc"])
+    # z-peak row is sliced out
+    assert spec["total_yield"] == pytest_approx(26.0 + 145.0 + 6.0 + 172.0)
+    # ratio = data / MC with sqrt(sumw2) errors
+    data = spec["total_data"]
+    assert np.allclose(spec["ratio"], data / spec["total_mc"])
+    assert np.allclose(spec["ratio_err"], np.sqrt(data) / spec["total_mc"])
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x)
+
+
+def test_plot_spec_from_stage2_pipeline(spark):
+    """End-to-end: the flagship stage-2 histogram feeds the plot spec;
+    the figure totals equal the histogram totals (the reference's
+    tests/test_stage3.py:20-68 analogue on axes contents)."""
+    from copperhead_spark.finishing.plots import build_plot_spec
+    from copperhead_spark.fixtures import events_fixture_distributed
+    from copperhead_spark.pipeline import stage1_arrays, stage2
+
+    hist = stage2(stage1_arrays(events_fixture_distributed(spark, 5000)))
+    pdf = hist.toPandas()
+    pdf["group"] = "mc"
+    pdf["variation"] = "nominal"
+    region = pdf.region.iloc[0]
+    channel = pdf[pdf.region == region].channel.iloc[0]
+    spec = build_plot_spec(
+        pdf, lo=76.0, hi=150.0, nbins=37,
+        groups={"mc": "stack"}, region=region, channel=channel,
+    )
+    want = pdf[(pdf.region == region) & (pdf.channel == channel)].value.sum()
+    assert spec["total_yield"] == pytest_approx(float(want))
+    assert spec["stack_order"] == ["mc"]
+    assert len(spec["centers"]) == 37 and len(spec["edges"]) == 38
+    assert np.isfinite(spec["total_mc"]).all()
+
+
+def test_render_plot_is_gated_without_matplotlib():
+    from copperhead_spark.finishing.plots import build_plot_spec, render_plot
+
+    spec = build_plot_spec(
+        _toy_hist_pdf(), lo=0.0, hi=4.0, nbins=4,
+        groups={"dy": "stack"}, region="h-peak", channel="vbf",
+    )
+    try:
+        import matplotlib  # noqa: F401
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        import pytest
+
+        with pytest.raises(ImportError, match="matplotlib"):
+            render_plot(spec, "/tmp/never_written.png")
