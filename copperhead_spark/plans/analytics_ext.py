@@ -158,15 +158,74 @@ def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggregates", oracle=None, tags=("approx", "A8"))
+# documented error bounds asserted by approx_aggregates: HLL++ at the
+# default rsd=0.05 must land within 2*rsd of the exact distinct count;
+# percentile_approx(accuracy=10000) guarantees rank error <= 1/accuracy
+# (relaxed 2x to keep the boundary integer arithmetic slack-free)
+_APX_DISTINCT_RTOL = 0.10
+_APX_RANK_EPS = 2.0e-4
+
+
+@register(
+    "approx_aggregates",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(DISTINCT l_partkey) AS n_distinct_exact,
+       CAST(1 AS BIGINT) AS approx_distinct_ok,
+       CAST(1 AS BIGINT) AS approx_median_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("approx", "A8"),
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — the 100 TB substitutes for exact distinct
-    counts and quantiles (HLL++ / KLL-style sketches).  No cross-engine
-    oracle exists for sketch internals, so this is a rows-only check;
-    the exact twins (a1_count_per_group, a8_quantiles) are oracle-checked."""
+    """Approximate aggregates with ORACLE-CHECKED error bounds: the
+    sketch values themselves (HLL++ distinct, KLL-style median) are
+    engine-specific, so the query emits integer pass/fail flags against
+    documented bounds computed from EXACT values in the same plan — the
+    HLL estimate within {_APX_DISTINCT_RTOL:.0%} of the exact distinct
+    count, and the approximate median's exact rank within
+    n*(0.5 +/- {_APX_RANK_EPS}).  The oracle computes the exact columns
+    and asserts the flags are 1, so a sketch drifting out of contract
+    hash-fails the gate instead of hiding behind a rows-only check."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
+        F.countDistinct("l_partkey").alias("n_distinct_exact"),
+        F.approx_count_distinct("l_partkey").alias("_apx_distinct"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_apx_median"),
+    )
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(g), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("n_distinct_exact").alias("n_distinct_exact"),
+            F.first("_apx_distinct").alias("_apx_distinct"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("_apx_median")).cast("long")
+            ).alias("_rank_le"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("_apx_median")).cast("long")
+            ).alias("_rank_lt"),
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("_apx_distinct") - F.col("n_distinct_exact"))
+            <= F.lit(_APX_DISTINCT_RTOL) * F.col("n_distinct_exact")
+        )
+        .cast("long")
+        .alias("approx_distinct_ok"),
+        (
+            (F.col("_rank_le") >= (F.lit(0.5 - _APX_RANK_EPS) * F.col("n")))
+            & (F.col("_rank_lt") <= (F.lit(0.5 + _APX_RANK_EPS) * F.col("n")))
+        )
+        .cast("long")
+        .alias("approx_median_ok"),
     )
