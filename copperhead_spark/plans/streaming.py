@@ -156,26 +156,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "stream_stream_join",
-    oracle="""
-SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id
-FROM events p JOIN events c
-  ON p.user_id = c.user_id
- AND p.event_type = 'purchase' AND c.event_type = 'click'
- AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
-""",
-    tags=("streaming",),
-)
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join (click-attribution shape): purchases
-    join clicks by the same user within the preceding 6 hours.  Both
-    sides carry a watermark and the join predicate bounds event-time
-    distance, so Spark can size the join state and evict expired rows —
-    the canonical unbounded-joins-need-time-bounds pattern.  Inner-join
-    matches are emitted as they arrive (append mode); on a fully
-    replayed finite stream the result must equal the batch interval
-    self-join the oracle runs."""
+def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked click-attribution interval join plan, exposed so
+    tests can drive it with progress capture (state-metric assertions)."""
     ev = events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -195,13 +178,36 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("p_ts", "6 hours")
     )
-    joined = purchases.join(
+    return purchases.join(
         clicks,
         F.expr(
             "user_id = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 6 HOURS"
         ),
     )
-    out = run_to_memory(joined, mode="append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+""",
+    tags=("streaming",),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click-attribution shape): purchases
+    join clicks by the same user within the preceding 6 hours.  Both
+    sides carry a watermark and the join predicate bounds event-time
+    distance, so Spark can size the join state and evict expired rows —
+    the canonical unbounded-joins-need-time-bounds pattern (state-store
+    eviction is metric-asserted in tests/test_streaming_stateful.py).
+    Inner-join matches are emitted as they arrive (append mode); on a
+    fully replayed finite stream the result must equal the batch
+    interval self-join the oracle runs."""
+    out = run_to_memory(interval_join_stream(spark, sf_dir), mode="append")
     return out.select("purchase_id", "click_id", "user_id")
 
 

@@ -36,59 +36,70 @@ def plan_chunks(
     return chunks
 
 
-def read_nanoaod(
-    spark: SparkSession,
-    files_with_entries: Sequence[tuple[str, int]],
-    branches: Sequence[str],
-    tree: str = "Events",
-    chunk_size: int = 100_000,
-) -> DataFrame:
-    """Distributed ROOT scan: one task per entry-range chunk, columnar
-    decode to Arrow inside each task, only whitelisted branches read
-    (S2 source pruning — uproot deserializes nothing else)."""
+def _uproot_decoder(path: str, tree: str, branches: Sequence[str], start: int, stop: int):
+    """Real byte decode (gated: uproot/awkward absent from this image).
+    Returns a pyarrow Table of the whitelisted branches for one chunk."""
     try:
-        import uproot  # noqa: F401
+        import uproot
     except ImportError as e:
         raise ImportError(
             "ROOT ingestion needs uproot (`pip install uproot awkward`); "
             "in this environment convert NanoAOD to parquet offline and use "
             "catalog.table / spark.read.parquet instead"
         ) from e
+    import awkward as ak
 
-    import pyarrow as pa
+    with uproot.open(path) as f:
+        arrays = f[tree].arrays(
+            list(branches), entry_start=start, entry_stop=stop, library="ak"
+        )
+    return ak.to_arrow_table(arrays)
+
+
+def read_nanoaod(
+    spark: SparkSession,
+    files_with_entries: Sequence[tuple[str, int]],
+    branches: Sequence[str],
+    tree: str = "Events",
+    chunk_size: int = 100_000,
+    decoder=None,
+) -> DataFrame:
+    """Distributed ROOT scan: one task per entry-range chunk, columnar
+    decode to Arrow inside each task, only whitelisted branches read
+    (S2 source pruning — uproot deserializes nothing else).
+
+    ``decoder(path, tree, branches, start, stop) -> pyarrow.Table`` is
+    injectable so the whole mapInArrow pipeline — chunk specs, per-chunk
+    decode fan-out, Arrow batch hand-off, schema declaration — is
+    exercised end-to-end without ROOT fixtures (tests inject a
+    deterministic fake; see tests/test_tabular_io.py).  Production uses
+    the uproot decoder, the only code path this image cannot run."""
+    if decoder is None:
+        decoder = _uproot_decoder
+        # fail fast on the driver before launching executors
+        try:
+            import uproot  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "ROOT ingestion needs uproot (`pip install uproot awkward`); "
+                "in this environment convert NanoAOD to parquet offline and "
+                "use catalog.table / spark.read.parquet instead"
+            ) from e
+
+    import pyarrow as pa  # noqa: F401  (mapInArrow contract)
+    from pyspark.sql.pandas.types import from_arrow_schema
 
     chunks = plan_chunks(files_with_entries, chunk_size)
     chunk_df = spark.createDataFrame(chunks, "path string, start long, stop long")
 
-    branch_list = list(branches)
+    branch_list = tuple(branches)
 
-    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import uproot
-
+    def decode(batches):
         for batch in batches:
             for row in batch.to_pylist():
-                with uproot.open(row["path"]) as f:
-                    arrays = f[tree].arrays(
-                        branch_list,
-                        entry_start=row["start"],
-                        entry_stop=row["stop"],
-                        library="ak",
-                    )
-                import awkward as ak
-
-                table = ak.to_arrow_table(arrays)
+                table = decoder(row["path"], tree, branch_list, row["start"], row["stop"])
                 yield from table.to_batches()
 
     # schema must be declared up-front; derive from a zero-entry read
-    probe = next(
-        decode(
-            iter(
-                [
-                    pa.RecordBatch.from_pylist(
-                        [{"path": chunks[0][0], "start": 0, "stop": 0}]
-                    )
-                ]
-            )
-        )
-    )
-    return chunk_df.mapInArrow(decode, schema=pa.schema(probe.schema))
+    probe = decoder(chunks[0][0], tree, branch_list, 0, 0)
+    return chunk_df.mapInArrow(decode, schema=from_arrow_schema(probe.schema))

@@ -50,7 +50,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, mode: str = "complete", state_partitions: int = 16
+    stream_df: DataFrame,
+    mode: str = "complete",
+    state_partitions: int = 16,
+    progress: list | None = None,
 ) -> DataFrame:
     """Drive a streaming aggregation to completion (availableNow) into a
     uniquely-named memory sink; return the materialized result.
@@ -58,7 +61,11 @@ def run_to_memory(
     Streaming state-store partitioning is pinned by the shuffle-partition
     count at query start; a vanilla session's default 200 means 200
     state tasks per stateful operator — measured 29 s for a toy dedup.
-    Temporarily lower it for the replay harness (restored after)."""
+    Temporarily lower it for the replay harness (restored after).
+
+    Pass a list as ``progress`` to receive the query's per-micro-batch
+    StreamingQueryProgress dicts — tests assert state-store metrics
+    (stateOperators[*].numRowsTotal) against their event-time bounds."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
@@ -72,6 +79,8 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        if progress is not None:
+            progress.extend(p for p in q.recentProgress if p is not None)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

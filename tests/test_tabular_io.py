@@ -80,3 +80,79 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     a = reg.toPandas().sort_values("r_regionkey").reset_index(drop=True)
     b = back.toPandas().sort_values("r_regionkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def _make_fake_root_decoder():
+    """Deterministic stand-in for the uproot chunk decode: entry i of
+    file fN carries event = N*1_000_000 + i, a scalar pt, and a jagged
+    Muon_pt whose length cycles 0..3 — NanoAOD-shaped without ROOT.
+    Returned as a closure so cloudpickle ships it by VALUE (a module-
+    level test function would pickle by reference and fail to import on
+    executors)."""
+
+    def decoder(path, tree, branches, start, stop):
+        import pyarrow as pa
+
+        file_no = int(path.rsplit("f", 1)[-1].split(".")[0])
+        events, pts, jagged = [], [], []
+        for i in range(start, stop):
+            events.append(file_no * 1_000_000 + i)
+            pts.append(round(20.0 + (i % 97) * 0.5, 4))
+            jagged.append([float(j + i % 4) for j in range(i % 4)])
+        return pa.table(
+            {
+                "event": pa.array(events, pa.int64()),
+                "pt": pa.array(pts, pa.float64()),
+                "Muon_pt": pa.array(jagged, pa.list_(pa.float64())),
+            }
+        )
+
+    return decoder
+
+
+def test_read_nanoaod_mapinarrow_roundtrip(spark):
+    """S1 plumbing end-to-end with an injected decoder: chunk planning ->
+    chunk-spec DataFrame -> mapInArrow fan-out -> Arrow batches -> typed
+    DataFrame; only the uproot import line stays unexercised
+    (run_stage1.py:153-166 chunked-Runner analogue)."""
+    from copperhead_spark.sources.root_ingest import plan_chunks, read_nanoaod
+
+    files = [("/fake/f1.root", 2500), ("/fake/f2.root", 500)]
+    assert len(plan_chunks(files, 1000)) == 4  # 3 + 1 chunks
+
+    df = read_nanoaod(
+        spark, files, branches=("event", "pt", "Muon_pt"),
+        chunk_size=1000, decoder=_make_fake_root_decoder(),
+    )
+    assert [f.name for f in df.schema.fields] == ["event", "pt", "Muon_pt"]
+    assert df.schema["Muon_pt"].dataType.simpleString() == "array<double>"
+
+    got = df.selectExpr(
+        "count(*) AS n",
+        "sum(event) AS ev_sum",
+        "sum(size(Muon_pt)) AS nmu",
+        "sum(CAST(ROUND(pt * 10000) AS BIGINT)) AS pt_fp",
+    ).first()
+    # independent python mirror of the fake decoder
+    want_ev = want_mu = want_pt = 0
+    for fno, n in ((1, 2500), (2, 500)):
+        for i in range(n):
+            want_ev += fno * 1_000_000 + i
+            want_mu += i % 4
+            want_pt += round((20.0 + (i % 97) * 0.5) * 10000)
+    assert got.n == 3000
+    assert got.ev_sum == want_ev
+    assert got.nmu == want_mu
+    assert got.pt_fp == want_pt
+
+
+def test_read_nanoaod_without_decoder_is_gated(spark):
+    import pytest
+
+    from copperhead_spark.sources.root_ingest import read_nanoaod
+
+    try:
+        import uproot  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="uproot"):
+            read_nanoaod(spark, [("/fake/f1.root", 10)], branches=("event",))
