@@ -325,3 +325,20 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert min(recalls) >= 0.2, recalls
     for r in rows:
         assert r["k"] == 5 and 0 <= r["n_match"] <= 5
+
+
+def test_pq_recall_floor(spark):
+    """PQ quality gate: the ADC-shortlist + exact-re-rank pipeline must
+    recover >= 80% of the exact top-5 on average at shortlist depth 50
+    (sf0.01: 495 candidates, so the shortlist is a real 10% cut)."""
+    from copperhead_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["sim_pq_recall"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) == 5
+    recalls = [r["recall"] for r in rows]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    assert min(recalls) >= 0.4, recalls
