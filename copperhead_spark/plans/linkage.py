@@ -1,0 +1,301 @@
+"""Record-linkage / tokenizer-training operators over the documents
+table (beyond-reference LLM-pipeline capability, same family as
+plans/dedup.py):
+
+- blocked TF-IDF cosine pairs — the classic record-linkage shape:
+  candidate pairs are generated only WITHIN a blocking key, never across
+  the corpus, so pair volume is sum(|block|^2) instead of n^2.
+- BPE pair counting — the map-reduce inner loop of byte-pair-encoding
+  tokenizer training: count adjacent symbol pairs across the corpus.
+- incremental dedup against a standing index — the "ingest tonight's
+  crawl against the 100 TB corpus" shape: only the new batch is scanned
+  for candidates; the index side contributes distinct keys.
+
+All arithmetic is integer fixed point (tf * integer-scaled idf), so every
+query is bit-exact against its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.operators.barrier import project_once
+from copperhead_spark.functions.text import minhash_signature_spark, shingle_hashes_spark
+from copperhead_spark.plans.dedup import _MH_DUCK
+from copperhead_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# blocked TF-IDF cosine pairs
+# ---------------------------------------------------------------------------
+
+_IDF_SCALE = 100  # idf_e = (N * 100) DIV df  — integer, scale-free in N/df
+
+
+@register(
+    "text_tfidf_blocked_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, source, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3, 4
+),
+stats AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+wt AS (
+  SELECT t.doc_id, t.lang, t.source, t.w,
+         t.tf * ((n.n_docs * {_IDF_SCALE}) // s.df) AS ww
+  FROM tf t JOIN stats s ON t.w = s.w CROSS JOIN n
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(ww * ww) AS BIGINT) AS norm_sq FROM wt GROUP BY 1
+),
+dots AS (
+  SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.ww * b.ww) AS BIGINT) AS dot_ww
+  FROM wt a
+  JOIN wt b ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+           AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT d.lang, d.source, d.doc_a, d.doc_b, d.dot_ww,
+       na.norm_sq AS norm_a, nb.norm_sq AS norm_b
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE 2.0 * CAST(d.dot_ww AS DOUBLE) * CAST(d.dot_ww AS DOUBLE)
+      >= CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)
+""",
+    tags=("linkage", "text", "dedup"),
+)
+def text_tfidf_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked TF-IDF cosine similarity pairs (cos^2 >= 1/2) within
+    (lang, source) blocks.  Fixed-point weights: ww = tf * ((N*100) DIV
+    df), so dot products and norms are exact BIGINTs; the threshold test
+    runs in doubles (int64->double conversion and * are correctly
+    rounded, hence engine-identical).
+
+    Scale: the pair join's shuffle key is (lang, source, term) — only
+    block-mates ever meet, so pair volume is sum(|block|^2), the
+    record-linkage blocking bound.  df/N stats are vocab-sized
+    (broadcast); the corpus is shuffled once to build tf."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "lang", "source", "w").agg(
+        F.count("*").alias("tf")
+    )
+    stats = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # 1-row corpus size, driver-materialized and re-injected as a literal
+    # (scalar-subquery execution model, same as text_bm25_topk)
+    n_docs = docs.count()
+    wt = tf.join(F.broadcast(stats), "w").select(
+        "doc_id",
+        "lang",
+        "source",
+        "w",
+        F.expr(f"tf * (({n_docs} * {_IDF_SCALE}) DIV df)").alias("ww"),
+    )
+    norms = wt.groupBy("doc_id").agg(F.sum(F.expr("ww * ww")).alias("norm_sq"))
+    a, b = wt.alias("a"), wt.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang"),
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.ww") * F.col("b.ww")).alias("dot_ww"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm_sq").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm_sq").alias("norm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            2.0 * F.col("dot_ww").cast("double") * F.col("dot_ww").cast("double")
+            >= F.col("norm_a").cast("double") * F.col("norm_b").cast("double")
+        )
+        .select("lang", "source", "doc_a", "doc_b", "dot_ww", "norm_a", "norm_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+_BPE_PAIRS_SPARK = """
+flatten(transform(split(text, ' '),
+  tok -> CASE WHEN length(tok) >= 2
+              THEN transform(sequence(1, length(tok) - 1, 1),
+                             i -> substring(tok, i, 2))
+              ELSE array() END))
+"""
+
+_BPE_PAIRS_DUCK = """
+flatten(list_transform(string_split(text, ' '),
+  tok -> CASE WHEN length(tok) >= 2
+              THEN list_transform(range(1, length(tok)),
+                                  i -> substring(tok, i, 2))
+              ELSE [] END))
+"""
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+WITH pairs AS (
+  SELECT unnest({_BPE_PAIRS_DUCK}) AS pair FROM documents
+),
+counts AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank,
+       pair, n
+FROM counts
+ORDER BY n DESC, pair ASC
+LIMIT {_BPE_TOPK}
+""",
+    tags=("linkage", "text", "tokenizer"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge-selection step: count adjacent character
+    pairs inside whitespace tokens across the corpus, rank the top
+    candidates (deterministic tiebreak on the pair string).  Map-only
+    explode + one partial-agg groupBy + TakeOrderedAndProject; the merge
+    loop re-runs this with the chosen pair fused — each round is the same
+    linear scan."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(_BPE_TOPK)
+        .select("rank", "pair", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a standing index
+# ---------------------------------------------------------------------------
+
+_BATCH_MOD = 5  # doc_id % 5 == 4 is "tonight's crawl"; the rest is the index
+_BANDS = 4  # 4 bands x 2 rows over the 8-minhash signature (plans/dedup.py)
+
+_IDX_SIG_DUCK = "SELECT doc_id, " + ", ".join(
+    f"{m} AS mh{k}" for k, m in enumerate(_MH_DUCK)
+) + " FROM documents"
+
+_BAND_KEY_DUCK = [
+    f"CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR)"
+    for b in range(_BANDS)
+]
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=f"""
+WITH sig AS ({_IDX_SIG_DUCK}),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
+    for b, key in enumerate(_BAND_KEY_DUCK)
+  )}
+),
+fp AS (SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents),
+batch AS (SELECT * FROM fp WHERE doc_id % {_BATCH_MOD} = {_BATCH_MOD - 1}),
+idx_fp AS (SELECT DISTINCT fingerprint FROM fp
+           WHERE doc_id % {_BATCH_MOD} <> {_BATCH_MOD - 1}),
+idx_bands AS (SELECT DISTINCT band, band_key FROM bands
+              WHERE doc_id % {_BATCH_MOD} <> {_BATCH_MOD - 1})
+SELECT b.doc_id,
+       CASE WHEN EXISTS (SELECT 1 FROM idx_fp i
+                         WHERE i.fingerprint = b.fingerprint) THEN 'exact'
+            WHEN EXISTS (SELECT 1 FROM bands bb JOIN idx_bands ib
+                           ON bb.band = ib.band AND bb.band_key = ib.band_key
+                         WHERE bb.doc_id = b.doc_id) THEN 'near'
+            ELSE 'unique' END AS dup_kind
+FROM batch b
+""",
+    tags=("linkage", "dedup", "incremental"),
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify each NEW document (doc_id % 5 == 4)
+    against the standing index (the rest) as 'exact' (content fingerprint
+    already indexed), 'near' (shares a MinHash LSH band bucket with any
+    indexed doc), or 'unique'.
+
+    Scale: the index side reduces to DISTINCT fingerprints / band keys —
+    at 100 TB these are the dedup index tables you maintain anyway, and
+    the joins are batch-sized semi-joins on those keys; the full index
+    text is never read.  Signature computation is per-row HOF expressions
+    on the batch only."""
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("fingerprint")
+    )
+    sig = project_once(
+        docs,
+        "doc_id",
+        f"{minhash_signature_spark(shingle_hashes_spark())} AS sig",
+    )
+    bands = None
+    for b in range(_BANDS):
+        part = sig.selectExpr(
+            "doc_id",
+            f"{b} AS band",
+            f"CONCAT(CAST(element_at(sig, {2 * b + 1}) AS STRING), '_',"
+            f" CAST(element_at(sig, {2 * b + 2}) AS STRING)) AS band_key",
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_MOD - 1
+    batch = fp.filter(is_batch)
+    idx_fp = fp.filter(~is_batch).select("fingerprint").distinct()
+    idx_bands = bands.filter(~is_batch).select("band", "band_key").distinct()
+
+    exact_hits = batch.join(idx_fp, "fingerprint", "left_semi").select(
+        "doc_id", F.lit(1).alias("is_exact")
+    )
+    near_hits = (
+        bands.filter(is_batch)
+        .join(idx_bands, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).alias("is_near"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_hits, "doc_id", "left")
+        .join(near_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "exact")
+            .when(F.col("is_near") == 1, "near")
+            .otherwise("unique")
+            .alias("dup_kind"),
+        )
+    )

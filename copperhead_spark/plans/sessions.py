@@ -1,0 +1,137 @@
+"""Gap-based sessionization + funnel analytics over the events table
+(§2.8 date/time extension; batch analogue of the streaming session
+window, plans/streaming.py stream_session_window).
+
+The reference has no wall-clock session concept — its "session" axis is
+run/luminosity-block integers (python/io.py:115-140 lumi masks) — but any
+clickstream/training-telemetry user of this engine needs gap
+sessionization, so it is registered as a first-class oracle-checked
+operator family.
+
+Scale design: one shuffle on user_id for the window, then the session
+aggregate reuses the same partitioning (groupBy user_id, session_id is a
+prefix-key aggregation — no second exchange of the full data). At 100 TB
+the events table is range-partitioned by date and bucketed by user_id, so
+the window sort is per-bucket; session state never materializes globally
+(unlike the streaming variant, which bounds state by the watermark
+horizon instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from copperhead_spark.catalog import table
+from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
+from copperhead_spark.plans.registry import register
+
+# 12 h in microseconds: below the per-user median gap (~7.3 h at sf0.01)
+# so most sessions are multi-event, above the 75th pct so they still split
+_GAP_US = 12 * 3600 * 1_000_000
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, value, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(us) AS start_us,
+       MAX(us) AS end_us,
+       {exact_sum_sql("value", 2)} AS value_sum
+FROM s
+GROUP BY 1, 2
+""",
+    tags=("T4", "date", "sessions"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds 12 h.  lag + running-sum of
+    session-break flags over one user_id window, then a per-session
+    aggregate that reuses the window's partitioning."""
+    ev = table(spark, sf_dir, "events")
+    # fixtures store TIMESTAMP_NTZ; session tz is pinned UTC (session.py:47)
+    # so the cast to TIMESTAMP is epoch-preserving and matches epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > F.lit(_GAP_US)), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        ev.select("user_id", "event_id", "value", us.alias("us"), is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        exact_sum(F.col("value"), 2).alias("value_sum"),
+    )
+
+
+@register(
+    "session_funnel",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN us END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN us END) AS t_purchase
+  FROM t GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_view,
+       CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_view_click,
+       CAST(COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+            AS BIGINT) AS n_view_click_purchase
+FROM firsts
+WHERE t_view IS NOT NULL
+""",
+    tags=("T5", "date", "sessions"),
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first click
+    precedes their first purchase.  One conditional-MIN aggregate per
+    user (single shuffle), then a global roll-up — the standard funnel
+    shape; no self-joins, so it scales linearly in events."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = ev.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", us.alias("us"), "event_type"
+    )
+    firsts = t.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("t_purchase"),
+    )
+    return firsts.filter(F.col("t_view").isNotNull()).agg(
+        F.count("*").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_view_click_purchase"),
+    )

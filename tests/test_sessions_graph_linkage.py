@@ -1,0 +1,96 @@
+"""Semantic unit tests for the sessionization, PageRank, and
+record-linkage operator families (plans/sessions.py, plans/graph.py,
+plans/linkage.py).  Oracle parity is covered by test_oracle_parity; these
+pin the *semantics* on hand-checkable properties."""
+
+import pytest
+
+from copperhead_spark.plans.registry import all_queries
+
+QS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def sessions(spark, sf_dir):
+    return QS["sessionize_events"].builder(spark, sf_dir).toPandas()
+
+
+def test_session_ids_are_dense_from_one(sessions):
+    for _, g in sessions.groupby("user_id"):
+        ids = sorted(g["session_id"])
+        assert ids == list(range(1, len(ids) + 1))
+
+
+def test_sessions_do_not_overlap_and_gap_exceeds_threshold(sessions):
+    gap_us = 12 * 3600 * 1_000_000
+    for _, g in sessions.groupby("user_id"):
+        g = g.sort_values("session_id")
+        assert (g["end_us"] >= g["start_us"]).all()
+        # consecutive sessions are separated by more than the gap
+        nxt = g["start_us"].shift(-1).dropna()
+        assert ((nxt.values - g["end_us"].values[:-1]) > gap_us).all()
+
+
+def test_session_event_count_conserved(spark, sf_dir, sessions):
+    from copperhead_spark.catalog import table
+
+    assert int(sessions["n_events"].sum()) == table(spark, sf_dir, "events").count()
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    row = QS["session_funnel"].builder(spark, sf_dir).first()
+    assert row["n_view"] >= row["n_view_click"] >= row["n_view_click_purchase"] >= 0
+
+
+def test_pagerank_covers_all_nodes_with_positive_rank(spark, sf_dir):
+    pr = QS["graph_pagerank"].builder(spark, sf_dir).toPandas()
+    assert pr["node"].is_unique
+    # teleport term is a hard floor; symmetrized graph leaves no node out
+    assert (pr["rank_e6"] >= 150_000).all()
+    # both node families (customers, suppliers at +1e6) are present
+    assert (pr["node"] < 1_000_000).any() and (pr["node"] >= 1_000_000).any()
+
+
+def test_tfidf_blocked_pairs_stay_within_blocks(spark, sf_dir):
+    from copperhead_spark.catalog import table
+
+    pairs = QS["text_tfidf_blocked_pairs"].builder(spark, sf_dir).toPandas()
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    ).toPandas().set_index("doc_id")
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    for _, r in pairs.head(50).iterrows():
+        assert docs.loc[r["doc_a"], "lang"] == r["lang"]
+        assert docs.loc[r["doc_b"], "source"] == r["source"]
+    # the integer cosine threshold actually held
+    assert (
+        2.0 * pairs["dot_ww"].astype(float) ** 2
+        >= pairs["norm_a"].astype(float) * pairs["norm_b"].astype(float)
+    ).all()
+
+
+def test_bpe_pairs_are_two_chars_and_rank_consistent(spark, sf_dir):
+    bp = QS["text_bpe_pair_counts"].builder(spark, sf_dir).toPandas()
+    assert (bp["pair"].str.len() == 2).all()
+    assert list(bp["rank"]) == list(range(1, len(bp) + 1))
+    assert (bp["n"].diff().dropna() <= 0).all()  # sorted by count desc
+
+
+def test_incremental_dedup_classifies_every_batch_doc(spark, sf_dir):
+    from copperhead_spark.catalog import table
+
+    out = QS["dedup_incremental_index"].builder(spark, sf_dir).toPandas()
+    docs = table(spark, sf_dir, "documents").toPandas()
+    batch_ids = set(docs.loc[docs["doc_id"] % 5 == 4, "doc_id"])
+    assert set(out["doc_id"]) == batch_ids
+    assert set(out["dup_kind"]) <= {"exact", "near", "unique"}
+    # exact implies identical lowercase text exists in the index
+    idx_texts = set(docs.loc[docs["doc_id"] % 5 != 4, "text"].str.lower())
+    by_id = docs.set_index("doc_id")["text"]
+    for d in out.loc[out["dup_kind"] == "exact", "doc_id"]:
+        assert by_id[d].lower() in idx_texts
+    # and any batch doc whose text IS in the index must be caught as exact
+    for d in batch_ids:
+        if by_id[d].lower() in idx_texts:
+            kind = out.loc[out["doc_id"] == d, "dup_kind"].iloc[0]
+            assert kind == "exact"
