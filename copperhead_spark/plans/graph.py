@@ -109,3 +109,99 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "rank")
         )
     return ranks.select("node", F.col("rank").alias("rank_e6"))
+
+
+# ---------------------------------------------------------------------------
+# part co-purchase graph: triangles + degree distribution
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_DUCK = """
+pe AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pe a JOIN pe b ON a.okey = b.okey AND a.p < b.p
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str):
+    """Undirected part co-purchase edges, oriented u < v (each edge once)."""
+    pe = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = pe.alias("a"), pe.alias("b")
+    return (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_DUCK},
+nodes AS (SELECT u AS x FROM e0 UNION SELECT v FROM e0)
+SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*)
+             FROM e0 e1
+             JOIN e0 e2 ON e2.u = e1.v
+             JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles
+""",
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph: edges oriented
+    u < v, wedges (u<v<w) from the e1.v = e2.u self-join, closed against
+    the edge set.  Wedge volume is sum_v d_<(v)*d_>(v); the production
+    orientation at 100 TB orders by (degree, id) instead of raw id, which
+    caps per-node out-degree at ~sqrt(m) and hence wedges at O(m^1.5) —
+    identical plan shape, different ordering key."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    n_edges = e0.count()
+    n_nodes = (
+        e0.select(F.col("u").alias("x"))
+        .unionByName(e0.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    e1, e2, e3 = e0.alias("e1"), e0.alias("e2"), e0.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, tri)], "n_nodes long, n_edges long, n_triangles long"
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_DUCK},
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY 1
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+""",
+    tags=("graph",),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: two partial-agg
+    groupBys (node degree, then histogram) — the skew diagnostic you run
+    BEFORE the triangle/PageRank passes to pick salting and orientation
+    thresholds."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e0.select(F.col("u").alias("x"))
+        .unionByName(e0.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

@@ -135,3 +135,91 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_view_click_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series anomaly detection: trailing-window z-score spikes
+# ---------------------------------------------------------------------------
+
+_SPIKE_TRAIL = 24  # trailing window, in OBSERVED hours (row frame)
+_SPIKE_MIN_N = 12  # need at least this many trailing hours to judge
+_SPIKE_Z = 3.0
+
+
+@register(
+    "events_spike_detection",
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hour_us, n,
+         SUM(n) OVER tw AS s,
+         SUM(n * n) OVER tw AS sq,
+         COUNT(*) OVER tw AS c
+  FROM hourly
+  WINDOW tw AS (ORDER BY hour_us
+                ROWS BETWEEN {_SPIKE_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_us, n,
+       CAST(CASE WHEN c >= {_SPIKE_MIN_N} AND
+              CAST(n AS DOUBLE) >
+                CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+                + {_SPIKE_Z} * sqrt(GREATEST(
+                    (CAST(sq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+                    / CAST(c - 1 AS DOUBLE), CAST(0 AS DOUBLE)))
+            THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM w
+""",
+    tags=("T6", "date", "monitoring"),
+)
+def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection on hourly event counts:
+    an hour is a spike when its count exceeds mean + 3*sigma of the
+    previous {_SPIKE_TRAIL} observed hours (row frame, so sparse hours
+    degrade gracefully; a time-range frame is the RANGE BETWEEN variant).
+    All window sums are BIGINT (exact, order-free); the mean/variance/
+    sqrt scalar math is written identically on both engines, so even the
+    float comparisons are bit-reproducible.  Scale: one groupBy(hour)
+    partial-agg collapses the raw events; the window then runs on the
+    tiny hourly table."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias(
+                "hour_us"
+            )
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tw = Window.orderBy("hour_us").rowsBetween(-_SPIKE_TRAIL, -1)
+    w = hourly.select(
+        "hour_us",
+        "n",
+        F.sum("n").over(tw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("sq"),
+        F.count("*").over(tw).alias("c"),
+    )
+    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    var = F.greatest(
+        (
+            F.col("sq").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("c").cast("double")
+        )
+        / (F.col("c") - 1).cast("double"),
+        F.lit(0.0),
+    )
+    return w.select(
+        "hour_us",
+        "n",
+        (
+            (F.col("c") >= _SPIKE_MIN_N)
+            & (F.col("n").cast("double") > mean + _SPIKE_Z * F.sqrt(var))
+        )
+        .cast("long")
+        .alias("is_spike"),
+    )

@@ -94,3 +94,40 @@ def test_incremental_dedup_classifies_every_batch_doc(spark, sf_dir):
         if by_id[d].lower() in idx_texts:
             kind = out.loc[out["doc_id"] == d, "dup_kind"].iloc[0]
             assert kind == "exact"
+
+
+def test_triangle_count_consistent_with_degree_histogram(spark, sf_dir):
+    tri = QS["graph_triangle_count"].builder(spark, sf_dir).first()
+    hist = QS["graph_degree_histogram"].builder(spark, sf_dir).toPandas()
+    assert tri["n_triangles"] >= 0
+    # handshake: sum(degree * nodes) == 2 * edges, node totals agree
+    assert int((hist["degree"] * hist["n_nodes"]).sum()) == 2 * tri["n_edges"]
+    assert int(hist["n_nodes"].sum()) == tri["n_nodes"]
+
+
+def test_spike_detection_flags_injected_burst(spark):
+    import pandas as pd
+
+    # 72 quiet hours (n=10) then one 100-event burst hour
+    rows = []
+    eid = 0
+    for h in range(73):
+        n = 100 if h == 72 else 10
+        for i in range(n):
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, seconds=i), 1))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf["event_type"] = "view"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="spike_fixture_")
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    try:
+        out = QS["events_spike_detection"].builder(spark, d).toPandas()
+        out = out.sort_values("hour_us").reset_index(drop=True)
+        assert out["is_spike"].sum() == 1
+        assert out.loc[out["is_spike"] == 1, "n"].iloc[0] == 100
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
