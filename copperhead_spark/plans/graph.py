@@ -92,8 +92,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DataFrame loop unrolls into one Catalyst plan (join + groupBy per
     iteration); the oracle unrolls the same three iterations as CTEs."""
     ed, deg = _edges_deg(spark, sf_dir)
+    return pagerank_iterations(ed, deg, _ITERS)
+
+
+def pagerank_iterations(ed: DataFrame, deg: DataFrame, iters: int) -> DataFrame:
+    """The fixed-point iteration core over (src, dst, deg) edges and a
+    (src, deg) out-degree table; exposed for property tests on arbitrary
+    graphs."""
     ranks = deg.select(F.col("src").alias("node"), F.lit(_R0).cast("long").alias("rank"))
-    for _ in range(_ITERS):
+    for _ in range(iters):
         ranks = (
             ed.join(ranks, ed.src == ranks.node)
             .select(F.col("dst"), F.expr("rank DIV deg").alias("contrib"))

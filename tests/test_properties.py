@@ -133,3 +133,125 @@ def test_token_hashes_np_matches_reference(texts):
         for w in " ".join(texts).split(" ")
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sessionization + pagerank vs pure-Python references
+# ---------------------------------------------------------------------------
+
+_GAP_US_PROP = 12 * 3600 * 1_000_000
+
+
+def _sessions_ref(rows):
+    """rows: (user_id, event_id, us). Returns {(user, session_id): n}."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, e, us in rows:
+        by_user[u].append((us, e))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for us, _ in evs:
+            if prev is None or us - prev > _GAP_US_PROP:
+                sid += 1
+            out[(u, sid)] = out.get((u, sid), 0) + 1
+            prev = us
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),  # (user, hour offset)
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(1, 8),
+)
+def test_sessionize_matches_pure_python(spark_prop, user_hours, nparts):
+    """Session assignment is invariant under partitioning and matches a
+    sequential fold (distinct hours per user avoid tie-order ambiguity)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from copperhead_spark.plans.registry import all_queries
+
+    rows = []
+    seen = set()
+    for i, (u, h) in enumerate(user_hours):
+        if (u, h) in seen:
+            continue
+        seen.add((u, h))
+        rows.append((u, i, h * 3600 * 1_000_000))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [e for _, e, _ in rows],
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(microseconds=us) for _, _, us in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    d = tempfile.mkdtemp(prefix="sess_prop_")
+    try:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        out = all_queries()["sessionize_events"].builder(spark_prop, d).toPandas()
+        got = {
+            (int(r["user_id"]), int(r["session_id"])): int(r["n_events"])
+            for _, r in out.iterrows()
+        }
+        base = pd.Timestamp("2024-01-01").value // 1000
+        ref = _sessions_ref([(u, e, base + us) for u, e, us in rows])
+        assert got == ref
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _pagerank_ref(edges, iters=2):
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    ranks = {n: 1_000_000 for n in deg}
+    for _ in range(iters):
+        incoming = defaultdict(int)
+        for s, t in edges:
+            incoming[t] += ranks[s] // deg[s]
+        ranks = {n: 150_000 + (85 * v) // 100 for n, v in incoming.items()}
+    return ranks
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_pagerank_matches_pure_python(spark_prop, raw_edges):
+    """Fixed-point PageRank on arbitrary symmetrized graphs is bit-equal
+    to the sequential integer reference."""
+    from pyspark.sql import functions as F
+
+    from copperhead_spark.plans.graph import pagerank_iterations
+
+    sym = sorted({(s, t) for s, t in raw_edges} | {(t, s) for s, t in raw_edges})
+    edf = spark_prop.createDataFrame(sym, "src long, dst long")
+    deg = edf.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edf.join(deg, "src")
+    got = {
+        int(r["node"]): int(r["rank_e6"])
+        for r in pagerank_iterations(ed, deg, 2).collect()
+    }
+    assert got == _pagerank_ref(sym, 2)
