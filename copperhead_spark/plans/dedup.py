@@ -36,6 +36,8 @@ from copperhead_spark.functions.text import (
     simhash_votes_spark,
     token_hashes_duck,
     token_hashes_spark,
+    token_ngram_hashes_duck,
+    token_ngram_hashes_spark,
 )
 from copperhead_spark.plans.registry import register
 
@@ -511,4 +513,126 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc2",
             (agree.cast("double") / F.lit(float(_K))).alias("jaccard_est"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): doc-level exact/near dedup misses the
+# long verbatim PASSAGES shared by otherwise-distinct documents.  The
+# suffix-array formulation of the paper is replaced by its
+# shuffle-friendly equivalent: every OVERLAPPING token n-gram window is
+# rolling-hashed; a window whose hash occurs in >= 2 distinct documents
+# marks a duplicated span; per-document "duplicated token coverage" is
+# the size of the UNION of those overlapping windows, computed exactly
+# by one fold over the sorted duplicate positions (no per-token rows).
+#
+# Scale (100 TB): gram hashing is a per-row array expression fused into
+# the scan; the duplicate-gram table is one partial-agg groupBy on
+# gram_hash (distinct-gram cardinality crosses the wire, not token
+# count); the marking join reuses the same gram_hash key so AQE chains
+# the two exchanges without re-partitioning; the doc rollup is the only
+# doc-keyed exchange and carries (pos, is_dup) pairs, tens of bytes/row.
+# This matches the shuffle volume of the segment (line) dedup pass while
+# detecting spans at every offset, not just aligned segment boundaries.
+# ---------------------------------------------------------------------------
+
+_SSD_N = 8  # window length in tokens, the Lee et al. working unit scaled down
+_SSD_MIN_DOCS = 2  # a gram in >= 2 distinct docs is a duplicated span
+
+
+def _ssd_cov_spark(ps: str) -> str:
+    """Exact union length of overlapping {_SSD_N}-token windows at sorted
+    1-based positions ``ps``: fold carrying (covered, exclusive_end)."""
+    z = "CAST(0 AS BIGINT)"
+    return (
+        f"aggregate({ps}, named_struct('cov', {z}, 'e', {z}),"
+        f" (acc, p) -> named_struct("
+        f"'cov', acc.cov + greatest({z}, p + {_SSD_N} - greatest(acc.e, p)),"
+        f" 'e', greatest(acc.e, p + {_SSD_N})),"
+        f" acc -> acc.cov)"
+    )
+
+
+def _ssd_cov_duck(ps: str) -> str:
+    """DuckDB twin: list_reduce needs accumulator type == element type,
+    so the (covered, end) pair rides as a 2-element BIGINT list."""
+    z = "CAST(0 AS BIGINT)"
+    return (
+        f"list_reduce(list_prepend([{z}, {z}],"
+        f" list_transform({ps}, p -> [CAST(p AS BIGINT), CAST(p AS BIGINT)])),"
+        f" (acc, x) -> [acc[1] + greatest({z}, x[1] + {_SSD_N} - greatest(acc[2], x[1])),"
+        f" greatest(acc[2], x[1] + {_SSD_N})])[1]"
+    )
+
+
+def _ssd_oracle() -> str:
+    grams = token_ngram_hashes_duck(_SSD_N, "th")
+    ps = "COALESCE(ps, CAST([] AS BIGINT[]))"
+    return f"""
+WITH th AS (
+  SELECT doc_id, {token_hashes_duck("text")} AS th FROM documents
+),
+g AS (
+  SELECT doc_id, {grams} AS gh FROM th
+),
+grams AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, gh[t.i] AS gram_hash
+  FROM g CROSS JOIN LATERAL (
+    SELECT unnest(range(1, len(gh) + 1)) AS i
+  ) t
+),
+dup AS (
+  SELECT gram_hash
+  FROM (SELECT gram_hash, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+  WHERE nd >= {_SSD_MIN_DOCS}
+),
+marked AS (
+  SELECT g.doc_id, g.pos,
+         CASE WHEN d.gram_hash IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM grams g LEFT JOIN dup d USING (gram_hash)
+),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(is_dup) AS BIGINT) AS n_dup_grams,
+         list_sort(list(pos) FILTER (WHERE is_dup = 1)) AS ps
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams, {_ssd_cov_duck(ps)} AS dup_token_cov
+FROM per
+"""
+
+
+@register("text_substring_dedup", oracle=_ssd_oracle(), tags=("text", "dedup"))
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicated-span coverage: per document, the number
+    of overlapping {_SSD_N}-token windows whose rolling hash appears in
+    >= {_SSD_MIN_DOCS} distinct documents, and the exact count of tokens
+    covered by the union of those windows (the span a substring-dedup
+    trim pass would cut).  Documents shorter than {_SSD_N} tokens have no
+    windows and drop out (both engines agree).  See the family note
+    above for the 100 TB shuffle shape."""
+    docs = table(spark, sf_dir, "documents")
+    th = project_once(docs, "doc_id", f"{token_hashes_spark('text')} AS _th")
+    grams = th.selectExpr(
+        "doc_id",
+        f"posexplode({token_ngram_hashes_spark(_SSD_N, '_th')}) AS (pos0, gram_hash)",
+    ).selectExpr("doc_id", "CAST(pos0 + 1 AS BIGINT) AS pos", "gram_hash")
+    dup = (
+        grams.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _SSD_MIN_DOCS)
+        .select("gram_hash", F.lit(1).alias("is_dup"))
+    )
+    marked = grams.join(dup, "gram_hash", "left")
+    per = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_grams"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("is_dup") == 1, F.col("pos")))
+        ).alias("ps"),
+    )
+    return per.selectExpr(
+        "doc_id", "n_grams", "n_dup_grams", f"{_ssd_cov_spark('ps')} AS dup_token_cov"
     )
