@@ -47,6 +47,7 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.retrieval",
     "copperhead_spark.plans.linalg",
     "copperhead_spark.plans.sketches",
+    "copperhead_spark.plans.lm",
     "copperhead_spark.plans.sessions",
     "copperhead_spark.plans.graph",
     "copperhead_spark.plans.linkage",
