@@ -238,3 +238,136 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) on the SUPPORT-THRESHOLDED
+# co-purchase graph: edges are part pairs co-purchased in >= _KCORE_SUP
+# distinct orders (the frequent-itemset flavor — the raw co-purchase
+# graph is so dense no peeling ever happens).  Peeling repeatedly drops
+# nodes of degree < k; the fixed point is the maximal subgraph where
+# every node keeps >= k neighbors, the standard community-density filter
+# before expensive per-community passes.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_SUP = 2
+# fixed unrolled rounds; >= observed fixpoint depth at every test SF
+# (11 at sf0.01) and asserted convergent in tests/test_sessions_graph_linkage.py
+_KCORE_ITERS = 12
+
+_KCORE_EDGES_DUCK = f"""
+pe AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v
+  FROM pe a JOIN pe b ON a.okey = b.okey AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_SUP}
+),
+-- MATERIALIZED: sym/it{{i}} are each referenced twice per peeling round;
+-- default CTE inlining would expand the tree exponentially in rounds
+sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0)"""
+
+
+def _kcore_oracle() -> str:
+    its = []
+    prev = "rem0"
+    for i in range(1, _KCORE_ITERS + 1):
+        its.append(
+            f"""it{i} AS MATERIALIZED (
+  SELECT s.src AS node FROM sym s
+  JOIN {prev} r1 ON r1.node = s.src
+  JOIN {prev} r2 ON r2.node = s.dst
+  GROUP BY 1 HAVING COUNT(*) >= {_KCORE_K}
+)"""
+        )
+        prev = f"it{i}"
+    return f"""
+WITH {_KCORE_EDGES_DUCK},
+rem0 AS (SELECT DISTINCT src AS node FROM sym),
+{",".join(its)}
+SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM sym s
+JOIN {prev} r1 ON r1.node = s.src
+JOIN {prev} r2 ON r2.node = s.dst
+GROUP BY 1
+"""
+
+
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v) part pairs (u < v) co-purchased in >= _KCORE_SUP orders.
+    Same one-shuffle per-order pair expansion as _copurchase_edges, but
+    keeping multiplicity so the groupBy counts order support."""
+    po = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = po.selectExpr(
+        """
+        explode(flatten(transform(ps, (x, i) ->
+          transform(slice(ps, i + 2, size(ps) - i - 1),
+                    y -> struct(x AS u, y AS v))))) AS e
+        """
+    ).select("e.u", "e.v")
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _KCORE_SUP)
+        .select("u", "v")
+    )
+
+
+def kcore_members(sym: DataFrame, k: int, iters: int) -> DataFrame:
+    """Peeling core over a symmetrized (src, dst) edge list: up to
+    ``iters`` rounds of degree-filter, stopping early at the fixed point
+    (identical to running all rounds — peeling a fixed point is the
+    identity, so the fixed-round oracle agrees).  ``rem`` is referenced
+    twice per round, so each round is truncated with
+    ``localCheckpoint`` — without it the logical plan DOUBLES per
+    iteration (the CC lesson, operators/graph.py).  Runs Spark actions
+    internally (one count per round) — an algorithm, not a lazy
+    transform.  Exposed for the convergence property test."""
+    rem = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_rem = rem.count()
+    for _ in range(iters):
+        rem2 = (
+            sym.join(rem.withColumnRenamed("node", "src"), "src")
+            .join(rem.selectExpr("node AS dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+        n2 = rem2.count()
+        rem = rem2
+        if n2 == n_rem:
+            break
+        n_rem = n2
+    return (
+        sym.join(rem.withColumnRenamed("node", "src"), "src")
+        .join(rem.selectExpr("node AS dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+
+
+@register("graph_kcore_members", oracle=_kcore_oracle(), tags=("graph", "iterative"))
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the support-{_KCORE_SUP} co-purchase graph:
+    fixed {_KCORE_ITERS}-round peeling (>= the observed fixpoint depth at
+    every test SF; the oracle unrolls identical rounds as CTEs), emitting
+    surviving nodes with their within-core degree.  The edge list is
+    persisted across rounds — each round is join+join+partial-agg on the
+    cached (small relative to lineitem) edge relation; at 100 TB the
+    edges materialize to bucketed parquet once and every round's joins
+    co-locate on the bucket key, so only the degree partial-agg
+    exchanges data."""
+    e0 = _support_edges(spark, sf_dir)
+    sym = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .selectExpr("u AS src", "v AS dst")
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
+    return kcore_members(sym, _KCORE_K, _KCORE_ITERS)

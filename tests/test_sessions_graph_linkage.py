@@ -131,3 +131,27 @@ def test_spike_detection_flags_injected_burst(spark):
     finally:
         import shutil
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kcore_is_converged_and_every_member_has_k_neighbors(spark, sf_dir):
+    """One extra peeling round changes nothing (the fixed _KCORE_ITERS is
+    past the fixpoint), and every member's within-core degree >= k."""
+    from copperhead_spark.plans.graph import (
+        _KCORE_ITERS,
+        _KCORE_K,
+        _support_edges,
+        kcore_members,
+    )
+    from pyspark.sql import functions as F
+
+    e0 = _support_edges(spark, sf_dir)
+    sym = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .selectExpr("u AS src", "v AS dst")
+        .localCheckpoint()
+    )
+    core = kcore_members(sym, _KCORE_K, _KCORE_ITERS).toPandas()
+    again = kcore_members(sym, _KCORE_K, _KCORE_ITERS + 5).toPandas()
+    assert sorted(core["node"]) == sorted(again["node"])
+    if len(core):
+        assert int(core["core_degree"].min()) >= _KCORE_K
