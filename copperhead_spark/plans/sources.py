@@ -303,3 +303,98 @@ def s12_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), exact_sum(F.col("o_totalprice")).alias("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustered layout: multi-dimensional data skipping.
+# Partition pruning (s4) skips on ONE directory key; real scans filter on
+# several columns at once.  Interleaving the bits of binned (shipdate,
+# price) into one Morton key and range-partitioning + sorting the write
+# on it makes every file/row-group a small rectangle in BOTH dimensions,
+# so parquet min/max stats prune a 2-D range predicate to the few files
+# whose rectangle intersects it — the Delta/Iceberg OPTIMIZE ZORDER move,
+# expressed as two plain Spark primitives (repartitionByRange + sort).
+# tests/test_tabular_io.py reads the parquet footers of this layout vs a
+# naive one and asserts the candidate-row-group fraction actually drops.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+_Z_EPOCH = "DATE'1995-01-01'"  # synthetic lineitem spans 1995-01..2001-11
+_Z_DAY_DIV = 4  # ~2557 days / 4 -> 0..639 < 1024 bins
+_Z_PRICE_DIV = 110  # extendedprice < ~112k -> 0..1023 bins
+# the 2-D range predicate (identical text both engines)
+_Z_PRED = (
+    "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'"
+    " AND l_extendedprice >= 20000 AND l_extendedprice < 30000"
+)
+
+
+def zorder_key_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """Morton interleave of two ``bits``-wide non-negative ints: bit j of
+    ``a`` lands at position 2j, of ``b`` at 2j+1.  Pure integer
+    div/mod — portable and codegen-friendly."""
+    terms = [
+        f"(({a} div {1 << j}) % 2) * {1 << (2 * j)}"
+        f" + (({b} div {1 << j}) % 2) * {1 << (2 * j + 1)}"
+        for j in range(bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_write(li: DataFrame, out_dir: str, n_files: int = 16) -> None:
+    """Materialize lineitem z-ordered on (shipdate_bin, price_bin):
+    range-partition on the Morton key (each output file covers one
+    contiguous z-range => a bounded rectangle per dimension), sort within
+    partitions so row groups inside a file are rectangles too."""
+    day_bin = (
+        f"least(greatest(CAST(datediff(l_shipdate, {_Z_EPOCH}) AS BIGINT), 0),"
+        f" {(1 << _Z_BITS) - 1} * {_Z_DAY_DIV}) div {_Z_DAY_DIV}"
+    )
+    price_bin = (
+        f"least(greatest(CAST(floor(l_extendedprice / {_Z_PRICE_DIV}) AS BIGINT), 0),"
+        f" {(1 << _Z_BITS) - 1})"
+    )
+    zed = li.withColumn("z", F.expr(zorder_key_sql(day_bin, price_bin)))
+    (
+        zed.repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+@register(
+    "s13_zorder_clustered_scan",
+    oracle=f"""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       {{exact}} AS revenue
+FROM lineitem
+WHERE {_Z_PRED.replace("TIMESTAMP '", "TIMESTAMP '")}
+GROUP BY l_returnflag
+""".replace("{exact}", exact_sum_sql("l_extendedprice * (1 - l_discount)")),
+    tags=("S13", "layout"),
+)
+def s13_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D range scan over the z-ordered layout: write lineitem clustered
+    on the Morton key once (stable scratch path, overwritten per run),
+    read it back with the (shipdate x price) predicate, aggregate.
+    Oracle reads the ORIGINAL table — the layout must change bytes
+    scanned, never results."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_zorder",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    zorder_write(li, out_dir)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.filter(F.expr(_Z_PRED))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            exact_sum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+        )
+    )

@@ -156,3 +156,57 @@ def test_read_nanoaod_without_decoder_is_gated(spark):
     except ImportError:
         with pytest.raises(ImportError, match="uproot"):
             read_nanoaod(spark, [("/fake/f1.root", 10)], branches=("event",))
+
+
+def test_zorder_layout_prunes_2d_range_predicate(spark, sf_dir, tmp_path):
+    """Parquet footer min/max stats over the z-ordered layout admit far
+    fewer candidate row groups for the 2-D range predicate than the same
+    data written naively (single-dimension sort): the data-skipping
+    payoff the layout exists for, measured from the footers themselves."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from copperhead_spark.catalog import table
+    from copperhead_spark.plans.sources import zorder_write
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    zdir = str(tmp_path / "zorder")
+    ndir = str(tmp_path / "naive")
+    zorder_write(li, zdir, n_files=64)
+    # naive: same file count, clustered on shipdate only
+    (
+        li.repartitionByRange(64, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(ndir)
+    )
+
+    lo_d = datetime.datetime(1996, 1, 1)
+    hi_d = datetime.datetime(1997, 7, 1)
+
+    def candidates(d):
+        total = cand = 0
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                total += 1
+                g = md.row_group(rg)
+                sd = g.column(cols["l_shipdate"]).statistics
+                ep = g.column(cols["l_extendedprice"]).statistics
+                if sd.min < hi_d and sd.max >= lo_d and ep.min < 30000 and ep.max >= 20000:
+                    cand += 1
+        return cand, total
+
+    zc, zt = candidates(zdir)
+    nc, nt = candidates(ndir)
+    assert zt > 0 and nt > 0
+    # every z row group is a rectangle in BOTH dims; the naive layout is
+    # narrow in shipdate but spans the full price range, so the 2-D
+    # predicate cannot skip on price there
+    assert zc / zt < nc / nt
+    assert zc / zt <= 0.5
