@@ -240,3 +240,89 @@ def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
     return est
+
+
+# ---------------------------------------------------------------------------
+# binned quantile sketch: the mergeable scale path behind A8.  Exact
+# quantiles at 100 TB need a global sort (or Spark's approx_percentile,
+# whose internal GK summary isn't portable); a fixed-bin histogram is the
+# deterministic alternative — cells merge by SUM across partitions and
+# shards, the shuffle is bounded by the bin count, and the estimate
+# (upper edge of the first bin whose cumulative count reaches ceil(q*n))
+# is integer arithmetic both engines reproduce bit-exactly.  Error is
+# bounded by the bin width by construction.
+# ---------------------------------------------------------------------------
+
+_BQ_WIDTH = 1000
+_BQ_NBINS = 110  # l_extendedprice < ~105k
+_BQ_QS = ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100))  # exact rationals
+
+
+def _bq_bin(col: str) -> str:
+    return (
+        f"least(greatest(CAST(floor({col} / {_BQ_WIDTH}) AS BIGINT), 0),"
+        f" {_BQ_NBINS - 1})"
+    )
+
+
+_BQ_ORACLE = f"""
+WITH cells AS (
+  SELECT {_bq_bin("l_extendedprice")} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT bin, c,
+         SUM(c) OVER (ORDER BY bin) AS cum,
+         SUM(c) OVER () AS n
+  FROM cells
+),
+q AS (
+  SELECT cum.*, t.qn, t.qd
+  FROM cum CROSS JOIN (VALUES {", ".join(f"({n}, {d})" for n, d in _BQ_QS)}) AS t(qn, qd)
+)
+SELECT CAST(qn AS DOUBLE) / qd AS q,
+       MIN((bin + 1) * {_BQ_WIDTH}) AS est_upper,
+       MIN(n) AS n
+FROM q
+WHERE cum >= (qn * n + qd - 1) // qd
+GROUP BY qn, qd
+"""
+
+
+@register("sketch_binned_quantiles", oracle=_BQ_ORACLE, tags=("sketch", "A8"))
+def sketch_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates (q = 0.25/0.5/0.75/0.9/0.99) of
+    l_extendedprice from a {_BQ_NBINS}-bin histogram sketch: one
+    partial-agg groupBy builds the cells; the cumulative pass and the
+    per-q selection run on the {_BQ_NBINS}-row cell table (the
+    unpartitioned window is bounded by the bin count, never the data).
+    The q fan-out is a map-side explode of a literal array — no join, no
+    cartesian."""
+    li = table(spark, sf_dir, "lineitem")
+    cells = (
+        li.selectExpr(f"{_bq_bin('l_extendedprice')} AS bin")
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qs_arr = ", ".join(f"named_struct('qn', {n}, 'qd', {d})" for n, d in _BQ_QS)
+    fanned = cum.selectExpr("bin", "cum", "n", f"explode(array({qs_arr})) AS qq")
+    return (
+        fanned.filter(F.expr("cum >= (qq.qn * n + qq.qd - 1) div qq.qd"))
+        .groupBy("qq.qn", "qq.qd")
+        .agg(
+            F.min(F.expr(f"(bin + 1) * {_BQ_WIDTH}")).alias("est_upper"),
+            F.min("n").alias("n"),
+        )
+        .selectExpr("CAST(qn AS DOUBLE) / qd AS q", "est_upper", "n")
+    )

@@ -118,3 +118,21 @@ def test_salted_join_spreads_and_matches_plain(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_binned_quantile_estimates_within_one_bin_width(spark, duck, sf_dir):
+    """The sketch's documented error bound: every estimate is within one
+    bin width of the exact quantile (upper-edge estimator: exact value
+    lies inside the selected bin)."""
+    from copperhead_spark.plans.registry import all_queries
+    from copperhead_spark.plans.sketches import _BQ_WIDTH
+
+    est = {
+        r["q"]: r["est_upper"]
+        for r in all_queries()["sketch_binned_quantiles"].builder(spark, sf_dir).collect()
+    }
+    true = duck.execute(
+        "SELECT quantile_cont(l_extendedprice, [0.25,0.5,0.75,0.9,0.99]) FROM lineitem"
+    ).fetchone()[0]
+    for q, t in zip([0.25, 0.5, 0.75, 0.9, 0.99], true):
+        assert 0 <= est[q] - t <= _BQ_WIDTH, (q, est[q], t)
