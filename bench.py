@@ -47,6 +47,13 @@ HEADLINE = [
     "sketch_hll_distinct",
     "sketch_cms_counts",
     "bloom_semijoin_reduction",
+    # round-3 additions (append-only set: r02/r03 deltas stay comparable
+    # on the carried-forward prefix): substring-span dedup, bigram-LM
+    # scoring, sessionization, iterative PageRank
+    "text_substring_dedup",
+    "text_bigram_lm_score",
+    "sessionize_events",
+    "graph_pagerank",
 ]
 
 

@@ -50,7 +50,15 @@ def _edges_deg(spark: SparkSession, sf_dir: str):
     )
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    return edges.join(deg, "src"), deg
+    # materialize (src-partitioned) ONCE: each unrolled iteration
+    # references the edge list, and without truncation Catalyst re-derives
+    # the orders⋈lineitem join + distinct per iteration — 3x the scan and
+    # shuffle for a 3-round loop.  This is the local analogue of the
+    # docstring's "edges bucketed by src once" 100 TB layout.
+    # the src-keyed join already leaves the output hash-partitioned on
+    # src — no extra repartition before the checkpoint
+    ed = edges.join(deg, "src").localCheckpoint()
+    return ed, deg
 
 
 def _pagerank_oracle() -> str:
