@@ -299,3 +299,81 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_kind"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules: the Apriori level-2 classic — pair
+# support within orders, confidence and lift per directed rule.  All
+# ratios in integer fixed point (micro-units, integer division), so the
+# oracle reproduces every bit.
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUP = 2  # orders containing the pair
+
+
+@register(
+    "market_basket_rules",
+    oracle=f"""
+WITH pe AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM pe GROUP BY p),
+n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM pe),
+pair AS (
+  SELECT a.p AS ante, b.p AS cons, CAST(COUNT(*) AS BIGINT) AS sup_pair
+  FROM pe a JOIN pe b ON a.okey = b.okey AND a.p <> b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_MB_MIN_SUP}
+)
+SELECT ante, cons, sup_pair,
+       (sup_pair * 1000000) // ia.sup AS confidence_e6,
+       (sup_pair * n.n_orders * 1000000) // (ia.sup * ic.sup) AS lift_e6
+FROM pair
+JOIN item ia ON ia.p = ante
+JOIN item ic ON ic.p = cons
+CROSS JOIN n
+""",
+    tags=("linkage", "graph"),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules ante→cons with support >= {_MB_MIN_SUP}
+    orders: confidence = sup(pair)/sup(ante), lift =
+    n_orders*sup(pair)/(sup(ante)*sup(cons)), both in exact micro-unit
+    integer division.  Pair expansion is the per-order sorted-set
+    transform (one shuffle, no self-join of the item stream); item
+    supports are a vocabulary-sized partial agg joined back BROADCAST
+    (the item table is dimension-sized); the total-order count is one
+    scalar inlined driver-side (the sample_domain_mixture pattern)."""
+    li = table(spark, sf_dir, "lineitem")
+    po = (
+        li.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    # directed pairs (x != y) per order from the sorted per-order set
+    pairs = po.selectExpr(
+        """
+        explode(flatten(transform(ps, (x, i) ->
+          transform(filter(ps, y -> y != x), y -> struct(x AS ante, y AS cons))))) AS e
+        """
+    ).select("e.ante", "e.cons")
+    pair_sup = (
+        pairs.groupBy("ante", "cons")
+        .agg(F.count("*").cast("long").alias("sup_pair"))
+        .filter(F.col("sup_pair") >= _MB_MIN_SUP)
+    )
+    item = (
+        po.selectExpr("explode(ps) AS p")
+        .groupBy("p")
+        .agg(F.count("*").cast("long").alias("sup"))
+    )
+    n_orders = int(po.count())
+    ia = item.selectExpr("p AS ante", "sup AS sup_a")
+    ic = item.selectExpr("p AS cons", "sup AS sup_c")
+    return (
+        pair_sup.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .selectExpr(
+            "ante",
+            "cons",
+            "sup_pair",
+            "(sup_pair * 1000000) div sup_a AS confidence_e6",
+            f"(sup_pair * {n_orders} * 1000000) div (sup_a * sup_c) AS lift_e6",
+        )
+    )

@@ -223,3 +223,56 @@ def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts: the other canonical clickstream rollup — group users
+# by first-seen week, count distinct active users per (cohort week,
+# weeks-since-cohort).  Week arithmetic is integer epoch-微-division so
+# both engines bin identically (no calendar/locale functions).
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+WITH wk AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT w.user_id, c.cohort_wk, w.wk - c.cohort_wk AS week_offset
+  FROM wk w JOIN cohort c USING (user_id)
+)
+SELECT cohort_wk, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM active GROUP BY 1, 2
+""",
+    tags=("sessions", "date/time"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-active week,
+    distinct active users per (cohort week, week offset).  Both
+    aggregations key on user_id first — the cohort min, the activity
+    distinct, and their join all share one user_id partitioning, so at
+    100 TB (events bucketed by user_id) only the final small cohort
+    rollup exchanges data."""
+    ev = table(spark, sf_dir, "events")
+    # integer div, not `/`: a double quotient can land an ulp above an
+    # exact multiple and flip the floor against DuckDB's integer `//`
+    wk = ev.selectExpr(
+        "user_id",
+        f"unix_micros(CAST(ts AS TIMESTAMP)) div {_WEEK_US} AS wk",
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = (
+        wk.join(cohort, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .distinct()
+    )
+    return active.groupBy("cohort_wk", "week_offset").agg(
+        F.count("*").cast("long").alias("n_active_users")
+    )
