@@ -377,3 +377,124 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(sup_pair * {n_orders} * 1000000) div (sup_a * sup_c) AS lift_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge TRAINING (the iterative loop whose single step is
+# text_bpe_pair_counts): each round counts adjacent symbol pairs across
+# the corpus, adopts the most frequent pair (ties broken lexicographically)
+# as a merge, and re-tokenizes with the merge applied — greedy
+# left-to-right, the standard BPE semantics, expressed as a fold that
+# replaces [.., L] + R with [.., LR].  The chosen pair is one scalar per
+# round: Spark materializes it driver-side (argmax of a partial-agg count
+# table) and inlines it as a literal in the next round's expression; the
+# oracle carries it as a cross-joined 1-row CTE through the identical
+# unrolled rounds.
+#
+# Scale: each round is explode + partial-agg count (pair-vocabulary
+# cardinality crosses the wire) + an O(1) argmax collect; the re-tokenize
+# is a map-only array fold fused into the next round's scan.  Real
+# tokenizer training runs hundreds of rounds on a WORD-FREQUENCY table
+# (count each distinct token once, weight pairs by token count) — that
+# variant drops corpus cost from O(tokens) to O(vocab) per round and is
+# the same plan with one extra pre-aggregation.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_chars_duck(w: str) -> str:
+    return f"list_transform(range(1, length({w}) + 1), i -> substring({w}, i, 1))"
+
+
+def _bpe_pairs_duck(a: str) -> str:
+    return f"list_transform(range(1, len({a})), i -> {{'l': {a}[i], 'r': {a}[i + 1]}})"
+
+
+def _bpe_merge_duck(syms: str, lcol: str, rcol: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST([] AS VARCHAR[]),"
+        f" list_transform({syms}, s -> [s])),"
+        f" (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = {lcol} AND x[1] = {rcol}"
+        f" THEN list_append(acc[1:-2], {lcol} || {rcol})"
+        f" ELSE list_append(acc, x[1]) END)"
+    )
+
+
+def _bpe_pairs_spark(a: str) -> str:
+    m = f"greatest(size({a}) - 1, 0)"
+    return (
+        f"zip_with(slice({a}, 1, {m}), slice({a}, 2, {m}),"
+        f" (x, y) -> struct(x AS l, y AS r))"
+    )
+
+
+def _bpe_merge_spark(syms: str, lit_l: str, lit_r: str) -> str:
+    return (
+        f"aggregate({syms}, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = {lit_l} AND s = {lit_r}, "
+        f"concat(slice(acc, 1, size(acc) - 1), array(concat({lit_l}, {lit_r}))), "
+        f"concat(acc, array(s))))"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """Spark SQL single-quoted literal (backslash-escaping dialect)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bpe_train_oracle() -> str:
+    parts = [
+        "toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        f"s0 AS MATERIALIZED (SELECT {_bpe_chars_duck('w')} AS a FROM toks)",
+    ]
+    unions = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT t.pr.l AS l, t.pr.r AS r, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s{i - 1} CROSS JOIN LATERAL (
+    SELECT unnest({_bpe_pairs_duck("a")}) AS pr
+  ) t GROUP BY 1, 2
+)"""
+        )
+        parts.append(f"b{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1)")
+        if i < _BPE_ROUNDS:
+            parts.append(
+                f"s{i} AS MATERIALIZED (SELECT {_bpe_merge_duck('a', 'b.l', 'b.r')} AS a"
+                f" FROM s{i - 1} CROSS JOIN b{i} b)"
+            )
+        unions.append(
+            f"SELECT {i} AS round, l AS left_sym, r AS right_sym, n AS pair_count FROM b{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(unions)
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    tags=("text", "linkage", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_BPE_ROUNDS}-round BPE training: per round, the corpus-wide
+    adjacent-pair count's argmax (count DESC, then lexicographic — the
+    deterministic tie-break both engines share) becomes a merge that is
+    applied greedily left-to-right before the next round.  Returns the
+    merge table (round, left_sym, right_sym, pair_count)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("explode(split(text, ' ')) AS w")
+    syms = "split(w, '')"
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        best = (
+            toks.selectExpr(f"explode({_bpe_pairs_spark(syms)}) AS pr")
+            .groupBy("pr.l", "pr.r")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .first()
+        )
+        merges.append((rnd, best["l"], best["r"], best["n"]))
+        syms = _bpe_merge_spark(syms, _sql_str(best["l"]), _sql_str(best["r"]))
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, pair_count long"
+    )
