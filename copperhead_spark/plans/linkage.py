@@ -498,3 +498,49 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance) record linkage: the approximate-string-match
+# operator behind entity resolution — near-identical names that exact
+# dedup misses.  Both engines implement classic Levenshtein identically
+# (verified on crafted cases), so the pair set is fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+_FUZZ_MAX = 3  # edit distance band: 1..3 (0 would be exact dedup's job)
+
+
+@register(
+    "linkage_fuzzy_name_pairs",
+    oracle=f"""
+WITH b AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+)
+SELECT a.p_partkey AS key1, c.p_partkey AS key2,
+       a.p_name AS name1, c.p_name AS name2,
+       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND {_FUZZ_MAX}
+""",
+    tags=("linkage",),
+)
+def linkage_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match pairs on part names: candidates only within
+    the first-token blocking key (pair volume sum(|block|^2), never n^2 —
+    the text_tfidf_blocked_pairs discipline), kept when Levenshtein
+    distance is in [1, {_FUZZ_MAX}].  At 100 TB the blocking key would be
+    a phonetic/sorted-neighborhood key sized so blocks stay bounded; the
+    edit distance itself is a JVM builtin evaluated post-join, never a
+    Python UDF."""
+    part = table(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "p_name", "split(p_name, ' ')[0] AS blk"
+    )
+    a = part.selectExpr("p_partkey AS key1", "p_name AS name1", "blk")
+    c = part.selectExpr("p_partkey AS key2", "p_name AS name2", "blk")
+    return (
+        a.join(c, "blk")
+        .filter(F.col("key1") < F.col("key2"))
+        .withColumn("dist", F.levenshtein("name1", "name2").cast("long"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= _FUZZ_MAX))
+        .select("key1", "key2", "name1", "name2", "dist")
+    )

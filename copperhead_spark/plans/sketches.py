@@ -326,3 +326,98 @@ def sketch_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("CAST(qn AS DOUBLE) / qd AS q", "est_upper", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL merge = rebuild: the property that makes sketches the incremental-
+# ingestion answer at 100 TB — per-day cells built as data lands, merged
+# by MAX into the running total, give EXACTLY the sketch a full rebuild
+# would (MAX over day-partitioned cells == MAX over all rows).  The query
+# computes both paths and emits both estimates per group; the oracle (and
+# a unit test) pins them equal.
+# ---------------------------------------------------------------------------
+
+_HLL_DAY_US = 86_400 * 1_000_000
+
+
+def _hll_day_expr_spark() -> str:
+    return f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_HLL_DAY_US}"
+
+
+_HLL_MERGE_ORACLE = f"""
+WITH daily AS (
+  SELECT l_returnflag AS grp,
+         epoch_us(l_shipdate) // {_HLL_DAY_US} AS day,
+         {_bucket_sql("l_orderkey")} AS bucket,
+         MAX({_rank_sql("l_orderkey")}) AS r
+  FROM lineitem GROUP BY 1, 2, 3
+),
+merged_cells AS (
+  SELECT grp, bucket, MAX(r) AS r FROM daily GROUP BY 1, 2
+),
+direct_cells AS (
+  SELECT l_returnflag AS grp,
+         {_bucket_sql("l_orderkey")} AS bucket,
+         MAX({_rank_sql("l_orderkey")}) AS r
+  FROM lineitem GROUP BY 1, 2
+),
+m AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS v_present,
+         SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE)) AS z
+  FROM merged_cells GROUP BY grp
+),
+d AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS v_present,
+         SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE)) AS z
+  FROM direct_cells GROUP BY grp
+)
+SELECT m.grp,
+       (SELECT {_estimate_sql()} FROM (SELECT m.v_present AS v_present, m.z AS z)) AS est_merged,
+       (SELECT {_estimate_sql()} FROM (SELECT d.v_present AS v_present, d.z AS z)) AS est_direct
+FROM m JOIN d ON m.grp = d.grp
+"""
+
+
+@register("sketch_hll_merge_days", oracle=_HLL_MERGE_ORACLE, tags=("sketch", "A1"))
+def sketch_hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-partitioned HLL cells merged by MAX vs a direct full build:
+    identical estimates per group (sketch mergeability), so a 100 TB
+    pipeline maintains distinct counts by folding each day's cells into a
+    running cell table instead of rescanning history.  Shuffle per day is
+    bounded by |groups| x m cells."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = (
+        li.selectExpr(
+            "l_returnflag AS grp",
+            f"{_hll_day_expr_spark()} AS day",
+            f"{_bucket_sql('l_orderkey')} AS bucket",
+            f"{_rank_sql('l_orderkey')} AS rank",
+        )
+        .groupBy("grp", "day", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    merged_cells = daily.groupBy("grp", "bucket").agg(F.max("r").alias("r"))
+    direct_cells = (
+        li.selectExpr(
+            "l_returnflag AS grp",
+            f"{_bucket_sql('l_orderkey')} AS bucket",
+            f"{_rank_sql('l_orderkey')} AS rank",
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+    def estimate(cells: DataFrame, alias: str) -> DataFrame:
+        sk = cells.groupBy("grp").agg(
+            F.count("*").cast("long").alias("v_present"),
+            F.sum(
+                F.expr(
+                    "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)"
+                )
+            ).alias("z"),
+        )
+        return sk.selectExpr("grp", f"{_estimate_sql()} AS {alias}")
+
+    return estimate(merged_cells, "est_merged").join(
+        estimate(direct_cells, "est_direct"), "grp"
+    )

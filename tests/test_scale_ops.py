@@ -136,3 +136,14 @@ def test_binned_quantile_estimates_within_one_bin_width(spark, duck, sf_dir):
     ).fetchone()[0]
     for q, t in zip([0.25, 0.5, 0.75, 0.9, 0.99], true):
         assert 0 <= est[q] - t <= _BQ_WIDTH, (q, est[q], t)
+
+
+def test_hll_merge_equals_rebuild(spark, sf_dir):
+    """Sketch mergeability: folding per-day cells by MAX gives exactly
+    the full-rebuild estimate for every group."""
+    from copperhead_spark.plans.registry import all_queries
+
+    rows = all_queries()["sketch_hll_merge_days"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_merged"] == r["est_direct"], r
