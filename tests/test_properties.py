@@ -255,3 +255,65 @@ def test_pagerank_matches_pure_python(spark_prop, raw_edges):
         for r in pagerank_iterations(ed, deg, 2).collect()
     }
     assert got == _pagerank_ref(sym, 2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(1, 200), min_size=0, max_size=40, unique=True))
+def test_substring_coverage_fold_matches_interval_union(positions):
+    """The span-union fold (dedup coverage) equals a literal interval
+    union over [p, p+N) windows — checked through DuckDB, whose fold is
+    the same arithmetic the Spark expression runs."""
+    from copperhead_spark.plans.dedup import _SSD_N, _ssd_cov_duck
+
+    ps = sorted(positions)
+    # reference: union of [p, p+N) intervals
+    covered = set()
+    for p in ps:
+        covered.update(range(p, p + _SSD_N))
+    arr = "CAST([" + ", ".join(map(str, ps)) + "] AS BIGINT[])"
+    got = duckdb.sql(f"SELECT {_ssd_cov_duck(arr)} AS c").fetchone()[0]
+    assert got == len(covered)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 1023), st.integers(0, 1023))
+def test_morton_key_bits_roundtrip(a, b):
+    """Every bit of both inputs is recoverable from the Morton key (the
+    interleave is a bijection), via the same SQL text Spark executes."""
+    from copperhead_spark.plans.sources import _Z_BITS, zorder_key_sql
+
+    z = duckdb.sql(
+        f"SELECT {zorder_key_sql(str(a), str(b), _Z_BITS).replace(' div ', ' // ')} AS z"
+    ).fetchone()[0]
+    ra = sum((((z >> (2 * j)) & 1) << j) for j in range(_Z_BITS))
+    rb = sum((((z >> (2 * j + 1)) & 1) << j) for j in range(_Z_BITS))
+    assert (ra, rb) == (a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a")]),
+)
+def test_bpe_merge_fold_matches_greedy_python(text, pair):
+    """The merge fold implements greedy left-to-right non-overlapping BPE
+    merging exactly (DuckDB evaluates the same fold text as Spark)."""
+    from copperhead_spark.plans.linkage import _bpe_merge_duck
+
+    left, right = pair
+
+    def greedy(tok):
+        out = []
+        for ch in tok:
+            if out and out[-1] == left and ch == right:
+                out[-1] = left + right
+            else:
+                out.append(ch)
+        return out
+
+    for tok in text.split(" "):
+        chars = "CAST([" + ", ".join(f"'{c}'" for c in tok) + "] AS VARCHAR[])"
+        got = duckdb.sql(
+            f"SELECT {_bpe_merge_duck(chars, repr(left), repr(right))} AS m"
+        ).fetchone()[0]
+        assert got == greedy(tok), (tok, got)
