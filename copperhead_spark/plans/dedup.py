@@ -583,9 +583,11 @@ grams AS (
   ) t
 ),
 dup AS (
+  -- cross-doc test as MIN/MAX doc_id inequality: one single-phase agg,
+  -- no COUNT DISTINCT expansion (equivalent for the >= 2 distinct test)
   SELECT gram_hash
-  FROM (SELECT gram_hash, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
-  WHERE nd >= {_SSD_MIN_DOCS}
+  FROM (SELECT gram_hash, MIN(doc_id) AS d0, MAX(doc_id) AS d1 FROM grams GROUP BY 1)
+  WHERE d0 <> d1
 ),
 marked AS (
   SELECT g.doc_id, g.pos,
@@ -621,8 +623,8 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", "CAST(pos0 + 1 AS BIGINT) AS pos", "gram_hash")
     dup = (
         grams.groupBy("gram_hash")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= _SSD_MIN_DOCS)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("gram_hash", F.lit(1).alias("is_dup"))
     )
     marked = grams.join(dup, "gram_hash", "left")
