@@ -544,3 +544,73 @@ def linkage_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("dist") >= 1) & (F.col("dist") <= _FUZZ_MAX))
         .select("key1", "key2", "name1", "name2", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# entity-resolution pipeline: fuzzy pairs -> connected components ->
+# canonical entities.  The E2E composition of the linkage stages, the
+# same blocked-candidates + hash-min-CC shape the dedup family uses for
+# documents, here resolving part records by near-identical names.
+# ---------------------------------------------------------------------------
+
+_ER_EDGES_DUCK = f"""
+SELECT a.p_partkey AS key1, c.p_partkey AS key2
+FROM (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part) a
+JOIN (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part) c
+  ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND {_FUZZ_MAX}
+"""
+
+
+@register(
+    "pipeline_entity_resolution",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_ER_EDGES_DUCK}),
+edges AS (
+  SELECT key1 AS a, key2 AS b FROM pairs
+  UNION ALL
+  SELECT key2 AS a, key1 AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+cc AS (SELECT node, MIN(r) AS entity FROM reach GROUP BY node)
+SELECT cc.entity AS entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       MIN(p.p_name) AS canonical_name
+FROM cc JOIN part p ON p.p_partkey = cc.node
+GROUP BY cc.entity
+HAVING COUNT(*) >= 2
+""",
+    tags=("linkage", "pipeline"),
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E entity resolution over part records: blocked fuzzy pairs
+    (linkage_fuzzy_name_pairs) -> hash-min connected components
+    (operators/graph.py, O(diameter) checkpointed rounds) -> canonical
+    entity rollup (size >= 2 — singletons are already resolved).  Every
+    stage is itself an oracle-checked operator; the composition gets its
+    own full-value oracle (recursive-CTE closure on the DuckDB side)."""
+    from copperhead_spark.operators.graph import connected_components
+
+    parts = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = linkage_fuzzy_name_pairs(spark, sf_dir).select("key1", "key2")
+    cc = connected_components(
+        parts.select("p_partkey"),
+        pairs,
+        node_col="p_partkey",
+        src_col="key1",
+        dst_col="key2",
+        component_col="entity",
+    )
+    return (
+        cc.join(parts, "p_partkey")
+        .groupBy(F.col("entity").alias("entity_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.min("p_name").alias("canonical_name"),
+        )
+        .filter(F.col("n_records") >= 2)
+    )
