@@ -154,11 +154,36 @@ _DRIVER_WINDOW = (
 )
 
 
+def _driver_checked_names() -> set[str]:
+    """Names that already have a row in ANY driver correctness report
+    (CORRECTNESS_r*.json at the repo root).  Used to auto-rotate the
+    driver's 50-query window: the gate reads the FIRST 50 registered
+    queries each round, so never-checked queries must lead."""
+    import glob
+    import json
+
+    root = __file__
+    for _ in range(3):  # plans/ -> copperhead_spark/ -> repo root
+        root = __import__("os").path.dirname(root)
+    seen: set[str] = set()
+    for path in sorted(glob.glob(f"{root}/CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
 def all_queries() -> dict[str, Query]:
     """Import all plan modules (idempotent) and return the registry.
 
-    Output order is ``_DRIVER_WINDOW`` first, then registration order —
-    the driver's correctness gate samples the first 50 entries.
+    Output order auto-rotates the driver's correctness window: queries
+    with no row in any CORRECTNESS_r*.json yet come first (within that,
+    ``_DRIVER_WINDOW`` priority then registration order), already-checked
+    queries follow.  Each round the driver gate therefore verifies up to
+    50 previously-unverified queries with zero manual re-ordering, until
+    the whole registry has driver-green rows.
     """
     for mod in _PLAN_MODULES:
         try:
@@ -168,11 +193,20 @@ def all_queries() -> dict[str, Query]:
             if e.name and e.name.startswith("copperhead_spark"):
                 continue
             raise
+    priority: list[str] = [n for n in _DRIVER_WINDOW if n in _REGISTRY]
+    priority += [n for n in _REGISTRY if n not in set(priority)]
+    checked = _driver_checked_names()
+    # three tiers, stable within each: (1) never-checked WITH an oracle
+    # (full value verification), (2) never-checked rows-only (weaker
+    # check, so they take slots only once tier 1 drains), (3) already
+    # driver-verified queries.
     ordered: dict[str, Query] = {}
-    for name in _DRIVER_WINDOW:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, q in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = q
+    for tier in (
+        lambda n: n not in checked and _REGISTRY[n].oracle is not None,
+        lambda n: n not in checked,
+        lambda n: True,
+    ):
+        for name in priority:
+            if name not in ordered and tier(name):
+                ordered[name] = _REGISTRY[name]
     return ordered
