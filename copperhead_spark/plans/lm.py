@@ -111,12 +111,17 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_domain_mixture: a literal-key broadcast would constant-fold
     into a nested-loop join)."""
     docs = table(spark, sf_dir, "documents")
+    # materialize the hashed corpus ONCE: four consumers (bigram counts,
+    # context counts, the vocab scalar, and the scoring stream) would
+    # each re-evaluate the per-char token-hash fold over the full corpus
+    # otherwise.  At 100 TB this is the "tokenize once, persist the
+    # token table" layout every LM pipeline uses.
     th = project_once(
         docs,
         "doc_id",
         f"{token_hashes_spark('text')} AS _th",
         f"doc_id % {_LM_TRAIN_MOD} < {_LM_TRAIN_LT} AS _train",
-    )
+    ).localCheckpoint()
     big = th.selectExpr(
         "doc_id", "_train", f"explode({_bigrams_spark('_th')}) AS p"
     )
