@@ -617,10 +617,15 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     above for the 100 TB shuffle shape."""
     docs = table(spark, sf_dir, "documents")
     th = project_once(docs, "doc_id", f"{token_hashes_spark('text')} AS _th")
+    # materialize the gram stream once: both the duplicate-gram agg and
+    # the marking join consume it, and without truncation each side
+    # re-runs the per-char token-hash fold over the whole corpus
     grams = th.selectExpr(
         "doc_id",
         f"posexplode({token_ngram_hashes_spark(_SSD_N, '_th')}) AS (pos0, gram_hash)",
-    ).selectExpr("doc_id", "CAST(pos0 + 1 AS BIGINT) AS pos", "gram_hash")
+    ).selectExpr(
+        "doc_id", "CAST(pos0 + 1 AS BIGINT) AS pos", "gram_hash"
+    ).localCheckpoint()
     dup = (
         grams.groupBy("gram_hash")
         .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
