@@ -72,8 +72,18 @@ def main() -> None:
 
     # best-of-2: single-shot numbers on a shared host swing 3-10x with
     # background load; min-of-two is the standard noise floor estimate
+    import gc as _gc
+
     timings: dict[str, float] = {}
     for name in names:
+        # heap barrier OUTSIDE the timed window: iterative queries
+        # (pagerank/kcore/CC) eagerly localCheckpoint edge lists whose
+        # blocks linger until the ContextCleaner notices the dropped
+        # refs — without this, queries late in the run pay earlier
+        # queries' garbage (measured 1.5-2x inflation on the tail)
+        _gc.collect()
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
