@@ -932,3 +932,92 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cosine",
     )
     return scored.filter(F.col("cosine") >= _NEARDUP_T)
+
+
+# ---------------------------------------------------------------------------
+# kNN label classification: the eval workload over the ANN machinery —
+# predict each held-out vector's label by majority vote of its k exact-
+# cosine neighbors (deterministic tie-breaks: vote count DESC then label
+# ASC), the standard embedding-quality probe a training pipeline runs
+# after every re-embed.  Reuses the partial-top-k Arrow kernel, so the
+# scan stays the plan that survives a billion candidates.
+# ---------------------------------------------------------------------------
+
+_KNN_NQ = 50
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding AS qe,
+         {_dot_duck("embedding", "embedding")} AS qn
+  FROM embeddings WHERE vec_id < {_KNN_NQ}
+),
+c AS (
+  SELECT vec_id AS cand_id, label, embedding AS ce,
+         {_dot_duck("embedding", "embedding")} AS cn
+  FROM embeddings WHERE vec_id >= {_KNN_NQ}
+),
+scored AS (
+  SELECT query_id, true_label, cand_id, c.label,
+         CAST({_dot_duck("qe", "ce")} AS DOUBLE)
+           / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS cosine
+  FROM q, c
+),
+nn AS (
+  SELECT query_id, true_label, label FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+    ) AS rn FROM scored
+  ) WHERE rn <= {_KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nn GROUP BY 1, 2, 3
+)
+SELECT query_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS pred_label,
+       n AS n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY n DESC, label ASC
+  ) AS vr FROM votes
+) WHERE vr = 1
+"""
+
+
+@register("sim_knn_classify", oracle=_KNN_ORACLE, tags=("similarity", "ml"))
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k={_KNN_K} nearest-neighbor label prediction for the {_KNN_NQ}
+    held-out vectors: exact-cosine neighbors from the per-batch partial
+    top-k kernel, then a vote rollup on the O(nq * k) neighbor rows —
+    everything after the scan is window/agg work on a table whose size is
+    the query set, not the corpus."""
+    from copperhead_spark.functions.vectors import batch_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < _KNN_NQ)
+        .selectExpr("vec_id AS query_id", "embedding")
+        .toPandas()
+    )
+    cands = emb.filter(F.col("vec_id") >= _KNN_NQ).selectExpr(
+        "vec_id AS cand_id", "embedding"
+    )
+    nn = batch_cosine_topk(cands, queries, _KNN_K, score_name="cosine")
+    labels = emb.selectExpr("vec_id AS cand_id", "label")
+    truth = emb.selectExpr("vec_id AS query_id", "CAST(label AS BIGINT) AS true_label")
+    votes = (
+        nn.join(F.broadcast(labels), "cand_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n").desc(), F.col("label").asc())
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .selectExpr("query_id", "CAST(label AS BIGINT) AS pred_label", "n AS n_votes")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id", "true_label", "pred_label", "n_votes"
+    )
