@@ -148,6 +148,27 @@ e0 AS (
 )"""
 
 
+
+# per-order sorted-set pair expansion, shared by the co-purchase edge
+# builders (undirected, u < v) — one drifting copy would silently change
+# which graph each operator sees
+_PAIRS_UV_SQL = """
+        explode(flatten(transform(ps, (x, i) ->
+          transform(slice(ps, i + 2, size(ps) - i - 1),
+                    y -> struct(x AS u, y AS v))))) AS e
+        """
+
+
+def _order_part_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(okey, sorted part set) — the one shuffle all co-purchase edge
+    builders share."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str):
     """Undirected part co-purchase edges, oriented u < v (each edge once).
 
@@ -156,18 +177,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     array transform over the (small, sorted) per-order part set.  Orders
     with pathologically many parts would need a per-order cap or salting;
     TPC-H orders hold <= 7 lineitems."""
-    po = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("okey"))
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
-    pairs = po.selectExpr(
-        """
-        explode(flatten(transform(ps, (x, i) ->
-          transform(slice(ps, i + 2, size(ps) - i - 1),
-                    y -> struct(x AS u, y AS v))))) AS e
-        """
-    ).select("e.u", "e.v")
+    pairs = _order_part_sets(spark, sf_dir).selectExpr(_PAIRS_UV_SQL).select("e.u", "e.v")
     return pairs.distinct()
 
 
@@ -315,18 +325,7 @@ def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, v) part pairs (u < v) co-purchased in >= _KCORE_SUP orders.
     Same one-shuffle per-order pair expansion as _copurchase_edges, but
     keeping multiplicity so the groupBy counts order support."""
-    po = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("okey"))
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
-    pairs = po.selectExpr(
-        """
-        explode(flatten(transform(ps, (x, i) ->
-          transform(slice(ps, i + 2, size(ps) - i - 1),
-                    y -> struct(x AS u, y AS v))))) AS e
-        """
-    ).select("e.u", "e.v")
+    pairs = _order_part_sets(spark, sf_dir).selectExpr(_PAIRS_UV_SQL).select("e.u", "e.v")
     return (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("sup"))

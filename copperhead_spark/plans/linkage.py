@@ -341,11 +341,9 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     supports are a vocabulary-sized partial agg joined back BROADCAST
     (the item table is dimension-sized); the total-order count is one
     scalar inlined driver-side (the sample_domain_mixture pattern)."""
-    li = table(spark, sf_dir, "lineitem")
-    po = (
-        li.groupBy(F.col("l_orderkey").alias("okey"))
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
+    from copperhead_spark.plans.graph import _order_part_sets
+
+    po = _order_part_sets(spark, sf_dir)
     # directed pairs (x != y) per order from the sorted per-order set
     pairs = po.selectExpr(
         """
