@@ -507,18 +507,24 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZ_MAX = 3  # edit distance band: 1..3 (0 would be exact dedup's job)
 
+# the blocked fuzzy join, shared verbatim by the pairs oracle and the
+# entity-resolution oracle (one drifting copy would let the pipeline
+# resolve a different pair set than the operator it composes)
+_FUZZ_JOIN_DUCK = f"""
+FROM (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part) a
+JOIN (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part) c
+  ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND {_FUZZ_MAX}
+"""
+
 
 @register(
     "linkage_fuzzy_name_pairs",
     oracle=f"""
-WITH b AS (
-  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
-)
 SELECT a.p_partkey AS key1, c.p_partkey AS key2,
        a.p_name AS name1, c.p_name AS name2,
        CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
-FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
-WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND {_FUZZ_MAX}
+{_FUZZ_JOIN_DUCK}
 """,
     tags=("linkage",),
 )
@@ -553,10 +559,7 @@ def linkage_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ER_EDGES_DUCK = f"""
 SELECT a.p_partkey AS key1, c.p_partkey AS key2
-FROM (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part) a
-JOIN (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part) c
-  ON a.blk = c.blk AND a.p_partkey < c.p_partkey
-WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND {_FUZZ_MAX}
+{_FUZZ_JOIN_DUCK}
 """
 
 

@@ -228,7 +228,7 @@ def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # retention cohorts: the other canonical clickstream rollup — group users
 # by first-seen week, count distinct active users per (cohort week,
-# weeks-since-cohort).  Week arithmetic is integer epoch-微-division so
+# weeks-since-cohort).  Week arithmetic is integer epoch-microsecond division so
 # both engines bin identically (no calendar/locale functions).
 # ---------------------------------------------------------------------------
 

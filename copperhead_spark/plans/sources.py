@@ -367,11 +367,11 @@ def zorder_write(li: DataFrame, out_dir: str, n_files: int = 16) -> None:
     "s13_zorder_clustered_scan",
     oracle=f"""
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-       {{exact}} AS revenue
+       {exact_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM lineitem
-WHERE {_Z_PRED.replace("TIMESTAMP '", "TIMESTAMP '")}
+WHERE {_Z_PRED}
 GROUP BY l_returnflag
-""".replace("{exact}", exact_sum_sql("l_extendedprice * (1 - l_discount)")),
+""",
     tags=("S13", "layout"),
 )
 def s13_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
