@@ -643,3 +643,77 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.selectExpr(
         "doc_id", "n_grams", "n_dup_grams", f"{_ssd_cov_spark('ps')} AS dup_token_cov"
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (asymmetric near-dup: doc-in-doc)
+# ---------------------------------------------------------------------------
+
+# Jaccard misses subset duplication: a short doc fully embedded in a long
+# one has |A∩B|/|A∪B| ≈ |A|/|B| → 0, but containment |A∩B|/min(|A|,|B|)
+# = 1.  Threshold high enough that pairs here are genuine engulfment,
+# not the symmetric near-dups dedup_ngram_jaccard_pairs already finds.
+_CONT_T = 0.6
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({shingle_hashes_duck()})) AS s
+  FROM documents WHERE doc_id < {_JACCARD_CAP}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       CAST(c AS DOUBLE) / LEAST(z1.n, z2.n) AS containment,
+       CAST(CASE WHEN z1.n <= z2.n THEN doc1 ELSE doc2 END AS BIGINT) AS contained_doc
+FROM common
+JOIN sz z1 ON z1.doc_id = doc1
+JOIN sz z2 ON z2.doc_id = doc2
+WHERE CAST(c AS DOUBLE) / LEAST(z1.n, z2.n) >= {_CONT_T}
+"""
+
+
+@register("dedup_ngram_containment_pairs", oracle=_CONTAIN_ORACLE, tags=("dedup",))
+def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup via shingle containment |A∩B|/min(|A|,|B|)
+    >= {_CONT_T}: catches a document engulfed by a longer one (quote
+    farms, boilerplate wrappers), which Jaccard's union denominator
+    dilutes below any usable threshold.  Also labels WHICH side is the
+    contained (smaller) document — the one a curation pass would drop.
+    Same bounded exact-pair shape as dedup_ngram_jaccard_pairs; at
+    100 TB the pair stream comes from LSH candidates
+    (dedup_minhash_lsh_pairs) and this exact measure is the refine
+    step.  Reference analogue: none (beyond-reference curation op)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_CAP)
+    sh = docs.selectExpr(
+        "doc_id", f"explode(array_distinct({shingle_hashes_spark()})) AS s"
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("c"))
+    )
+    z1 = sz.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    z2 = sz.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    cont = F.col("c").cast("double") / F.least(F.col("n1"), F.col("n2"))
+    return (
+        common.join(z1, "doc1")
+        .join(z2, "doc2")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= _CONT_T)
+        .select(
+            "doc1",
+            "doc2",
+            "containment",
+            F.when(F.col("n1") <= F.col("n2"), F.col("doc1"))
+            .otherwise(F.col("doc2"))
+            .cast("long")
+            .alias("contained_doc"),
+        )
+    )

@@ -19,7 +19,7 @@ the same loop with an AQE-observed delta metric.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
@@ -388,3 +388,77 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return kcore_members(sym, _KCORE_K, _KCORE_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    its = []
+    prev = "l0"
+    for i in range(1, _LP_ROUNDS + 1):
+        its.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
+  FROM ed e JOIN {prev} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+ed AS (SELECT src, dst FROM edges),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+{",".join(its)}
+SELECT node, lbl AS community,
+       CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM {prev}
+"""
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "iterative"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation ({_LP_ROUNDS} rounds) on the
+    symmetrized customer<->supplier graph: every node starts labeled
+    with its own id; each round it adopts the most frequent label among
+    its neighbors, ties broken toward the SMALLEST label — fully
+    deterministic, no randomized tie-breaks.  The per-round argmax is a
+    single groupBy(node, label) count followed by a max(struct(count,
+    -label)) partial-aggregating argmax (no window, no second shuffle
+    beyond the count's).  Same scale shape as graph_pagerank: the edge
+    list is materialized src-partitioned once and every round joins
+    against the small (node, label) frontier.  Returns each node's final
+    community and that community's size.  Reference analogue: none
+    (beyond-reference graph extension alongside PageRank/k-core)."""
+    ed, deg = _edges_deg(spark, sf_dir)
+    lbl = deg.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+    for _ in range(_LP_ROUNDS):
+        lbl = (
+            ed.join(lbl, ed.src == lbl.node)
+            .groupBy(F.col("dst"), F.col("lbl"))
+            .agg(F.count("*").alias("c"))
+            .groupBy("dst")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lbl"))
+        )
+    w = Window.partitionBy("lbl")
+    return lbl.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count("*").over(w).cast("long").alias("community_size"),
+    )

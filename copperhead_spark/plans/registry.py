@@ -51,6 +51,7 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.sessions",
     "copperhead_spark.plans.graph",
     "copperhead_spark.plans.linkage",
+    "copperhead_spark.plans.tokenize",
 )
 
 
