@@ -93,3 +93,42 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.selectExpr("vec_id", f"{_E6_SPARK} AS e6").selectExpr(
         "vec_id", *_proj_exprs("spark")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids (class prototypes)
+# ---------------------------------------------------------------------------
+
+_CENT_ORACLE = f"""
+WITH m AS (SELECT label, {_E6_DUCK} AS e6 FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(e6[i]) AS DOUBLE) / (COUNT(*) * 1e6) AS centroid
+FROM m, range(1, {_DIM + 1}) r(i)
+GROUP BY label, i
+"""
+
+
+@register("emb_label_centroids", oracle=_CENT_ORACLE, tags=("similarity", "linalg"))
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes): posexplode the
+    micro-int vector, one groupBy(label, dim) integer sum (map-side
+    partial agg does the heavy lifting — the exchange carries at most
+    labels x {_DIM} x partitions rows), divide back to double at the
+    end.  The k x {_DIM} result seeds nearest-class-mean classifiers and
+    k-means warm starts; the integer sum makes it bit-deterministic
+    under any partitioning.  Reference analogue: none (beyond-reference
+    embedding-corpus operator)."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.selectExpr("label", f"posexplode({_E6_SPARK}) AS (dim0, x)")
+    return (
+        x.groupBy(F.col("label").cast("long").alias("label"),
+                  (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .select(
+            "label", "dim", "n",
+            (F.col("s").cast("double") / (F.col("n") * F.lit(1e6))).alias("centroid"),
+        )
+    )

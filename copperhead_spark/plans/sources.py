@@ -398,3 +398,49 @@ def s13_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
         )
     )
+
+
+@register(
+    "s14_jsonlines_roundtrip",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       {exact_sum_sql("value", 4)} AS value_sum
+FROM events
+GROUP BY event_type
+""",
+    tags=("sources", "json"),
+)
+def s14_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-on-read scan: events go out as newline-
+    delimited JSON (the interchange format every crawl/ingest pipeline
+    speaks) and come back through an EXPLICIT schema — no inference pass,
+    so the read is one planning step and the text scan streams.  The
+    nested props bag is parsed once with from_json (JVM-side Jackson, no
+    UDF), then aggregated.  Doubles round-trip bit-exactly through
+    Jackson's shortest-representation printing, which the exact-sum
+    check proves.  Scale: JSON scan parallelizes per line like any text
+    source; the explicit schema prunes parsing to referenced fields
+    (Jackson skips others token-wise)."""
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_jsonl",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).json(out)
+    parsed = back.withColumn("k", F.from_json("props", "k BIGINT").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("k_sum"),
+        exact_sum(F.col("value"), 4).alias("value_sum"),
+    )
