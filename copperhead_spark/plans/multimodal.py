@@ -112,3 +112,91 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((frame_idx * duration_ms) DIV n_frames AS BIGINT) AS frame_ts_ms",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup over media payloads
+# ---------------------------------------------------------------------------
+
+# average-threshold pHash over the fake decoder's 32 "pixels" (ascii of
+# the first 32 payload bytes — same contract as mm_decode_features):
+# bit i set iff pixel_i > mean.  4 bands x 8 bits; pigeonhole guarantees
+# any pair within hamming distance <= 3 shares at least one exact band,
+# so the banded equi-join misses nothing at that threshold.
+_PH_MAX_HAMMING = 3
+
+_PH_PX_SPARK = "transform(sequence(1, 32), i -> ascii(substring(text, i, 1)))"
+_PH_PX_DUCK = "list_transform(range(1, 33), i -> ascii(substring(text, i, 1)))"
+
+_PH_SPARK = (
+    "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc +"
+    " IF(element_at(px, i) * 32 > tot, shiftleft(CAST(1 AS BIGINT), i - 1),"
+    " CAST(0 AS BIGINT)))"
+)
+_PH_DUCK = (
+    "list_aggregate(list_transform(range(1, 33), i ->"
+    " CASE WHEN px[i] * 32 > tot THEN (CAST(1 AS BIGINT) << (i - 1))"
+    " ELSE 0 END), 'sum')"
+)
+
+# 8-bit bands via integer division — identical literal arithmetic on
+# both engines (no shift-by-column needed)
+_PH_BANDS = "[ph % 256, (ph // 256) % 256, (ph // 65536) % 256, (ph // 16777216) % 256]"
+_PH_BANDS_SPARK = (
+    "array(ph % 256, (ph DIV 256) % 256, (ph DIV 65536) % 256, (ph DIV 16777216) % 256)"
+)
+
+_PHASH_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, {_PH_PX_DUCK} AS px,
+         list_aggregate({_PH_PX_DUCK}, 'sum') AS tot
+  FROM documents
+),
+h AS (SELECT doc_id, {_PH_DUCK} AS ph FROM px),
+b AS (
+  SELECT doc_id, ph, generate_subscripts(bands, 1) AS band_idx,
+         unnest(bands) AS band_val
+  FROM (SELECT doc_id, ph, {_PH_BANDS} AS bands FROM h)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, a.ph AS ph1, c.doc_id AS doc2, c.ph AS ph2
+  FROM b a JOIN b c
+    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+   AND a.doc_id < c.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(ph1, ph2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph1, ph2)) <= {_PH_MAX_HAMMING}
+"""
+
+
+@register("mm_phash_dedup", oracle=_PHASH_ORACLE, tags=("multimodal", "dedup"))
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over media payloads: the fake
+    decoder's 32 pixels -> average-threshold 32-bit pHash -> 4x8-bit
+    LSH bands -> banded equi-join -> exact hamming refine (<=
+    {_PH_MAX_HAMMING}, where the pigeonhole bound makes banding
+    lossless).  The real-image version swaps the pixel expression for a
+    DCT over decoded bytes inside the same mapInPandas contract
+    (operators/multimodal.decode_media); everything downstream — band
+    explode, bucket join, bit_count refine — is media-agnostic.  Scale:
+    identical shape to dedup_simhash_pairs — pair volume is bounded by
+    band-bucket occupancy, never n^2."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.selectExpr(
+        "doc_id", f"{_PH_PX_SPARK} AS px"
+    ).selectExpr(
+        "doc_id", "px", "aggregate(px, 0, (a, x) -> a + x) AS tot"
+    ).selectExpr("doc_id", f"{_PH_SPARK} AS ph")
+    b = h.selectExpr("doc_id", "ph", f"posexplode({_PH_BANDS_SPARK}) AS (band_idx, band_val)")
+    a = b.selectExpr("doc_id AS doc1", "ph AS ph1", "band_idx", "band_val")
+    c = b.selectExpr("doc_id AS doc2", "ph AS ph2", "band_idx", "band_val")
+    cand = (
+        a.join(c, ["band_idx", "band_val"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "ph1", "doc2", "ph2")
+        .distinct()
+    )
+    return cand.selectExpr(
+        "doc1", "doc2", f"CAST(bit_count(ph1 ^ ph2) AS BIGINT) AS hamming"
+    ).filter(F.col("hamming") <= _PH_MAX_HAMMING)

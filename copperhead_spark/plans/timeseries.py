@@ -211,3 +211,40 @@ def asof_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id long, user_id long, ts timestamp_ntz, "
         "click_id long, click_ts timestamp_ntz",
     )
+
+
+@register(
+    "t4_lag_lead_delta",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       value - LAG(value) OVER w AS delta_value,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+    tags=("T4", "W5", "date"),
+)
+def t4_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag/lead deltas: time since the previous event, value
+    change vs the previous event, and the NEXT event's type — the
+    standalone offset-window operator (sessionize uses lag internally;
+    this exposes lag AND lead as first-class outputs).  The double
+    subtraction is a single IEEE op on values both engines read from the
+    same parquet, so it is bit-deterministic with no fixed-point detour.
+    Scale: one hash shuffle on user_id, in-partition sort — the same
+    exchange any per-user window shares; ties broken by event_id so the
+    frame order is total."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # session TZ is pinned UTC (session.py), so NTZ -> TIMESTAMP is lossless
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
