@@ -54,6 +54,11 @@ HEADLINE = [
     "text_bigram_lm_score",
     "sessionize_events",
     "graph_pagerank",
+    # round-3 additions: tokenizer inference, banded media near-dup,
+    # label-propagation communities
+    "text_bpe_encode",
+    "mm_phash_dedup",
+    "graph_label_propagation",
 ]
 
 

@@ -125,7 +125,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("F5", "Weights accumulator (ledger)", ["f5_weights_ledger"], "operators/weights.py (zero-safe variations unit-tested)"),
     ("F6", "Row-wise helper (max_abs_eta)", ["a4_global_aggregates"], "greatest(abs(...)) expression"),
     # 2.11 finishing
-    ("FIN1", "Parametric fits + chi2 model selection", ["fin1_chi2_model_selection"], "finishing/fits.py (chebyshev/bernstein/bwZ; tests recover params; rows-only query — fits are not SQL-expressible)"),
+    ("FIN1", "Parametric fits + chi2 model selection", ["fin1_chi2_model_selection"], "finishing/fits.py (chebyshev/bernstein/bwZ/bwZredux/bwGamma/doubleCB — full reference menu; tests recover params; rows-only query — fits are not SQL-expressible)"),
     ("FIN2", "Templates / group summation", ["fin2_group_templates"], "finishing/templates.py (driver-side twin on collected data)"),
     ("FIN3", "Datacard emission", ["fin3_datacard_yields"], "finishing/templates.py make_datacard consumes the rate table"),
     # beyond-reference mandated families
@@ -191,6 +191,49 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "exact lower-median order statistic; bounded group sizes required — a8_quantiles is the giant-group path"),
     # pipeline parity
     ("E2E", "stage1->2->3 pipeline on jagged events", ["pipeline_hmm_histogram"], "pipeline.py stage1 (exploded) + stage1_arrays (zero-shuffle array-native, bit-identical, benched at 1M events in bench.py) + distributed executor-side fixture; vs independent pandas mirror, tests/test_pipeline.py"),
+    # relational / analytics extensions
+    ("R1", "CUBE / GROUPING SETS rollup", ["a5_cube_grouping_sets"], "one shuffle, grouping-id disambiguated"),
+    ("R2", "PIVOT / UNPIVOT reshape", ["pivot_status_by_flag", "unpivot_variations"], ""),
+    ("R3", "EXCEPT set difference", ["u4_except"], ""),
+    ("R4", "Semi-structured JSON property extraction", ["json_extract_props"], "get_json_object projection; from_json schema-on-read twin in S14"),
+    ("R5", "SQL API surface (spark.sql text plans)", ["sql_api_region_revenue"], "identical Catalyst plan as the DataFrame form"),
+    ("R6", "Approximate aggregates with oracle-checked error bounds", ["approx_aggregates"], "HLL++/percentile_approx emit integer pass flags vs exact values computed in the same plan"),
+    # time-series / clickstream extensions
+    ("TS1", "Lag/lead offset windows (per-key deltas)", ["t4_lag_lead_delta"], "one user_id exchange; total order via (ts, event_id)"),
+    ("TS2", "Sessionization (gap cutoff)", ["sessionize_events"], "batch twin of ST3 session windows"),
+    ("TS3", "Funnel analysis (ordered step progression)", ["session_funnel"], ""),
+    ("TS4", "Trailing-window z-score spike detection", ["events_spike_detection"], "window over the tiny hourly rollup, not raw events"),
+    ("TS5", "Retention cohorts (first-seen week x age)", ["events_retention_cohorts"], "integer epoch-week binning, calendar-free"),
+    # graph analytics (beyond-reference)
+    ("GR1", "PageRank (iterative, fixed-point int)", ["graph_pagerank"], "edge list materialized src-partitioned once; SHUFFLE_HASH frontier join — only |nodes| ranks move per round"),
+    ("GR2", "k-core decomposition (peeling loop)", ["graph_kcore_members"], "checkpointed rounds, early fixpoint stop"),
+    ("GR3", "Triangle counting / degree histogram", ["graph_triangle_count", "graph_degree_histogram"], "oriented wedge join; production caps out-degree at sqrt(m)"),
+    ("GR4", "Label propagation (community detection)", ["graph_label_propagation"], "deterministic min-label tie-break; same frontier-only shuffle shape as GR1"),
+    # record linkage / entity resolution (beyond-reference)
+    ("LNK1", "Blocked TF-IDF cosine linkage pairs", ["text_tfidf_blocked_pairs"], "pair volume = sum(|block|^2), never n^2"),
+    ("LNK2", "Fuzzy edit-distance linkage", ["linkage_fuzzy_name_pairs"], "blocked Levenshtein band join"),
+    ("LNK3", "Entity-resolution pipeline (pairs -> canonical clusters)", ["pipeline_entity_resolution"], "fuzzy pairs + hash-min connected components composition"),
+    ("LNK4", "Incremental dedup vs standing index", ["dedup_incremental_index"], "only the new batch scans for candidates"),
+    ("D10", "Shingle containment (doc-in-doc engulfment)", ["dedup_ngram_containment_pairs"], "|A∩B|/min(|A|,|B|) catches subset dups Jaccard dilutes; labels the contained side"),
+    # tokenizer training/inference (beyond-reference)
+    ("TOK1", "BPE pair counting (training inner loop)", ["text_bpe_pair_counts"], ""),
+    ("TOK2", "Iterative BPE merge training", ["text_bpe_train_merges"], "argmax-adopt-reapply rounds; unrolled-CTE oracle"),
+    ("TOK3", "BPE corpus encoding (tokenizer inference)", ["text_bpe_encode"], "literal merge table, map-only fold; order-sensitive sequence hash proves token-level parity"),
+    ("TOK4", "Bigram-LM perplexity-style scoring", ["text_bigram_lm_score"], "tokenize-once materialization; corpus-level LM stats broadcast"),
+    ("T16", "Substring/span-level dedup (coverage trim)", ["text_substring_dedup"], "rolling-hash gram stream materialized once; span-union fold property-tested"),
+    # retrieval / embedding extensions
+    ("SIM4", "Product-quantization ANN (ADC scan)", ["sim_pq_topk", "sim_pq_recall"], "32x compression; query-time scoring is M table lookups per candidate"),
+    ("SIM5", "ANN recall gates (quality, oracle-checked)", ["sim_ivf_recall", "sim_pq_recall"], "recall@k vs the exact kernel as an exact-arithmetic aggregate"),
+    ("SIM6", "kNN label classification", ["sim_knn_classify"], "majority vote over the partial-top-k cosine kernel"),
+    ("LA3", "Per-label embedding centroids (class prototypes)", ["emb_label_centroids"], "posexplode + integer partial agg; exchange carries labels x dims x partitions rows"),
+    ("SKE3", "Mergeable binned-quantile sketch", ["sketch_binned_quantiles"], "bounded-error estimator; merge = cell-wise sum"),
+    ("SKE4", "HLL sketch merge across partitions/days", ["sketch_hll_merge_days"], "merge-equals-rebuild demonstrated"),
+    # market-basket
+    ("MB1", "Association rules (support/confidence/lift)", ["market_basket_rules"], "pair expansion shares the per-order sorted-set helper with GR3"),
+    ("MM4", "Perceptual-hash media near-dup (banded)", ["mm_phash_dedup"], "4x8-bit bands; pigeonhole-lossless at hamming<=3; DCT swaps in via the same decode contract"),
+    # sources extensions
+    ("S13", "Z-order clustered layout + 2-D range scan", ["s13_zorder_clustered_scan"], "Morton-key write; footer-measured file skipping"),
+    ("S14", "JSON-lines sink + explicit-schema scan", ["s14_jsonlines_roundtrip"], "no inference pass; from_json props parse; doubles round-trip bit-exactly"),
 ]
 
 
