@@ -229,3 +229,62 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("approx_median_ok"),
     )
+
+
+@register(
+    "a14_corr_covar",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM m GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS covar_pop_qty_price
+FROM s
+""",
+    tags=("A14", "statistics"),
+)
+def a14_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of quantity vs price
+    per return flag, via EXACT integer moment sums (n, Σx, Σy, Σxy,
+    Σx², Σy² as BIGINT — associative, order-free) with the float
+    division/sqrt done once on the tiny per-group row: bit-deterministic
+    where built-in corr()/covar_pop() drift with partition order.
+    Price is rounded to integer units so Σy² stays in int64 up to ~1e9
+    rows per group (raise the unit for bigger groups — same knob as
+    functions/exact.py).  Scale: one partial-agg shuffle, six longs per
+    group in flight."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        (num / (denx * deny)).alias("corr_qty_price"),
+        (num / (F.col("n").cast("double") * F.col("n").cast("double"))).alias(
+            "covar_pop_qty_price"
+        ),
+    )

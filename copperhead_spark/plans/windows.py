@@ -266,3 +266,46 @@ def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register(
+    "w6_ntile_deciles",
+    oracle="""
+WITH d AS (
+  SELECT source, n_chars,
+         NTILE(10) OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id ASC) AS decile
+  FROM documents
+)
+SELECT source, CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM d GROUP BY source, decile
+""",
+    tags=("W6", "windows", "text"),
+)
+def w6_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing — the quality-decile split every curation
+    pipeline uses to keep 'top-X% by score' per domain: documents ranked
+    by length within source, cut into 10 equal buckets (NTILE's
+    ceil-then-floor fill rule is identical in Spark and DuckDB), then
+    per-decile stats.  Ordering is total (tie-break doc_id) so bucket
+    boundaries are deterministic.  Scale: one exchange on source; NTILE
+    needs the whole partition ordered, so at 100 TB the partition key
+    must be finer than 'source' (e.g. source x hash-shard, deciles
+    within shard approximate the global decile to sampling error) — the
+    same caveat as any exact per-domain quantile."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("source", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
