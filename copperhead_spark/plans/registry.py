@@ -52,6 +52,7 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.graph",
     "copperhead_spark.plans.linkage",
     "copperhead_spark.plans.tokenize",
+    "copperhead_spark.plans.mltrain",
 )
 
 

@@ -222,6 +222,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("TOK2", "Iterative BPE merge training", ["text_bpe_train_merges"], "argmax-adopt-reapply rounds; unrolled-CTE oracle"),
     ("TOK3", "BPE corpus encoding (tokenizer inference)", ["text_bpe_encode"], "literal merge table, map-only fold; order-sensitive sequence hash proves token-level parity"),
     ("TOK4", "Bigram-LM perplexity-style scoring", ["text_bigram_lm_score"], "tokenize-once materialization; corpus-level LM stats broadcast"),
+    ("ML1", "Feature hashing (hashing-trick vectorizer)", ["text_feature_hashing"], "portable quadratic-mix bucket hash; no vocabulary table — the fixed-width input linear models consume"),
+    ("ML2", "Full-batch perceptron training loop", ["ml_perceptron_train"], "integer update rule -> bit-reproducible training trajectory; per-epoch gradient partials aggregate map-side, weights live on the driver (k=4 here, fasttext-width broadcasts the same)"),
     ("T16", "Substring/span-level dedup (coverage trim)", ["text_substring_dedup"], "rolling-hash gram stream materialized once; span-union fold property-tested"),
     # retrieval / embedding extensions
     ("SIM4", "Product-quantization ANN (ADC scan)", ["sim_pq_topk", "sim_pq_recall"], "32x compression; query-time scoring is M table lookups per candidate"),
