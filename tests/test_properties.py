@@ -317,3 +317,69 @@ def test_bpe_merge_fold_matches_greedy_python(text, pair):
             f"SELECT {_bpe_merge_duck(chars, repr(left), repr(right))} AS m"
         ).fetchone()[0]
         assert got == greedy(tok), (tok, got)
+
+
+# --- round-3 additions -----------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.lists(st.integers(0, 31), min_size=0, max_size=3))
+def test_phash_banding_lossless_at_hamming_3(h1, flips):
+    """pigeonhole: two 32-bit hashes within hamming distance 3 share at
+    least one of the 4 byte-bands — the mm_phash_dedup banded join
+    misses nothing at its threshold."""
+    h2 = h1
+    for b in set(flips):
+        h2 ^= 1 << b
+    bands1 = [(h1 >> (8 * j)) & 255 for j in range(4)]
+    bands2 = [(h2 >> (8 * j)) & 255 for j in range(4)]
+    assert any(x == y for x, y in zip(bands1, bands2))
+
+
+def _bpe_apply_py(word: str, merges) -> list[str]:
+    """Pure-python greedy left-to-right merge fold (the trainer/encoder
+    contract: apply each merge rank in order, one pass each)."""
+    syms = list(word)
+    for left, right in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.text(alphabet="theinanderson ", min_size=1, max_size=60))
+def test_bpe_encode_fold_matches_pure_python(spark_prop, text):
+    from copperhead_spark.plans.tokenize import _MERGES, _encode_word_spark
+
+    words = [w for w in text.split(" ") if w]
+    expect = [_bpe_apply_py(w, _MERGES) for w in words]
+    got = (
+        spark_prop.sql(
+            f"SELECT transform(filter(split({chr(39)}{text}{chr(39)}, ' '),"
+            f" w -> w <> ''), w -> {_encode_word_spark('w')}) AS enc"
+        ).first()["enc"]
+    )
+    assert [list(t) for t in got] == expect
+
+
+def test_perceptron_trajectory_partition_independent(spark_prop):
+    """The integer update sum is associative: re-partitioning the corpus
+    must not change any epoch's weights (the auditability claim in
+    plans/mltrain.py)."""
+    from copperhead_spark.plans.registry import _REGISTRY
+    import copperhead_spark.plans.mltrain  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    base = _REGISTRY["ml_perceptron_train"].builder(spark_prop, sf).collect()
+    prev = spark_prop.conf.get("spark.sql.shuffle.partitions")
+    spark_prop.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        odd = _REGISTRY["ml_perceptron_train"].builder(spark_prop, sf).collect()
+    finally:
+        spark_prop.conf.set("spark.sql.shuffle.partitions", prev)
+    assert sorted(map(tuple, base)) == sorted(map(tuple, odd))
