@@ -444,3 +444,89 @@ def s14_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("k_sum"),
         exact_sum(F.col("value"), 4).alias("value_sum"),
     )
+
+
+@register(
+    "s15_orc_roundtrip",
+    oracle=f"""
+SELECT n_name, COUNT(*) AS n_suppliers,
+       {exact_sum_sql("s_acctbal")} AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("sources", "S10"),
+)
+def s15_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange: supplier goes out as ORC (the other columnar
+    interchange format Hive/Trino shops hand over), comes back through
+    the native vectorized ORC reader, and joins/aggregates — proving the
+    full write-read-query path preserves types and values (the exact-sum
+    hash would catch any decimal/double coercion drift).  ORC scans get
+    the same Catalyst treatment as parquet: column pruning + predicate
+    pushdown into the stripe reader."""
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_orc",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        back.join(F.broadcast(nat), back.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            exact_sum(F.col("s_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "s16_csv_badrecords_scan",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey ELSE 0 END) AS BIGINT)
+         AS good_key_sum
+FROM orders
+""",
+    tags=("sources", "S10"),
+)
+def s16_csv_badrecords_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record-tolerant CSV scan (PERMISSIVE mode): a CSV export
+    where every 97th order's numeric key field is corrupted ('x' suffix)
+    reads back with the bad rows captured in _corrupt_record instead of
+    failing the job — the resilience contract any web-scale text ingest
+    needs (a 100 TB crawl ALWAYS has broken lines; one poison row must
+    not kill a stage).  Counts and a checksum over the clean rows prove
+    the parser neither drops good rows nor silently coerces bad ones."""
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_badcsv",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    corrupted = orders.selectExpr(
+        "CASE WHEN o_orderkey % 97 = 0 THEN concat(CAST(o_orderkey AS STRING), 'x')"
+        " ELSE CAST(o_orderkey AS STRING) END AS o_orderkey",
+        "o_orderstatus",
+    )
+    corrupted.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_orderstatus STRING, _corrupt_record STRING"
+    ).option("header", "true").option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(out)
+    # corrupt rows: o_orderkey NULL + raw line captured
+    return back.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_bad"),
+        F.sum(F.coalesce(F.col("o_orderkey"), F.lit(0))).alias("good_key_sum"),
+    )

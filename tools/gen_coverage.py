@@ -238,6 +238,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     # sources extensions
     ("S13", "Z-order clustered layout + 2-D range scan", ["s13_zorder_clustered_scan"], "Morton-key write; footer-measured file skipping"),
     ("S14", "JSON-lines sink + explicit-schema scan", ["s14_jsonlines_roundtrip"], "no inference pass; from_json props parse; doubles round-trip bit-exactly"),
+    ("S15", "ORC interchange roundtrip", ["s15_orc_roundtrip"], "native vectorized ORC reader; same pruning/pushdown treatment as parquet"),
+    ("S16", "Malformed-record-tolerant CSV scan (PERMISSIVE)", ["s16_csv_badrecords_scan"], "_corrupt_record capture; poison rows cannot kill a 100 TB ingest stage"),
 ]
 
 
