@@ -717,3 +717,45 @@ def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("contained_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-quality gate (recall vs exact Jaccard ground truth)
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+WITH truth AS ({_JACCARD_ORACLE}),
+cand AS ({_LSH_ORACLE}),
+hit AS (
+  SELECT t.doc1, t.doc2, (c.doc1 IS NOT NULL) AS got
+  FROM truth t LEFT JOIN cand c ON t.doc1 = c.doc1 AND t.doc2 = c.doc2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN got THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN got THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+FROM hit
+"""
+
+
+@register("dedup_lsh_recall", oracle=_LSH_RECALL_ORACLE, tags=("dedup", "eval"))
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality gate for the LSH pipeline: recall of the banded
+    MinHash candidates against exact {_JACCARD_T}-Jaccard ground truth on
+    the capped corpus — the dedup twin of sim_ivf_recall (the judge-able
+    number behind 'banding is lossy but good enough').  Exact integer
+    hit counts, one float division at the end, so the quality claim
+    itself is oracle-checked; a banding/shingle regression that silently
+    dropped candidates would hash-fail this row.  Scale: both inputs are
+    the already-bounded pair streams; the probe join is tiny."""
+    truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc1").alias("c1"), F.col("doc2").alias("c2")
+    )
+    hit = truth.join(
+        cand, (truth.doc1 == cand.c1) & (truth.doc2 == cand.c2), "left"
+    ).select(F.col("c1").isNotNull().cast("long").alias("got"))
+    return hit.agg(
+        F.count("*").alias("n_truth"),
+        F.sum("got").alias("n_hit"),
+        (F.sum("got").cast("double") / F.count("*")).alias("recall"),
+    )

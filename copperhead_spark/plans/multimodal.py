@@ -200,3 +200,59 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.selectExpr(
         "doc1", "doc2", f"CAST(bit_count(ph1 ^ ph2) AS BIGINT) AS hamming"
     ).filter(F.col("hamming") <= _PH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# audio-shaped windowed feature extraction
+# ---------------------------------------------------------------------------
+
+_AW = 16  # samples per analysis window
+
+
+@register(
+    "mm_audio_energy_windows",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(1, strlen(text) + 1),
+                        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS smp,
+         strlen(text) // {_AW} AS n_windows
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(w AS BIGINT) AS window_idx,
+       CAST(list_aggregate(list_transform(range(1, {_AW} + 1),
+            j -> smp[w * {_AW} + j] * smp[w * {_AW} + j]), 'sum') AS BIGINT) AS energy
+FROM s, LATERAL (SELECT unnest(range(0, n_windows)) AS w) t
+WHERE n_windows > 0
+""",
+    tags=("multimodal",),
+)
+def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing: frame the payload's samples
+    (fake-decoder contract: one sample per byte) into non-overlapping
+    {_AW}-sample analysis windows and emit per-window energy (sum of
+    squared samples) — the skeleton under spectrogram/VAD passes, with
+    the DSP swapped in via the same decode contract as
+    mm_decode_features.  All array expressions: the per-doc window list
+    materializes map-side and explodes with no shuffle; trailing partial
+    windows are dropped (both engines agree by the same floor-div)."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.selectExpr(
+        "doc_id",
+        "transform(sequence(1, octet_length(text)),"
+        " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS smp",
+        f"octet_length(text) DIV {_AW} AS n_windows",
+    ).filter(F.col("n_windows") > 0)
+    return s.selectExpr(
+        "doc_id",
+        "CAST(n_windows AS BIGINT) AS n_windows",
+        f"""posexplode(transform(sequence(0, n_windows - 1), w ->
+            aggregate(sequence(1, {_AW}), CAST(0 AS BIGINT),
+                      (acc, j) -> acc + element_at(smp, CAST(w * {_AW} + j AS INT))
+                                        * element_at(smp, CAST(w * {_AW} + j AS INT)))))
+            AS (window_idx, energy)""",
+    ).selectExpr(
+        "doc_id", "n_windows", "CAST(window_idx AS BIGINT) AS window_idx", "energy"
+    )
