@@ -101,3 +101,26 @@ def test_scans_are_column_pruned(plans, name, table_width):
 def test_wholestage_codegen_present(plans, name):
     # "*(n)" prefixes mark operators inside WholeStageCodegen span n
     assert re.search(r"\*\(\d+\)", plans[name]), plans[name][:2000]
+
+
+def test_graph_frontier_joins_never_broadcast_edges(spark):
+    """The iterative graph loops must move the small frontier to the
+    edge partitioning (SHUFFLE_HASH), never broadcast the edge list:
+    AQE left to itself measures the edge exchange under the broadcast
+    threshold at test SF and picks the scale-backwards build side
+    (plans/graph.py pagerank_iterations rationale).  Executed so the
+    AQE-final plan is what's asserted."""
+    from copperhead_spark.plans.registry import _REGISTRY
+    import copperhead_spark.plans.graph  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("graph_pagerank", "graph_label_propagation"):
+        df = _REGISTRY[name].builder(spark, sf)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, f"{name}: frontier join not SHJ"
+        # the only broadcast allowed is none at all on the ed scan side
+        assert "BroadcastExchange" not in plan, (
+            f"{name}: something got broadcast — at scale that side is the "
+            f"100 TB edge list"
+        )
