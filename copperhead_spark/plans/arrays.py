@@ -124,3 +124,44 @@ def arr_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(pos AS BIGINT) AS pos",
         _MICRO.format(e="col") + " AS val_micro",
     )
+
+
+@register(
+    "map_props_explode",
+    oracle="""
+SELECT event_type,
+       'k' AS prop_key,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS val_sum,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS val_min
+FROM events
+GROUP BY event_type
+""",
+    tags=("map", "functions", "json"),
+)
+def map_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: the props JSON bag parses once into
+    map<string,bigint> (from_json with a map schema — the schema-on-read
+    shape for property bags whose KEY SET is not fixed at plan time,
+    where a struct schema would silently drop unknown keys), then
+    explode(map) yields one (key, value) row per entry for per-key
+    rollups.  The oracle pins the same result via per-key JSON
+    extraction — on this corpus the discovered key set is exactly
+    {{'k'}}, so a map-explode bug that dropped or duplicated entries
+    breaks the row count, and a parse drift breaks the sums.  Scale:
+    parse + explode are map-side; the aggregate is one partial-agg
+    exchange keyed (event_type, key)."""
+    ev = table(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "val"
+        ),
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("val_sum"),
+        F.min("val").alias("val_min"),
+    )

@@ -196,6 +196,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("R2", "PIVOT / UNPIVOT reshape", ["pivot_status_by_flag", "unpivot_variations"], ""),
     ("R3", "EXCEPT set difference", ["u4_except"], ""),
     ("R4", "Semi-structured JSON property extraction", ["json_extract_props"], "get_json_object projection; from_json schema-on-read twin in S14"),
+    ("R9", "MAP-typed columns (parse bag -> explode -> per-key rollup)", ["map_props_explode"], "from_json map schema keeps unknown keys a struct schema would drop"),
     ("R5", "SQL API surface (spark.sql text plans)", ["sql_api_region_revenue"], "identical Catalyst plan as the DataFrame form"),
     ("R6", "Approximate aggregates with oracle-checked error bounds", ["approx_aggregates"], "HLL++/percentile_approx emit integer pass flags vs exact values computed in the same plan"),
     ("R7", "NTILE decile bucketing (per-domain quality split)", ["w6_ntile_deciles"], "deterministic total order; 100 TB caveat documented (shard-local deciles)"),
