@@ -182,12 +182,15 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, bucket join, bit_count refine — is media-agnostic.  Scale:
     identical shape to dedup_simhash_pairs — pair volume is bounded by
     band-bucket occupancy, never n^2."""
+    from copperhead_spark.operators.barrier import project_once
+
     docs = table(spark, sf_dir, "documents")
-    h = docs.selectExpr(
-        "doc_id", f"{_PH_PX_SPARK} AS px"
-    ).selectExpr(
-        "doc_id", "px", "aggregate(px, 0, (a, x) -> a + x) AS tot"
-    ).selectExpr("doc_id", f"{_PH_SPARK} AS ph")
+    # project_once barriers: without them ProjectCollapse inlines the
+    # 32-term px array into every reference inside the 32-step ph fold
+    # (a ~32x expression blowup, paid on BOTH sides of the self-join)
+    px = project_once(docs, "doc_id", f"{_PH_PX_SPARK} AS px")
+    pt = project_once(px, "doc_id", "px", "aggregate(px, 0, (a, x) -> a + x) AS tot")
+    h = project_once(pt, "doc_id", f"{_PH_SPARK} AS ph")
     b = h.selectExpr("doc_id", "ph", f"posexplode({_PH_BANDS_SPARK}) AS (band_idx, band_val)")
     a = b.selectExpr("doc_id AS doc1", "ph AS ph1", "band_idx", "band_val")
     c = b.selectExpr("doc_id AS doc2", "ph AS ph2", "band_idx", "band_val")

