@@ -725,21 +725,28 @@ def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _LSH_RECALL_ORACLE = f"""
 WITH truth AS ({_JACCARD_ORACLE}),
-cand AS ({_LSH_ORACLE}),
-hit AS (
-  SELECT t.doc1, t.doc2, (c.doc1 IS NOT NULL) AS got
-  FROM truth t LEFT JOIN cand c ON t.doc1 = c.doc1 AND t.doc2 = c.doc2
+cand AS (SELECT doc1, doc2 FROM ({_LSH_ORACLE})
+         WHERE doc1 < {_JACCARD_CAP} AND doc2 < {_JACCARD_CAP}),
+j AS (
+  SELECT COALESCE(t.doc1, c.doc1) AS doc1,
+         (t.doc1 IS NOT NULL) AS is_truth, (c.doc1 IS NOT NULL) AS is_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc1 = c.doc1 AND t.doc2 = c.doc2
 )
-SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
-       CAST(SUM(CASE WHEN got THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       CAST(SUM(CASE WHEN got THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
-FROM hit
+SELECT CAST(SUM(CASE WHEN is_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN is_truth AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN is_truth AND is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN is_truth THEN 1 ELSE 0 END) AS recall,
+       CAST(SUM(CASE WHEN is_truth AND is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS precision
+FROM j
 """
 
 
 @register("dedup_lsh_recall", oracle=_LSH_RECALL_ORACLE, tags=("dedup", "eval"))
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-quality gate for the LSH pipeline: recall of the banded
+    """Candidate-quality gate for the LSH pipeline: recall AND precision of the banded
     MinHash candidates against exact {_JACCARD_T}-Jaccard ground truth on
     the capped corpus — the dedup twin of sim_ivf_recall (the judge-able
     number behind 'banding is lossy but good enough').  Exact integer
@@ -748,14 +755,22 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped candidates would hash-fail this row.  Scale: both inputs are
     the already-bounded pair streams; the probe join is tiny."""
     truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
-    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select(
-        F.col("doc1").alias("c1"), F.col("doc2").alias("c2")
+    cand = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .filter((F.col("doc1") < _JACCARD_CAP) & (F.col("doc2") < _JACCARD_CAP))
+        .select(F.col("doc1").alias("c1"), F.col("doc2").alias("c2"))
     )
-    hit = truth.join(
-        cand, (truth.doc1 == cand.c1) & (truth.doc2 == cand.c2), "left"
-    ).select(F.col("c1").isNotNull().cast("long").alias("got"))
-    return hit.agg(
-        F.count("*").alias("n_truth"),
-        F.sum("got").alias("n_hit"),
-        (F.sum("got").cast("double") / F.count("*")).alias("recall"),
+    j = truth.join(
+        cand, (truth.doc1 == cand.c1) & (truth.doc2 == cand.c2), "full_outer"
+    ).select(
+        truth.doc1.isNotNull().cast("long").alias("is_truth"),
+        F.col("c1").isNotNull().cast("long").alias("is_cand"),
+    )
+    hit = (F.col("is_truth") * F.col("is_cand"))
+    return j.agg(
+        F.sum("is_truth").alias("n_truth"),
+        F.sum("is_cand").alias("n_cand"),
+        F.sum(hit).alias("n_hit"),
+        (F.sum(hit).cast("double") / F.sum("is_truth")).alias("recall"),
+        (F.sum(hit).cast("double") / F.sum("is_cand")).alias("precision"),
     )

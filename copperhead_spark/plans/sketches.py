@@ -421,3 +421,136 @@ def sketch_hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate(merged_cells, "est_merged").join(
         estimate(direct_cells, "est_direct"), "grp"
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set intersection via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+# |A∩B| ≈ est(A) + est(B) - est(A∪B); the union sketch is the cell-wise
+# MAX merge, so intersection needs no second data structure — the whole
+# point of mergeable sketches.  rsd ≈ 1.04/sqrt(m) ≈ 1.6% per estimate;
+# the inclusion-exclusion error compounds to a few percent of |A|+|B|.
+_HLL_IX_RTOL = 0.05  # |est - exact| <= 5% of (|A| + |B|)
+
+_A_PRED = "o_orderstatus = 'O'"
+_B_PRED = "o_orderstatus = 'F'"
+
+
+def _hll_ix_cells_duck(pred: str) -> str:
+    return f"""(
+  SELECT {_bucket_sql("o_custkey")} AS bucket,
+         MAX({_rank_sql("o_custkey")}) AS r
+  FROM orders WHERE {pred} GROUP BY 1
+)"""
+
+
+def _hll_ix_est_duck(cells: str) -> str:
+    return f"""(
+  SELECT {_estimate_sql()} AS est FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v_present,
+           SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE)) AS z
+    FROM {cells}
+  )
+)"""
+
+
+_HLL_IX_ORACLE = f"""
+WITH ua AS {_hll_ix_cells_duck(_A_PRED)},
+ub AS {_hll_ix_cells_duck(_B_PRED)},
+uu AS (
+  SELECT bucket, MAX(r) AS r FROM (
+    SELECT * FROM ua UNION ALL SELECT * FROM ub
+  ) GROUP BY bucket
+),
+ex AS (
+  SELECT COUNT(DISTINCT CASE WHEN {_A_PRED} THEN o_custkey END) AS n_a,
+         COUNT(DISTINCT CASE WHEN {_B_PRED} THEN o_custkey END) AS n_b,
+         COUNT(DISTINCT CASE WHEN o_custkey IN
+             (SELECT o_custkey FROM orders WHERE {_B_PRED})
+             AND {_A_PRED} THEN o_custkey END) AS n_inter
+  FROM orders
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(ROUND(({_hll_ix_est_duck("ua")} + {_hll_ix_est_duck("ub")}
+             - {_hll_ix_est_duck("uu")}) * 1e4) AS BIGINT) / 1e4 AS inter_est,
+       CAST(CASE WHEN ABS({_hll_ix_est_duck("ua")} + {_hll_ix_est_duck("ub")}
+             - {_hll_ix_est_duck("uu")} - n_inter)
+             <= {_HLL_IX_RTOL} * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT) AS est_ok
+FROM ex
+"""
+
+
+@register("sketch_hll_intersection", oracle=_HLL_IX_ORACLE, tags=("sketch", "eval"))
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality from HLL sketches by
+    inclusion-exclusion: customers with open AND finished orders,
+    estimated as est(A) + est(B) - est(A MAX-merge B) — no pairwise
+    data structure, just the mergeable-sketch property (the union
+    sketch is the same cell-wise MAX that sketch_hll_merge_days uses
+    across partitions).  Exact counts computed in the same plan gate the
+    estimate at {_HLL_IX_RTOL:.0%} of |A|+|B| (integer pass flag, so the
+    claim is hash-checked).  Scale: three cell tables of m={_HLL_M}
+    rows each, never the key space."""
+    orders = table(spark, sf_dir, "orders")
+
+    # tag-partitioned cell build: the 'u' (union) stream is the a+b
+    # concatenation, so ONE groupBy(tag, bucket) MAX produces all three
+    # sketches and ONE conditional aggregation collapses their per-tag
+    # estimates to a single row — zero joins (a literal-key broadcast
+    # join would constant-fold back into a BNLJ; see text_bm25_topk for
+    # the same pattern note)
+    def tagged(pred: str, tag: str):
+        return orders.filter(pred).selectExpr(
+            f"'{tag}' AS tag",
+            f"{_bucket_sql('o_custkey')} AS bucket",
+            f"{_rank_sql('o_custkey')} AS rank",
+        )
+
+    stream = (
+        tagged(_A_PRED, "a")
+        .unionByName(tagged(_B_PRED, "b"))
+        .unionByName(tagged(_A_PRED, "u"))
+        .unionByName(tagged(_B_PRED, "u"))
+    )
+    per_tag = (
+        stream.groupBy("tag", "bucket")
+        .agg(F.max("rank").alias("r"))
+        .groupBy("tag")
+        .agg(
+            F.count("*").cast("long").alias("v_present"),
+            F.sum(
+                F.expr(
+                    "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)"
+                )
+            ).alias("z"),
+        )
+        .selectExpr("tag", f"{_estimate_sql()} AS est")
+    )
+    ests = per_tag.agg(
+        F.max(F.when(F.col("tag") == "a", F.col("est"))).alias("ea"),
+        F.max(F.when(F.col("tag") == "b", F.col("est"))).alias("eb"),
+        F.max(F.when(F.col("tag") == "u", F.col("est"))).alias("eu"),
+    )
+    # exact counts: one per-customer flag pass, collected driver-side
+    # (3 integers) and re-injected as literals — the scalar-subquery
+    # execution model, bit-safe for integers
+    flags = orders.groupBy("o_custkey").agg(
+        F.max(F.expr(f"CASE WHEN {_A_PRED} THEN 1 ELSE 0 END")).alias("ia"),
+        F.max(F.expr(f"CASE WHEN {_B_PRED} THEN 1 ELSE 0 END")).alias("ib"),
+    )
+    ex = flags.agg(
+        F.sum("ia").alias("n_a"),
+        F.sum("ib").alias("n_b"),
+        F.sum(F.col("ia") * F.col("ib")).alias("n_inter"),
+    ).first()
+    n_a, n_b, n_inter = int(ex["n_a"]), int(ex["n_b"]), int(ex["n_inter"])
+    return ests.selectExpr(
+        f"CAST({n_a} AS BIGINT) AS n_a",
+        f"CAST({n_b} AS BIGINT) AS n_b",
+        f"CAST({n_inter} AS BIGINT) AS n_inter",
+        "CAST(ROUND((ea + eb - eu) * 1e4) AS BIGINT) / 1e4 AS inter_est",
+        f"CAST(CASE WHEN ABS(ea + eb - eu - {n_inter})"
+        f" <= {_HLL_IX_RTOL} * ({n_a} + {n_b}) THEN 1 ELSE 0 END AS BIGINT) AS est_ok",
+    )

@@ -233,6 +233,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("LA3", "Per-label embedding centroids (class prototypes)", ["emb_label_centroids"], "posexplode + integer partial agg; exchange carries labels x dims x partitions rows"),
     ("SKE3", "Mergeable binned-quantile sketch", ["sketch_binned_quantiles"], "bounded-error estimator; merge = cell-wise sum"),
     ("SKE4", "HLL sketch merge across partitions/days", ["sketch_hll_merge_days"], "merge-equals-rebuild demonstrated"),
+    ("SKE5", "HLL set intersection (inclusion-exclusion)", ["sketch_hll_intersection"], "union sketch = cell-wise MAX merge; estimate gated vs exact at 5% as an integer pass flag; zero-join scalar combine"),
     # market-basket
     ("MB1", "Association rules (support/confidence/lift)", ["market_basket_rules"], "pair expansion shares the per-order sorted-set helper with GR3"),
     ("MM4", "Perceptual-hash media near-dup (banded)", ["mm_phash_dedup"], "4x8-bit bands; pigeonhole-lossless at hamming<=3; DCT swaps in via the same decode contract"),
