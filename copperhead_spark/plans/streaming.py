@@ -280,3 +280,123 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(sink).select("win_start_us", "n", "value_sum")
+
+
+# ---------------------------------------------------------------------------
+# incremental HLL maintenance across micro-batches
+# ---------------------------------------------------------------------------
+
+def _hll_stream_oracle() -> str:
+    from copperhead_spark.plans.sketches import _bucket_sql, _estimate_sql, _rank_sql
+
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         {_bucket_sql("user_id")} AS bucket,
+         MAX({_rank_sql("user_id")}) AS r
+  FROM events GROUP BY 1, 2
+),
+sk AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS v_present,
+         SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE)) AS z
+  FROM cells GROUP BY event_type
+)
+SELECT event_type, v_present, {_estimate_sql()} AS n_users_est
+FROM sk
+"""
+
+
+@register(
+    "stream_hll_incremental",
+    oracle=_hll_stream_oracle(),
+    tags=("streaming", "sketch"),
+)
+def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch IN a stream: per micro-batch, the batch's
+    (event_type, bucket, max-rank) HLL cells MAX-merge into a standing
+    cell table via foreachBatch (read-merge-overwrite of a
+    types x 4096 parquet — the sketch, not the keys, is the state), and
+    the final per-type distinct-user estimate must equal the batch HLL
+    rebuilt over ALL events — the mergeability property under arbitrary
+    stream slicing, FULL-value-checked against the batch oracle.  The
+    source replays as 4 file-splits with maxFilesPerTrigger=1, so the
+    merge path genuinely executes 4 times.  At 100 TB the standing cell
+    table stays types x m rows forever — streaming distinct-count state
+    that never grows with cardinality, which is the entire reason to
+    sketch."""
+    import os
+    import shutil
+    import tempfile
+
+    from copperhead_spark.catalog import table
+    from copperhead_spark.plans.sketches import _bucket_sql, _estimate_sql, _rank_sql
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "copperhead_spark_hllinc",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src, cells_dir = f"{root}/src", f"{root}/cells"
+    # 4-way split so availableNow + maxFilesPerTrigger=1 yields 4 real
+    # micro-batches (one parquet file would collapse to a single merge)
+    table(spark, sf_dir, "events").select("event_type", "user_id").repartition(
+        4
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("event_type STRING, user_id BIGINT").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = (
+            batch_df.selectExpr(
+                "event_type",
+                f"{_bucket_sql('user_id')} AS bucket",
+                f"{_rank_sql('user_id')} AS rank",
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rank").alias("r"))
+        )
+        sess = batch_df.sparkSession
+        if os.path.exists(cells_dir):
+            b = (
+                sess.read.parquet(cells_dir)
+                .withColumnRenamed("r", "rank")
+                .unionByName(b.withColumnRenamed("r", "rank"))
+                .groupBy("event_type", "bucket")
+                .agg(F.max("rank").alias("r"))
+            )
+        # write-then-swap: the standing table is also this batch's input
+        tmp_out = cells_dir + ".next"
+        b.write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(cells_dir, ignore_errors=True)
+        os.rename(tmp_out, cells_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    sk = (
+        spark.read.parquet(cells_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("v_present"),
+            F.sum(
+                F.expr(
+                    "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)"
+                )
+            ).alias("z"),
+        )
+    )
+    return sk.selectExpr("event_type", "v_present", f"{_estimate_sql()} AS n_users_est")

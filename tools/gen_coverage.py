@@ -234,6 +234,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("SKE3", "Mergeable binned-quantile sketch", ["sketch_binned_quantiles"], "bounded-error estimator; merge = cell-wise sum"),
     ("SKE4", "HLL sketch merge across partitions/days", ["sketch_hll_merge_days"], "merge-equals-rebuild demonstrated"),
     ("SKE5", "HLL set intersection (inclusion-exclusion)", ["sketch_hll_intersection"], "union sketch = cell-wise MAX merge; estimate gated vs exact at 5% as an integer pass flag; zero-join scalar combine"),
+    ("ST9", "Incremental HLL maintenance across micro-batches", ["stream_hll_incremental"], "foreachBatch MAX-merge of a types x m cell table; state never grows with cardinality; 4 real micro-batches, full-value vs batch rebuild"),
     # market-basket
     ("MB1", "Association rules (support/confidence/lift)", ["market_basket_rules"], "pair expansion shares the per-order sorted-set helper with GR3"),
     ("MM4", "Perceptual-hash media near-dup (banded)", ["mm_phash_dedup"], "4x8-bit bands; pigeonhole-lossless at hamming<=3; DCT swaps in via the same decode contract"),
