@@ -135,3 +135,130 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "bm25"
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and vector ranks
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000  # 1/(k+r) in exact integer fixed point
+_RRF_TOPN = 10
+_VEC_QID = 0
+
+
+def _e6_py(x: float) -> int:
+    """Python twin of SQL ROUND(x*1e6) (half away from zero — Python's
+    round() is half-even and must not be used here)."""
+    import math
+
+    v = x * 1e6
+    return int(math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1))
+
+
+def _rrf_oracle() -> str:
+    lex = _bm25_oracle().rstrip()
+    dot = (
+        "list_aggregate(list_transform(range(1, 65), i -> "
+        "CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)"
+        " * CAST(ROUND(CAST(q.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)), 'sum')"
+    )
+    n2 = (
+        "list_aggregate(list_transform(range(1, 65), i -> "
+        "CAST(ROUND(CAST({v}.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)"
+        " * CAST(ROUND(CAST({v}.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)), 'sum')"
+    )
+    return f"""
+WITH lex AS ({lex}),
+vec AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+           AS rank,
+         vec_id, cosine
+  FROM (
+    SELECT e.vec_id,
+           CAST({dot} AS DOUBLE)
+             / (SQRT(CAST({n2.format(v='e')} AS DOUBLE))
+                * SQRT(CAST({n2.format(v='q')} AS DOUBLE))) AS cosine
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {_VEC_QID}) q
+    WHERE e.vec_id > {_VEC_QID}
+  )
+  ORDER BY cosine DESC, vec_id ASC
+  LIMIT {_TOPN}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+         COALESCE(l.rank, 0) AS lex_rank,
+         COALESCE(v.rank, 0) AS vec_rank,
+         (CASE WHEN l.rank IS NULL THEN 0
+               ELSE {_RRF_SCALE} // ({_RRF_K} + l.rank) END)
+         + (CASE WHEN v.rank IS NULL THEN 0
+                 ELSE {_RRF_SCALE} // ({_RRF_K} + v.rank) END) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT)
+         AS fused_rank,
+       doc_id, lex_rank, vec_rank, CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {_RRF_TOPN}
+"""
+
+
+@register("retrieval_rrf_fusion", oracle=_rrf_oracle(), tags=("retrieval", "similarity"))
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion: the
+    BM25 top-{_TOPN} and the cosine top-{_TOPN} (query = embedding
+    {_VEC_QID}, candidates share the document id space) full-outer-merge
+    on id, each list contributing {_RRF_SCALE} DIV ({_RRF_K} + rank) —
+    RRF in exact integer fixed point, so the fused ordering is
+    bit-deterministic (float RRF ties are a classic flaky-eval source).
+    The RAG-stack shape: both rank lists are already tiny (top-k each),
+    so fusion costs nothing regardless of corpus size; each side's scan
+    is its own registered, audited operator.  Query embedding rides in
+    as a literal micro-int array (scalar-subquery pattern, no join
+    against the corpus)."""
+    from pyspark.sql import Window
+
+    lex = text_bm25_topk(spark, sf_dir).selectExpr(
+        "doc_id", "rank AS lex_rank"
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == _VEC_QID).select("embedding").first()
+    q6 = [_e6_py(float(x)) for x in qrow["embedding"]]
+    qlit = f"array({', '.join(str(v) for v in q6)})"
+    qn2 = sum(v * v for v in q6)
+    scored = emb.filter(F.col("vec_id") > _VEC_QID).selectExpr(
+        "vec_id",
+        f"""CAST(aggregate(zip_with(
+              transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+              {qlit}, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)
+            / (SQRT(CAST(aggregate(transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                      * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+                 CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE))
+               * SQRT(CAST({qn2} AS DOUBLE))) AS cosine""",
+    )
+    wv = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    vec = (
+        scored.withColumn("rank", F.row_number().over(wv).cast("long"))
+        .filter(F.col("rank") <= _TOPN)
+        .select("vec_id", F.col("rank").alias("vec_rank"))
+    )
+    fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer").selectExpr(
+        "COALESCE(doc_id, vec_id) AS doc_id",
+        "COALESCE(lex_rank, 0) AS lex_rank",
+        "COALESCE(vec_rank, 0) AS vec_rank",
+        f"(CASE WHEN lex_rank IS NULL THEN 0"
+        f" ELSE {_RRF_SCALE} DIV ({_RRF_K} + lex_rank) END)"
+        f" + (CASE WHEN vec_rank IS NULL THEN 0"
+        f" ELSE {_RRF_SCALE} DIV ({_RRF_K} + vec_rank) END) AS rrf_score",
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_TOPN)
+        .selectExpr(
+            "fused_rank", "doc_id", "lex_rank", "vec_rank",
+            "CAST(rrf_score AS BIGINT) AS rrf_score",
+        )
+    )

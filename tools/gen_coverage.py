@@ -157,6 +157,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "compile-time literal sign matrix; map-only, zero shuffle, bit-exact integer dots"),
     ("IR1", "BM25 scoring + top-k retrieval", ["text_bm25_topk"],
      "map-only tf/dl; df/avgdl one broadcast stats row; TakeOrderedAndProject top-k — corpus never shuffled"),
+    ("IR2", "Hybrid retrieval (reciprocal-rank fusion)", ["retrieval_rrf_fusion"], "integer fixed-point RRF over the BM25 and cosine top-k lists; fusion cost independent of corpus size"),
     ("T1", "Language ID", ["text_lang_id"], ""),
     ("T2", "Quality scoring", ["text_quality_score"], ""),
     ("T3", "Token counting", ["text_token_stats"], ""),
