@@ -309,3 +309,49 @@ def w6_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+@register(
+    "w7_range_frame_trailing_sum",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(n_trail AS BIGINT) AS n_trail,
+       CAST(v_trail AS DOUBLE) / 10000.0 AS v_trail
+FROM (
+  SELECT user_id, event_id,
+         COUNT(*) OVER tw AS n_trail,
+         SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER tw AS v_trail
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+  WINDOW tw AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+""",
+    tags=("W7", "windows", "date"),
+)
+def w7_range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the frame type ROWS cannot express): per
+    user, the count and exact fixed-point sum of events in the trailing
+    hour INCLUDING simultaneous rows — a RANGE frame keys the boundary
+    on the ORDER BY VALUE (epoch micros), so ties at the same timestamp
+    all enter the frame together, where a ROWS frame would split them by
+    arbitrary physical order.  That value-keyed frame is also what makes
+    the result deterministic without a tie-breaking column.  Scale: one
+    user_id exchange + in-partition sort, same as any per-user window;
+    the frame scan is incremental (Spark's bounded-preceding RANGE
+    implementation slides, not recomputes)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("us"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    v_int = F.round(F.col("value") * 10000).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(tw).cast("long").alias("n_trail"),
+        (F.sum(v_int).over(tw).cast("double") / F.lit(10000.0)).alias("v_trail"),
+    )
