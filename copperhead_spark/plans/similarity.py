@@ -1021,3 +1021,87 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(F.broadcast(truth), "query_id").select(
         "query_id", "true_label", "pred_label", "n_votes"
     )
+
+
+# ---------------------------------------------------------------------------
+# E2E vector-index build (IVF + PQ)
+# ---------------------------------------------------------------------------
+
+_IXB_HASH_P = 2_147_483_647
+
+
+def _ann_index_oracle() -> str:
+    from copperhead_spark.operators.kmeans import (
+        assign_expr_duck,
+        deterministic_centroids,
+    )
+
+    books = _pq_codebooks()
+    cents = deterministic_centroids(_KM_K, _KM_DIM)
+    code_hash = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(codes, c -> CAST(c AS BIGINT))),"
+        f" (a, c) -> (a * 17 + c) % {_IXB_HASH_P})"
+    )
+    return f"""
+WITH m AS (SELECT vec_id, {_E6_DUCK} AS e6
+           FROM embeddings),
+ix AS (
+  SELECT vec_id,
+         {assign_expr_duck(cents)} AS cid,
+         {_pq_codes_duck(books)} AS codes
+  FROM m
+)
+SELECT vec_id,
+       CAST(cid AS BIGINT) AS cluster_id,
+       {code_hash} AS code_hash,
+       CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
+FROM ix
+"""
+
+
+@register(
+    "pipeline_ann_index_build",
+    oracle=_ann_index_oracle(),
+    tags=("similarity", "pipeline"),
+)
+def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E vector-index build — the offline half of the ANN story whose
+    online halves are sim_ivf_topk (coarse probe) and sim_pq_topk (ADC
+    scan): every vector gets its IVF coarse cell (argmin vs literal
+    centroids) AND its {_PQ_M}-byte PQ code (argmin per subspace vs
+    literal codebooks) in ONE map-only projection — zero shuffles to
+    build the index payload, which is how 100 TB of vectors index in a
+    single pass.  The only exchange is the per-cell size rollup (the
+    stats a query planner needs to pick nprobe).  Codes fold to an
+    order-sensitive hash so the oracle pins every codeword id
+    bit-exactly.  Reference analogue: none (beyond-reference retrieval
+    infrastructure)."""
+    from copperhead_spark.operators.barrier import project_once
+    from copperhead_spark.operators.kmeans import (
+        assign_expr,
+        deterministic_centroids,
+    )
+    from pyspark.sql import Window
+
+    books = _pq_codebooks()
+    cents = deterministic_centroids(_KM_K, _KM_DIM)
+    emb = table(spark, sf_dir, "embeddings")
+    v = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6")
+    ix = project_once(
+        v,
+        "vec_id",
+        f"{assign_expr(cents)} AS cid",
+        f"{_pq_codes_spark(books)} AS codes",
+    )
+    code_hash = (
+        f"aggregate(codes, CAST(0 AS BIGINT),"
+        f" (a, c) -> pmod(a * 17 + CAST(c AS BIGINT), {_IXB_HASH_P}))"
+    )
+    w = Window.partitionBy("cid")
+    return ix.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.expr(code_hash).alias("code_hash"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+    )

@@ -230,6 +230,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("T16", "Substring/span-level dedup (coverage trim)", ["text_substring_dedup"], "rolling-hash gram stream materialized once; span-union fold property-tested"),
     # retrieval / embedding extensions
     ("SIM4", "Product-quantization ANN (ADC scan)", ["sim_pq_topk", "sim_pq_recall"], "32x compression; query-time scoring is M table lookups per candidate"),
+    ("SIM7", "E2E vector-index build (IVF + PQ, one pass)", ["pipeline_ann_index_build"], "coarse cell + PQ code in one map-only projection; only exchange is the per-cell stats rollup"),
     ("SIM5", "ANN recall gates (quality, oracle-checked)", ["sim_ivf_recall", "sim_pq_recall"], "recall@k vs the exact kernel as an exact-arithmetic aggregate"),
     ("SIM6", "kNN label classification", ["sim_knn_classify"], "majority vote over the partial-top-k cosine kernel"),
     ("LA3", "Per-label embedding centroids (class prototypes)", ["emb_label_centroids"], "posexplode + integer partial agg; exchange carries labels x dims x partitions rows"),
