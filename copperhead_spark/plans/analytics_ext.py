@@ -247,11 +247,12 @@ s AS (
   FROM m GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-            * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
-       CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-         AS covar_pop_qty_price
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop_qty_price
 FROM s
 """,
     tags=("A14", "statistics"),
@@ -262,9 +263,9 @@ def a14_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σx², Σy² as BIGINT — associative, order-free) with the float
     division/sqrt done once on the tiny per-group row: bit-deterministic
     where built-in corr()/covar_pop() drift with partition order.
-    Price is rounded to integer units so Σy² stays in int64 up to ~1e9
-    rows per group (raise the unit for bigger groups — same knob as
-    functions/exact.py).  Scale: one partial-agg shuffle, six longs per
+    The moment sums themselves stay exact int64 (Σy² ~ 4e9/row fits
+    ~2e9 rows per group); the per-group combine runs in DOUBLE so no
+    n*Σy² int64 product can overflow.  Scale: one partial-agg shuffle, six longs per
     group in flight."""
     li = table(spark, sf_dir, "lineitem")
     x = F.round(F.col("l_quantity")).cast("long")
@@ -277,14 +278,18 @@ def a14_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # final scalar math entirely in DOUBLE: the moment SUMS stay exact
+    # int64, but n*syy would overflow int64 near ~50k rows/group (y^2 is
+    # ~4e9), so the per-group combination converts each factor first —
+    # identical IEEE ops on identical integers on both engines, still
+    # bit-deterministic
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    denx = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+    deny = F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
     return s.select(
         "l_returnflag",
         "n",
         (num / (denx * deny)).alias("corr_qty_price"),
-        (num / (F.col("n").cast("double") * F.col("n").cast("double"))).alias(
-            "covar_pop_qty_price"
-        ),
+        (num / (d("n") * d("n"))).alias("covar_pop_qty_price"),
     )

@@ -443,6 +443,26 @@ FROM {prev}
 """
 
 
+def lpa_iterations(ed: DataFrame, deg: DataFrame, rounds: int) -> DataFrame:
+    """The synchronous label-propagation core over (src, dst) edges:
+    per round, every node adopts its neighbors' most frequent label
+    (ties -> smallest).  SHUFFLE_HASH on the frontier, same rationale as
+    pagerank_iterations: move |nodes| labels, never the edge list.
+    Exposed (un-checkpointed) so the plan audit can assert the loop's
+    join strategy directly."""
+    lbl = deg.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+    for _ in range(rounds):
+        lbl = (
+            ed.join(lbl.hint("shuffle_hash"), ed.src == lbl.node)
+            .groupBy(F.col("dst"), F.col("lbl"))
+            .agg(F.count("*").alias("c"))
+            .groupBy("dst")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lbl"))
+        )
+    return lbl
+
+
 @register("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "iterative"))
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation ({_LP_ROUNDS} rounds) on the
@@ -458,21 +478,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     community and that community's size.  Reference analogue: none
     (beyond-reference graph extension alongside PageRank/k-core)."""
     ed, deg = _edges_deg(spark, sf_dir)
-    lbl = deg.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
-    for _ in range(_LP_ROUNDS):
-        # SHUFFLE_HASH on the frontier, same rationale as
-        # pagerank_iterations: move |nodes| labels, never the edge list
-        lbl = (
-            ed.join(lbl.hint("shuffle_hash"), ed.src == lbl.node)
-            .groupBy(F.col("dst"), F.col("lbl"))
-            .agg(F.count("*").alias("c"))
-            .groupBy("dst")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
-            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lbl"))
-        )
-    w = Window.partitionBy("lbl")
-    return lbl.select(
+    lbl = lpa_iterations(ed, deg, _LP_ROUNDS)
+    # community sizes as a |communities|-row aggregate broadcast back:
+    # a window partitioned by the CONVERGED label would send the largest
+    # community's whole membership to one task (labels concentrate —
+    # that is what LPA does).  Checkpoint the converged frontier first:
+    # both the size rollup and the final join consume it, and without
+    # truncation Catalyst re-runs the entire propagation loop for the
+    # sizes branch (no CSE across consumers — ARCHITECTURE.md pattern).
+    lbl = lbl.localCheckpoint()
+    sizes = lbl.groupBy("lbl").agg(F.count("*").cast("long").alias("community_size"))
+    return lbl.join(F.broadcast(sizes), "lbl").select(
         "node",
         F.col("lbl").alias("community"),
-        F.count("*").over(w).cast("long").alias("community_size"),
+        "community_size",
     )

@@ -238,11 +238,13 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE))
                * SQRT(CAST({qn2} AS DOUBLE))) AS cosine""",
     )
+    # top-N via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no single-partition global sort) and ONLY THEN a window
+    # over the {_TOPN}-row slice — the same discipline as the BM25 side
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(_TOPN)
     wv = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    vec = (
-        scored.withColumn("rank", F.row_number().over(wv).cast("long"))
-        .filter(F.col("rank") <= _TOPN)
-        .select("vec_id", F.col("rank").alias("vec_rank"))
+    vec = top.withColumn("rank", F.row_number().over(wv).cast("long")).select(
+        "vec_id", F.col("rank").alias("vec_rank")
     )
     fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer").selectExpr(
         "COALESCE(doc_id, vec_id) AS doc_id",

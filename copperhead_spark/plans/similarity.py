@@ -1082,8 +1082,6 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_expr,
         deterministic_centroids,
     )
-    from pyspark.sql import Window
-
     books = _pq_codebooks()
     cents = deterministic_centroids(_KM_K, _KM_DIM)
     emb = table(spark, sf_dir, "embeddings")
@@ -1098,10 +1096,13 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(codes, CAST(0 AS BIGINT),"
         f" (a, c) -> pmod(a * 17 + CAST(c AS BIGINT), {_IXB_HASH_P}))"
     )
-    w = Window.partitionBy("cid")
-    return ix.select(
+    # per-cell sizes as a partial-aggregated K-row table broadcast back:
+    # a window over partitionBy(cid) would funnel ALL index rows through
+    # K={_KM_K} tasks — the skew the docstring forbids
+    sizes = ix.groupBy("cid").agg(F.count("*").cast("long").alias("cluster_size"))
+    return ix.join(F.broadcast(sizes), "cid").select(
         "vec_id",
         F.col("cid").cast("long").alias("cluster_id"),
         F.expr(code_hash).alias("code_hash"),
-        F.count("*").over(w).cast("long").alias("cluster_size"),
+        "cluster_size",
     )

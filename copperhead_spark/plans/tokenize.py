@@ -99,8 +99,9 @@ def _seq_hash_duck(toks: str) -> str:
 _ENC_ORACLE = f"""
 WITH enc AS (
   SELECT doc_id,
-         flatten(list_transform(string_split(text, ' '),
-                                w -> {_encode_word_duck('w')})) AS toks
+         flatten(list_transform(
+             list_filter(string_split(text, ' '), w -> w <> ''),
+             w -> {_encode_word_duck('w')})) AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -135,7 +136,14 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # factorization only gets better).  Bit-identical to the direct
     # per-token fold: same algorithm, same per-word results, reassembled
     # in position order.
-    tok = docs.selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, w)")
+    # empty words (split artifacts of consecutive/leading/trailing
+    # spaces) are DROPPED on both engines: Spark's split('', '') yields
+    # [''] where DuckDB's chars('') yields [], so the empty word is the
+    # one input the two merge folds disagree on — excluding it pins the
+    # semantics (tokens come from non-empty words only)
+    tok = docs.selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos, w)"
+    ).filter("w <> ''")
     vocab = project_once(
         tok.select("w").distinct(),
         "w",
@@ -151,8 +159,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(
             F.collect_list(F.struct(F.col("pos"), F.col("nt"), F.col("nm"), F.col("hs")))
         ).alias("parts")
-    )
-    return per.selectExpr(
+    ).selectExpr(
         "doc_id",
         "CAST(aggregate(parts, CAST(0 AS BIGINT), (a, p) -> a + p.nt) AS BIGINT)"
         " AS n_tokens",
@@ -160,4 +167,17 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS n_merged",
         "aggregate(flatten(transform(parts, p -> p.hs)), CAST(0 AS BIGINT),"
         f" (a, h) -> pmod(a * 131 + h, {_HASH_P})) AS seq_hash",
+    )
+    # a doc whose text is all spaces has no non-empty words: keep it in
+    # the output with the empty encoding (0 tokens, fold seed hash 0),
+    # matching the oracle's per-doc row
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_merged", F.lit(0)).alias("n_merged"),
+            F.coalesce("seq_hash", F.lit(0)).alias("seq_hash"),
+        )
     )

@@ -374,7 +374,9 @@ def test_perceptron_trajectory_partition_independent(spark_prop):
     from copperhead_spark.plans.registry import _REGISTRY
     import copperhead_spark.plans.mltrain  # noqa: F401
 
-    sf = "/root/testdata/sf0.001"
+    import os
+
+    sf = os.environ.get("COPPERHEAD_TEST_SF", "/root/testdata/sf0.001")
     base = _REGISTRY["ml_perceptron_train"].builder(spark_prop, sf).collect()
     prev = spark_prop.conf.get("spark.sql.shuffle.partitions")
     spark_prop.conf.set("spark.sql.shuffle.partitions", "7")
