@@ -259,3 +259,70 @@ def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id", "n_windows", "CAST(window_idx AS BIGINT) AS window_idx", "energy"
     )
+
+
+# ---------------------------------------------------------------------------
+# image resize plumbing (nearest-neighbor over the fake pixel grid)
+# ---------------------------------------------------------------------------
+
+# source grid 8x4 (32 fake pixels = first 32 payload bytes, row-major),
+# target 4x2: nearest-neighbor sample at src[floor(r*4/2)][floor(c*8/4)]
+_RS_SW, _RS_SH = 8, 4
+_RS_TW, _RS_TH = 4, 2
+
+
+@register(
+    "mm_image_resize",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(1, {_RS_SW * _RS_SH} + 1),
+                        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS px
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_RS_TW} AS BIGINT) AS out_w,
+       CAST({_RS_TH} AS BIGINT) AS out_h,
+       list_transform(range(0, {_RS_TW * _RS_TH}), o ->
+         px[((o // {_RS_TW}) * {_RS_SH // _RS_TH}) * {_RS_SW}
+            + ((o % {_RS_TW}) * {_RS_SW // _RS_TW}) + 1]) AS pixels,
+       CAST(list_aggregate(list_transform(range(0, {_RS_TW * _RS_TH}), o ->
+         px[((o // {_RS_TW}) * {_RS_SH // _RS_TH}) * {_RS_SW}
+            + ((o % {_RS_TW}) * {_RS_SW // _RS_TW}) + 1]), 'sum') AS BIGINT)
+         AS pixel_sum
+FROM px
+""",
+    tags=("multimodal",),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: the fake decoder's {_RS_SW}x{_RS_SH}
+    row-major pixel grid downsamples nearest-neighbor to
+    {_RS_TW}x{_RS_TH} — integer index arithmetic only, so both engines
+    pick identical source pixels and the resized grid is value-checked
+    cell by cell (plus a checksum).  A real resize swaps the gather
+    expression for a Pillow/opencv call inside the same mapInPandas
+    decode contract (operators/multimodal.decode_media); schema,
+    batching, and row shape — the Spark-side plumbing — are what this
+    query pins.  Map-only, zero shuffle."""
+    from copperhead_spark.operators.barrier import project_once
+
+    docs = table(spark, sf_dir, "documents")
+    px = project_once(
+        docs,
+        "doc_id",
+        f"transform(sequence(1, {_RS_SW * _RS_SH}),"
+        " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS px",
+    )
+    gather = (
+        f"transform(sequence(0, {_RS_TW * _RS_TH - 1}), o ->"
+        f" element_at(px, CAST((o DIV {_RS_TW}) * {_RS_SH // _RS_TH} * {_RS_SW}"
+        f" + (o % {_RS_TW}) * {_RS_SW // _RS_TW} + 1 AS INT)))"
+    )
+    return px.selectExpr(
+        "doc_id",
+        f"CAST({_RS_TW} AS BIGINT) AS out_w",
+        f"CAST({_RS_TH} AS BIGINT) AS out_h",
+        f"{gather} AS pixels",
+        f"CAST(aggregate({gather}, CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)"
+        " AS pixel_sum",
+    )
