@@ -293,3 +293,63 @@ def a14_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / (denx * deny)).alias("corr_qty_price"),
         (num / (d("n") * d("n"))).alias("covar_pop_qty_price"),
     )
+
+
+@register(
+    "a15_grouped_array_agg",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       list_sort(list(o_orderkey))[1:5] AS first_orders
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("A15", "arrays"),
+)
+def a15_grouped_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ARRAY output (collect -> sort -> slice): each customer's
+    first five order keys as an ordered array column — the nested-result
+    shape feature stores and API layers consume directly instead of
+    re-grouping rows.  sort_array pins element order, so the array value
+    is deterministic under any partitioning (collect_list alone is not —
+    the classic silent-flake).  Scale: one partial-agg exchange; the
+    slice caps per-group payload so a hot key cannot balloon a row."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias(
+            "first_orders"
+        ),
+    )
+
+
+@register(
+    "p13_scalar_subquery",
+    oracle="""
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_above_avg
+FROM part
+WHERE p_retailprice > (SELECT CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 100.0) FROM part)
+GROUP BY p_type
+""",
+    tags=("P13", "sql"),
+)
+def p13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery SQL surface: parts priced above the global
+    average, counted per type — spark.sql text with an uncorrelated
+    scalar subquery, which Catalyst plans as a one-row subquery
+    broadcast into the filter (no join in the user's plan).  The average
+    is the exact fixed-point form (integer-cent sum / count): a plain
+    AVG(double) is partition-order dependent, and a price within ulps of
+    the threshold could flip the row set between engines.  Scale: the subquery is a full-reduction
+    (tiny); the outer scan filters map-side against its literal
+    result."""
+    register_views(spark, sf_dir, names=("part",))
+    return spark.sql(
+        """
+        SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_above_avg
+        FROM part
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 100.0) FROM part)
+        GROUP BY p_type
+        """
+    )

@@ -248,3 +248,63 @@ def t4_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+_GF_HOUR_US = 3_600_000_000
+
+
+@register(
+    "t5_gap_fill_ffill",
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM hourly),
+grid AS (
+  SELECT unnest(range(lo, hi + {_GF_HOUR_US}, {_GF_HOUR_US})) AS hour_us
+  FROM bounds
+),
+j AS (
+  SELECT g.hour_us, h.n, (h.n IS NULL) AS is_gap
+  FROM grid g LEFT JOIN hourly h ON g.hour_us = h.hour_us
+)
+SELECT hour_us,
+       CAST(is_gap AS BIGINT) AS is_gap,
+       CAST(LAST_VALUE(n IGNORE NULLS) OVER (
+         ORDER BY hour_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_filled
+FROM j
+""",
+    tags=("T5", "date", "gapfill"),
+)
+def t5_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify the hourly rollup onto a complete
+    hour grid (sequence + explode between observed min and max), mark
+    synthesized rows, and forward-fill counts with last(..., ignorenulls)
+    — the hypertable/gap-fill operator every monitoring rollup needs
+    before rate math (a missing hour must read as 'carry last', not
+    'drop row').  The grid generation is one 2-column bounds row
+    exploded map-side; the fill is one ordered window over the
+    hours-sized table, so cost is bound by the TIME RANGE, not the event
+    volume (events collapse in the first groupBy).  At 100 TB,
+    partition the window by series id — same plan, keyed."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias(
+            "hour_us"
+        )
+    ).agg(F.count("*").alias("n"))
+    grid = hourly.agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")).selectExpr(
+        f"explode(sequence(lo, hi, {_GF_HOUR_US})) AS hour_us"
+    )
+    j = grid.join(hourly, "hour_us", "left")
+    w = Window.orderBy("hour_us").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "hour_us",
+        F.col("n").isNull().cast("long").alias("is_gap"),
+        F.last("n", ignorenulls=True).over(w).cast("long").alias("n_filled"),
+    )

@@ -202,6 +202,9 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("R6", "Approximate aggregates with oracle-checked error bounds", ["approx_aggregates"], "HLL++/percentile_approx emit integer pass flags vs exact values computed in the same plan"),
     ("R7", "NTILE decile bucketing (per-domain quality split)", ["w6_ntile_deciles"], "deterministic total order; 100 TB caveat documented (shard-local deciles)"),
     ("R10", "RANGE-frame windows (value-keyed trailing frames)", ["w7_range_frame_trailing_sum"], "ties enter the frame together — the semantics ROWS frames cannot express"),
+    ("R11", "Scalar-subquery SQL surface", ["p13_scalar_subquery"], "uncorrelated one-row subquery broadcast into the filter; exact fixed-point average threshold"),
+    ("R12", "Grouped ARRAY outputs (collect -> sort -> slice)", ["a15_grouped_array_agg"], "sort_array pins element order (collect_list alone is partition-dependent)"),
+    ("TS6", "Time-series gap fill + forward fill", ["t5_gap_fill_ffill"], "hour-grid densify + last(ignorenulls) window; cost bound by the time range, not event volume"),
     ("R8", "Correlation / covariance (exact integer moments)", ["a14_corr_covar"], "six BIGINT sums per group; float math once per group row — bit-deterministic where corr()/covar_pop() are not"),
     # time-series / clickstream extensions
     ("TS1", "Lag/lead offset windows (per-key deltas)", ["t4_lag_lead_delta"], "one user_id exchange; total order via (ts, event_id)"),
