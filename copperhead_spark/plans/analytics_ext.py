@@ -263,8 +263,9 @@ def a14_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σx², Σy² as BIGINT — associative, order-free) with the float
     division/sqrt done once on the tiny per-group row: bit-deterministic
     where built-in corr()/covar_pop() drift with partition order.
-    The moment sums themselves stay exact int64 (Σy² ~ 4e9/row fits
-    ~2e9 rows per group); the per-group combine runs in DOUBLE so no
+    The moment sums themselves stay exact int64 (y ~ 1.05e5 so y² ~
+    1.1e10/row — Σy² fits ~8e8 rows per group; raise the price unit
+    for bigger groups); the per-group combine runs in DOUBLE so no
     n*Σy² int64 product can overflow.  Scale: one partial-agg shuffle, six longs per
     group in flight."""
     li = table(spark, sf_dir, "lineitem")
@@ -279,8 +280,8 @@ def a14_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).alias("syy"),
     )
     # final scalar math entirely in DOUBLE: the moment SUMS stay exact
-    # int64, but n*syy would overflow int64 near ~50k rows/group (y^2 is
-    # ~4e9), so the per-group combination converts each factor first —
+    # int64, but n*syy would overflow int64 near ~29k rows/group (y^2 is
+    # ~1.1e10), so the per-group combination converts each factor first —
     # identical IEEE ops on identical integers on both engines, still
     # bit-deterministic
     d = lambda c: F.col(c).cast("double")

@@ -318,11 +318,18 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" element_at(px, CAST((o DIV {_RS_TW}) * {_RS_SH // _RS_TH} * {_RS_SW}"
         f" + (o % {_RS_TW}) * {_RS_SW // _RS_TW} + 1 AS INT)))"
     )
-    return px.selectExpr(
+    # gather once (Spark skips subexpression elimination on lambda
+    # expressions — inlining it twice would evaluate twice per row)
+    resized = project_once(
+        px,
+        "doc_id",
+        f"{gather} AS pixels",
+    )
+    return resized.selectExpr(
         "doc_id",
         f"CAST({_RS_TW} AS BIGINT) AS out_w",
         f"CAST({_RS_TH} AS BIGINT) AS out_h",
-        f"{gather} AS pixels",
-        f"CAST(aggregate({gather}, CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)"
+        "pixels",
+        "CAST(aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)"
         " AS pixel_sum",
     )

@@ -1096,6 +1096,12 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(codes, CAST(0 AS BIGINT),"
         f" (a, c) -> pmod(a * 17 + CAST(c AS BIGINT), {_IXB_HASH_P}))"
     )
+    # materialize the index payload ONCE: both the sizes rollup and the
+    # final join consume ix, and without truncation Catalyst re-runs the
+    # scan -> e6 -> assign -> encode pipeline for each consumer (no CSE
+    # across consumers — ARCHITECTURE.md lineage-truncation pattern; on
+    # a real cluster this is the index table's parquet write).
+    ix = ix.localCheckpoint()
     # per-cell sizes as a partial-aggregated K-row table broadcast back:
     # a window over partitionBy(cid) would funnel ALL index rows through
     # K={_KM_K} tasks — the skew the docstring forbids

@@ -339,8 +339,6 @@ def w7_range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id exchange + in-partition sort, same as any per-user window;
     the frame scan is incremental (Spark's bounded-preceding RANGE
     implementation slides, not recomputes)."""
-    from pyspark.sql import Window
-
     ev = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     tw = (

@@ -367,16 +367,14 @@ def test_bpe_encode_fold_matches_pure_python(spark_prop, text):
     assert [list(t) for t in got] == expect
 
 
-def test_perceptron_trajectory_partition_independent(spark_prop):
+def test_perceptron_trajectory_partition_independent(spark_prop, sf_dir):
     """The integer update sum is associative: re-partitioning the corpus
     must not change any epoch's weights (the auditability claim in
     plans/mltrain.py)."""
     from copperhead_spark.plans.registry import _REGISTRY
     import copperhead_spark.plans.mltrain  # noqa: F401
 
-    import os
-
-    sf = os.environ.get("COPPERHEAD_TEST_SF", "/root/testdata/sf0.001")
+    sf = sf_dir
     base = _REGISTRY["ml_perceptron_train"].builder(spark_prop, sf).collect()
     prev = spark_prop.conf.get("spark.sql.shuffle.partitions")
     spark_prop.conf.set("spark.sql.shuffle.partitions", "7")
