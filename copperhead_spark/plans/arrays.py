@@ -165,3 +165,43 @@ def map_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val").alias("val_sum"),
         F.min("val").alias("val_min"),
     )
+
+
+@register(
+    "arr_explode_outer",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN n_chars % 7 = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(range(1, 2 + n_chars % 4),
+                                  i -> CAST(doc_id * 10 + i AS BIGINT)) END AS xs
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(CASE WHEN len(xs) = 0 THEN [NULL] ELSE xs END) AS x
+  FROM d
+)
+SELECT doc_id, x, CAST((x IS NULL) AS BIGINT) AS from_empty
+FROM e
+""",
+    tags=("arrays", "functions"),
+)
+def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (LATERAL VIEW OUTER semantics): rows with
+    an EMPTY array survive as one NULL-valued row instead of vanishing —
+    the difference between 'this doc has no attachments' and 'this doc
+    never existed', which plain explode silently erases (a classic
+    row-loss bug in fan-out joins).  The synthetic array derives
+    deterministically from doc columns; every 7th doc gets an empty one
+    so the outer semantics are non-vacuous.  Map-side Generate either
+    way; no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN n_chars % 7 = 0 THEN array()"
+        " ELSE transform(sequence(1, 1 + CAST(n_chars % 4 AS INT)),"
+        " i -> CAST(doc_id * 10 + i AS BIGINT)) END AS xs",
+    )
+    return d.select(
+        "doc_id", F.explode_outer("xs").alias("x")
+    ).select("doc_id", "x", F.col("x").isNull().cast("long").alias("from_empty"))

@@ -194,3 +194,82 @@ def a11_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fine.selectExpr("region", "(bin_idx + 2) div 2 - 1 AS coarse_bin", "value", "sumw2").groupBy(
         "region", "coarse_bin"
     ).agg(F.sum("value").alias("value"), F.sum("sumw2").alias("sumw2"))
+
+
+@register(
+    "u5_multiset_set_ops",
+    oracle="""
+WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+ia AS (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o),
+ea AS (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o)
+SELECT 'intersect_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM ia GROUP BY o_custkey
+UNION ALL
+SELECT 'except_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM ea GROUP BY o_custkey
+""",
+    tags=("U5", "setops"),
+)
+def u5_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL keeps min(m1, m2)
+    copies per key and EXCEPT ALL keeps max(m1 - m2, 0), semantics the
+    DISTINCT forms (u2/u4) cannot express: how many finished orders a
+    customer has BEYOND their open orders matters, not just whether any
+    exist.  Multiplicities are re-aggregated so the output is one row
+    per (op, key) — deterministic and hashable.  Scale: both ops plan as
+    one hash aggregation per side plus a join-like merge on the key; no
+    sort, same exchange shape as a groupBy."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    ia = (
+        f.intersectAll(o)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "multiplicity")
+    )
+    ea = (
+        f.exceptAll(o)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "multiplicity")
+    )
+    return ia.unionByName(ea)
+
+
+@register(
+    "j15_exists_subquery",
+    oracle="""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 500000)
+GROUP BY n_name
+""",
+    tags=("J15", "sql"),
+)
+def j15_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS SQL surface: customers with an
+    open order but no half-million-value order, per nation — Catalyst
+    rewrites the pair into a LeftSemi and a LeftAnti join (visible in
+    the plan), so the user writes tuple-at-a-time logic and gets the
+    set-based join the DataFrame API (j2) spells explicitly.  Scale:
+    both rewrites shuffle on the correlation key like any equi-join; the
+    orders side aggregates to distinct keys before the anti probe."""
+    from copperhead_spark.catalog import register_views
+
+    register_views(spark, sf_dir, names=("customer", "nation", "orders"))
+    return spark.sql(
+        """
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 500000)
+        GROUP BY n_name
+        """
+    )
