@@ -273,3 +273,58 @@ def j15_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "j16_null_safe_join",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey,
+         CASE WHEN o_custkey % 13 = 0 THEN NULL ELSE o_custkey % 100 END AS k
+  FROM orders WHERE o_orderstatus = 'O'
+),
+b AS (
+  SELECT CASE WHEN o_custkey % 13 = 0 THEN NULL ELSE o_custkey % 100 END AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_f
+  FROM orders WHERE o_orderstatus = 'F'
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(a.k, -1) AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_open,
+       CAST(MAX(b.n_f) AS BIGINT) AS n_finished
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+""",
+    tags=("J16", "nulls"),
+)
+def j16_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL bucket
+    MATCHES the NULL bucket — plain `=` silently drops every null-keyed
+    row from both sides, the classic quiet row-loss when joining on a
+    nullable dimension key (here every 13th customer's bucket is NULL).
+    Spark plans <=> as a normal hash equi-join with null-safe key
+    comparison, so the scale shape is identical to any equi-join (one
+    exchange per side); the NULL group is also the canonical skew key —
+    at 100 TB pair this with the salted-join pattern (sk2) if the
+    unknown-key bucket is hot."""
+    orders = table(spark, sf_dir, "orders")
+    k = F.when(F.col("o_custkey") % 13 == 0, F.lit(None)).otherwise(
+        F.col("o_custkey") % 100
+    )
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", k.alias("k")
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_f"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .groupBy(F.coalesce(a.k, F.lit(-1)).cast("long").alias("k_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_open"),
+            F.max("n_f").cast("long").alias("n_finished"),
+        )
+    )
