@@ -328,3 +328,143 @@ def j16_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_f").cast("long").alias("n_finished"),
         )
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+WITH o AS (SELECT * FROM orders)
+SELECT 'o_orderkey_unique' AS check_name,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+       CAST(COUNT(*) AS BIGINT) AS n_checked
+FROM o
+UNION ALL
+SELECT 'o_custkey_not_null',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM o
+UNION ALL
+SELECT 'o_totalprice_positive',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM o
+UNION ALL
+SELECT 'o_orderstatus_domain',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM o
+UNION ALL
+SELECT 'orders_custkey_ref_integrity',
+       CAST(COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM o)
+FROM o LEFT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey IS NULL
+""",
+    tags=("DQ1", "quality"),
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report (the Deequ/Great-Expectations
+    shape): key uniqueness, non-null, value range, domain membership,
+    and referential integrity, each as one (check, violations,
+    n_checked) row — the gate a 100 TB ingest runs BEFORE publishing a
+    partition.  The four single-table checks share ONE scan/aggregation
+    pass (constraint fns are conditional sums, so adding a check adds a
+    column, not a pass); referential integrity is a broadcast anti-join
+    on the dimension.  Zero violations on the testdata, so a green row
+    proves the checks ran, not that they are vacuous — flip any
+    constraint to see a count."""
+    orders = table(spark, sf_dir, "orders")
+    n = F.count("*").cast("long")
+    onepass = orders.agg(
+        n.alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("v_uniq"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).cast("long").alias("v_null"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).cast("long").alias("v_range"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+        .cast("long")
+        .alias("v_domain"),
+    ).first()
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    v_ref = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+        ).count()
+    )
+    rows = [
+        ("o_orderkey_unique", onepass["v_uniq"], onepass["n"]),
+        ("o_custkey_not_null", onepass["v_null"], onepass["n"]),
+        ("o_totalprice_positive", onepass["v_range"], onepass["n"]),
+        ("o_orderstatus_domain", onepass["v_domain"], onepass["n"]),
+        ("orders_custkey_ref_integrity", v_ref, onepass["n"]),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, violations long, n_checked long"
+    )
+
+
+@register(
+    "scd2_dimension_build",
+    oracle="""
+WITH changes AS (
+  SELECT o_custkey, o_orderdate AS valid_from, o_orderstatus AS status,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+daily AS (SELECT o_custkey, valid_from, status FROM changes WHERE rn = 1),
+dedup AS (
+  SELECT * FROM (
+    SELECT o_custkey, valid_from, status,
+           LAG(status) OVER w AS prev_status
+    FROM daily
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+  ) WHERE prev_status IS NULL OR status <> prev_status
+)
+SELECT o_custkey, status,
+       CAST(valid_from AS DATE) AS valid_from,
+       CAST(LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
+            AS DATE) AS valid_to,
+       CAST((LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
+             IS NULL) AS BIGINT) AS is_current
+FROM dedup
+""",
+    tags=("SCD2", "warehouse"),
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change stream: per
+    customer, the order-status history collapses to one row per STATUS
+    RUN with [valid_from, valid_to) validity and an is_current flag —
+    lag() drops same-as-previous days (no spurious versions), lead()
+    closes each interval with the next version's start.  Ties within a
+    day resolve to the highest order key (deterministic last-write-wins,
+    the same rule a CDC consumer applies).  This is the point-in-time
+    dimension every as-of join (j8/asof_*) probes.  Scale: two windows
+    over the same per-customer partition — one exchange, sorted once."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    daily = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").alias("valid_from"),
+            F.col("o_orderstatus").alias("status"),
+            F.row_number().over(wd).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("valid_from")
+    dedup = daily.withColumn("prev_status", F.lag("status").over(w)).filter(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    )
+    return dedup.select(
+        "o_custkey",
+        "status",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.lead("valid_from").over(w).cast("date").alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().cast("long").alias("is_current"),
+    )

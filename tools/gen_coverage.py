@@ -207,6 +207,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("R13", "Multiset set ops (INTERSECT ALL / EXCEPT ALL)", ["u5_multiset_set_ops"], "bag semantics the DISTINCT forms cannot express; hash-agg shape, no sort"),
     ("R14", "Correlated EXISTS / NOT EXISTS subqueries", ["j15_exists_subquery"], "Catalyst rewrites to LeftSemi + LeftAnti joins"),
     ("R16", "Null-safe equi-join (<=>)", ["j16_null_safe_join"], "NULL bucket matches NULL bucket — the nullable-dim row-loss pitfall pinned; same exchange shape as any equi-join"),
+    ("DQ1", "Data-quality constraint report (Deequ shape)", ["dq_constraint_report"], "uniqueness/non-null/range/domain in ONE scan (conditional sums); referential integrity via broadcast anti-join"),
+    ("W8", "SCD type-2 dimension build from a change stream", ["scd2_dimension_build"], "lag() collapses same-as-previous versions, lead() closes validity intervals; one per-key exchange, sorted once"),
     ("R15", "Null-preserving explode (LATERAL VIEW OUTER)", ["arr_explode_outer"], "empty arrays survive as NULL rows — the fan-out row-loss pitfall pinned"),
     ("TS6", "Time-series gap fill + forward fill", ["t5_gap_fill_ffill"], "hour-grid densify + last(ignorenulls) window; cost bound by the time range, not event volume"),
     ("R8", "Correlation / covariance (exact integer moments)", ["a14_corr_covar"], "six BIGINT sums per group; float math once per group row — bit-deterministic where corr()/covar_pop() are not"),
