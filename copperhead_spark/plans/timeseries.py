@@ -308,3 +308,33 @@ def t5_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").isNull().cast("long").alias("is_gap"),
         F.last("n", ignorenulls=True).over(w).cast("long").alias("n_filled"),
     )
+
+
+@register(
+    "a17_histogram_2d",
+    oracle=f"""
+SELECT CAST(FLOOR(value / 100) AS BIGINT) AS value_bin,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_bin,
+       COUNT(*) AS n,
+       {exact_sum_sql("value", 4)} AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("A17", "A5", "histogram"),
+)
+def a17_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D (weighted) histogram: joint (value-bin x hour-of-day) counts
+    and mass — the heatmap rollup behind occupancy plots and 2-D
+    template fits (the 1-D weighted form is a5_weighted_histogram; the
+    2-D LOOKUP inverse is j7).  Still exactly ONE groupBy: dimensionality
+    multiplies the key space (bins_x * bins_y cells), not the passes, and
+    map-side partial agg keeps the exchange bounded by cells, not rows —
+    the same contract as every histogram here."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 100).cast("long").alias("value_bin"),
+        F.hour(F.col("ts")).cast("long").alias("hour_bin"),
+    ).agg(
+        F.count("*").alias("n"),
+        exact_sum(F.col("value"), 4).alias("value_sum"),
+    )

@@ -353,3 +353,58 @@ def w7_range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(tw).cast("long").alias("n_trail"),
         (F.sum(v_int).over(tw).cast("double") / F.lit(10000.0)).alias("v_trail"),
     )
+
+
+_KP_PAGE = 20
+
+
+@register(
+    "o6_keyset_pagination",
+    oracle=f"""
+WITH p1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {_KP_PAGE}
+),
+anchor AS (
+  SELECT o_totalprice AS ap, o_orderkey AS ak FROM p1
+  ORDER BY o_totalprice ASC, o_orderkey DESC LIMIT 1
+),
+p2 AS (
+  SELECT o_orderkey, o_totalprice FROM orders, anchor
+  WHERE o_totalprice < ap OR (o_totalprice = ap AND o_orderkey > ak)
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {_KP_PAGE}
+)
+SELECT 1 AS page, o_orderkey, o_totalprice FROM p1
+UNION ALL
+SELECT 2 AS page, o_orderkey, o_totalprice FROM p2
+""",
+    tags=("O6", "pagination"),
+)
+def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: page 2 starts WHERE (price, key) sorts
+    strictly after page 1's last row, so each page is a filter + top-k —
+    O(page) work regardless of how deep the cursor is, where
+    LIMIT/OFFSET re-sorts and discards OFFSET rows (O(depth), the
+    pagination that melts at 100 TB).  The (totalprice DESC, key ASC)
+    keyset is a total order, so pages are stable and gap-free; the
+    anchor row ships back as two literals (scalar-subquery pattern).
+    Both pages plan as TakeOrderedAndProject over a pushed-down
+    filter."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    p1 = orders.orderBy(*order_cols).limit(_KP_PAGE)
+    last = p1.orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").desc()
+    ).first()
+    ap, ak = last["o_totalprice"], last["o_orderkey"]
+    p2 = (
+        orders.filter(
+            (F.col("o_totalprice") < F.lit(ap))
+            | ((F.col("o_totalprice") == F.lit(ap)) & (F.col("o_orderkey") > ak))
+        )
+        .orderBy(*order_cols)
+        .limit(_KP_PAGE)
+    )
+    return p1.select(F.lit(1).alias("page"), "o_orderkey", "o_totalprice").unionByName(
+        p2.select(F.lit(2).alias("page"), "o_orderkey", "o_totalprice")
+    )

@@ -209,6 +209,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("R16", "Null-safe equi-join (<=>)", ["j16_null_safe_join"], "NULL bucket matches NULL bucket — the nullable-dim row-loss pitfall pinned; same exchange shape as any equi-join"),
     ("DQ1", "Data-quality constraint report (Deequ shape)", ["dq_constraint_report"], "uniqueness/non-null/range/domain in ONE scan (conditional sums); referential integrity via broadcast anti-join"),
     ("W8", "SCD type-2 dimension build from a change stream", ["scd2_dimension_build"], "lag() collapses same-as-previous versions, lead() closes validity intervals; one per-key exchange, sorted once"),
+    ("A17", "2-D weighted histogram (joint heatmap rollup)", ["a17_histogram_2d"], "ONE groupBy; dimensionality multiplies cells, not passes"),
+    ("O6", "Keyset (seek) pagination", ["o6_keyset_pagination"], "O(page) per page vs LIMIT/OFFSET's O(depth); anchor ships as literals; TakeOrderedAndProject over pushed filter"),
     ("R15", "Null-preserving explode (LATERAL VIEW OUTER)", ["arr_explode_outer"], "empty arrays survive as NULL rows — the fan-out row-loss pitfall pinned"),
     ("TS6", "Time-series gap fill + forward fill", ["t5_gap_fill_ffill"], "hour-grid densify + last(ignorenulls) window; cost bound by the time range, not event volume"),
     ("R8", "Correlation / covariance (exact integer moments)", ["a14_corr_covar"], "six BIGINT sums per group; float math once per group row — bit-deterministic where corr()/covar_pop() are not"),
