@@ -393,18 +393,21 @@ def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
     p1 = orders.orderBy(*order_cols).limit(_KP_PAGE)
+    # fetching the anchor is a driver action at build time — inherent to
+    # keyset pagination (the cursor IS page 1's last row; in an API
+    # server it arrives from the client instead)
     last = p1.orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").desc()
     ).first()
-    ap, ak = last["o_totalprice"], last["o_orderkey"]
-    p2 = (
-        orders.filter(
+    if last is None:  # empty table: page 2 is empty too
+        p2 = orders.filter(F.lit(False))
+    else:
+        ap, ak = last["o_totalprice"], last["o_orderkey"]
+        p2 = orders.filter(
             (F.col("o_totalprice") < F.lit(ap))
             | ((F.col("o_totalprice") == F.lit(ap)) & (F.col("o_orderkey") > ak))
         )
-        .orderBy(*order_cols)
-        .limit(_KP_PAGE)
-    )
+    p2 = p2.orderBy(*order_cols).limit(_KP_PAGE)
     return p1.select(F.lit(1).alias("page"), "o_orderkey", "o_totalprice").unionByName(
         p2.select(F.lit(2).alias("page"), "o_orderkey", "o_totalprice")
     )

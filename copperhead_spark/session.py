@@ -47,12 +47,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # dozens of whole-stage-codegen queries in one JVM fill the
-        # default ~240 MB JIT code cache; once full, HotSpot stops
-        # compiling and late queries run partly interpreted (measured:
-        # the same 1M-event pipeline plan 2.4s early-session vs 4.5s
-        # after 28 headline queries).  Bigger cache + flushing keeps the
-        # tail of a long session JIT-compiled.
+        # dozens of whole-stage-codegen queries in one JVM press on the
+        # default ~240 MB JIT code cache.  NOTE: raising it did NOT fix
+        # the measured late-session pipeline slowdown (2.4s young vs
+        # ~4.5s after 28 queries — bench.py times that plan in the young
+        # session instead); the larger reservation is kept as cheap
+        # prophylaxis for genuinely long sessions (plan-audit runs all
+        # 180+ queries in one JVM), not as a fix for that regression.
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
