@@ -52,8 +52,11 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
 def quantize_q8(e6: np.ndarray) -> np.ndarray:
     """Per-vector symmetric int8 quantization of micro-int vectors:
     round(127.0 * x / amax), same order of IEEE ops as the SQL form
-    (multiply first, then divide), so values are bit-identical."""
+    (multiply first, then divide), so values are bit-identical.  An
+    all-zero vector (amax = 0) quantizes to zeros instead of tripping a
+    0/0 -> NaN -> undefined int cast."""
     amax = np.abs(e6).max(axis=1, keepdims=True).astype(np.float64)
+    amax = np.where(amax == 0.0, 1.0, amax)
     return _round_half_away(127.0 * e6.astype(np.float64) / amax)
 
 
@@ -104,7 +107,13 @@ def batch_cosine_topk(
             k = min(topk, len(pdf))
             out_q, out_c, out_s = [], [], []
             for j in range(len(qids)):
-                order = np.lexsort((cand_ids, -cos[:, j]))[:k]
+                # NaN cosines (zero-norm vectors) must rank FIRST to
+                # agree with Spark/DuckDB DESC ordering (both treat NaN
+                # as the largest double); np.lexsort on -cos would sort
+                # them LAST and make the per-batch top-k
+                # partition-dependent vs the global window
+                key = np.where(np.isnan(cos[:, j]), -np.inf, -cos[:, j])
+                order = np.lexsort((cand_ids, key))[:k]
                 out_q.append(np.full(k, qids[j]))
                 out_c.append(cand_ids[order])
                 out_s.append(cos[order, j])

@@ -116,24 +116,9 @@ def minhash_signature_udf():
     return _udf
 
 
-def simhash16(text: str) -> int:
-    votes = np.zeros(16, dtype=np.int64)
-    for w in text.split(" "):
-        h = np.int64(0)
-        for c in _codes(w):
-            h = (h * 31 + c) % TOKEN_P
-        bits = (h >> np.arange(16)) & 1
-        votes += 2 * bits - 1
-    return int(((votes > 0) << np.arange(16)).sum())
-
-
-def simhash16_udf():
-    @F.pandas_udf("long")
-    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            yield s.map(simhash16)
-
-    return _udf
+# (a per-row simhash16 Python twin lived here; the production
+# simhash is the SQL expression in functions/text.py — the unused
+# twin was removed so the formula has one source)
 
 
 def rolling_fingerprint(text: str) -> int:

@@ -26,15 +26,25 @@ DECODE_SCHEMA = (
 
 
 def fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for an image decode: dimensions and a
-    'pixel' checksum derived from the bytes (mirrorable in SQL)."""
+    """Deterministic stand-in for an image decode: dimensions from the
+    BYTE length, 'pixel' checksum over the first 32 CHARACTERS' code
+    points — the exact semantics the SQL oracle's
+    ascii(substring(text, i, 1)) expresses, so parity holds for
+    non-ASCII payloads too (a raw byte sum diverged on any multi-byte
+    character; payloads that are not valid UTF-8 fall back to bytes,
+    matching what substring would see of a binary-typed column)."""
     n = len(payload)
+    try:
+        chars = payload.decode("utf-8")
+        pixel_sum = sum(ord(c) for c in chars[:32])
+    except UnicodeDecodeError:
+        pixel_sum = int(sum(payload[:32]))
     return {
         "byte_len": n,
         "width": 64 + n % 512,
         "height": 64 + (n * 7) % 512,
         "n_frames": 1 + n % 4,
-        "pixel_sum": int(sum(payload[:32])),
+        "pixel_sum": pixel_sum,
     }
 
 

@@ -45,7 +45,12 @@ def bucketed_range_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(lo) / F.lit(w)).cast("long"),
-                F.floor((F.col(hi) - F.lit(1e-9)) / F.lit(w)).cast("long"),
+                # floor(hi/w) with NO epsilon: when hi sits exactly on a
+                # bucket boundary this explodes one extra (empty) bucket
+                # that the residual x < hi filter discards, whereas the
+                # epsilon form silently LOST points whose hi lay within
+                # 1e-9 above a boundary
+                F.floor(F.col(hi) / F.lit(w)).cast("long"),
             )
         ),
     )

@@ -29,6 +29,10 @@ class WeightsLedger:
 
     _factors: list[tuple[str, Column]] = field(default_factory=list)
     _variations: dict[str, Column] = field(default_factory=dict)
+    # names registered via add_variation_only: dispatch is recorded, not
+    # inferred — a '{factor}_suffix'-shaped only_vars name must still
+    # multiply the FULL nominal, never replace the factor
+    _only_vars: set[str] = field(default_factory=set)
 
     def add_weight(self, name: str, w: Column) -> "WeightsLedger":
         """how='nom': multiply into nominal only (weights.py:48-54)."""
@@ -49,7 +53,7 @@ class WeightsLedger:
         """how='only_vars': variation without touching nominal
         (weights.py:55-60)."""
         self._variations[name] = var
-
+        self._only_vars.add(name)
         return self
 
     def nominal(self) -> Column:
@@ -64,10 +68,14 @@ class WeightsLedger:
         ``variation`` is '{name}_up' / '{name}_down' / a bare only_vars
         name; factors not owning the variation contribute their nominal."""
         var_col = self._variations[variation]
+        if variation in self._only_vars:
+            # only_vars: variation multiplies the full nominal — decided
+            # by REGISTRATION, not by parsing the name (an only_vars
+            # variation named '{factor}_up' must not replace the factor)
+            return self.nominal() * var_col
         base = variation.rsplit("_", 1)[0]
         owned = {n for n, _ in self._factors}
         if base not in owned:
-            # only_vars: variation multiplies the full nominal
             return self.nominal() * var_col
         out = F.lit(1.0)
         for n, w in self._factors:

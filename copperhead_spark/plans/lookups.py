@@ -31,16 +31,20 @@ from copperhead_spark.plans.registry import register
 # bins [1,11) [11,21) [21,31) [31,41) [41,51), clamped outside
 _QTY_TIER_W = [0.9731, 1.0247, 0.9863, 1.0419, 0.9577]
 
+# the oracle spells the CLAMP explicitly (LEAST/GREATEST on the bucket
+# index, like j7): a range-predicate join would DROP out-of-range values
+# where the Spark plan's uniform_bucket clamps them into the edge bins —
+# the two only agreed because TPC-H l_quantity happens to live in [1,50]
 _J6_ORACLE = f"""
 WITH lk AS (
   SELECT * FROM (VALUES
-    (1, 11, 0.9731), (11, 21, 1.0247), (21, 31, 0.9863),
-    (31, 41, 1.0419), (41, 51, 0.9577)
-  ) AS t(lo, hi, w)
+    (0, 0.9731), (1, 1.0247), (2, 0.9863), (3, 1.0419), (4, 0.9577)
+  ) AS t(bin_idx, w)
 )
 SELECT l_returnflag, COUNT(*) AS n,
        {exact_sum_sql("CAST(w AS DOUBLE) * l_quantity", 6)} AS weighted_qty
-FROM lineitem JOIN lk ON l_quantity >= lo AND l_quantity < hi
+FROM lineitem JOIN lk
+  ON bin_idx = LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 10.0) AS BIGINT), 0), 4)
 GROUP BY l_returnflag
 """
 
@@ -49,8 +53,9 @@ GROUP BY l_returnflag
 def j6_binned_lookup_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D binned lookup join (pileup weight by nTrueInt,
     pu_reweight.py:75-85).  Spark plan: bucket index as an expression +
-    broadcast equi-join — the oracle states the same semantics as a range
-    join, proving the rewrite correct."""
+    broadcast equi-join; the oracle computes the identical clamped
+    bucket index, so out-of-range values verifiably land in the edge
+    bins instead of silently dropping."""
     li = table(spark, sf_dir, "lineitem")
     lk = spark.createDataFrame(
         [(i, w) for i, w in enumerate(_QTY_TIER_W)], "bin_idx long, w double"

@@ -101,9 +101,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NPLANES = 8
 
 
-def _plane_sign(i: int, j: int) -> int:
-    # deterministic pseudo-random sign per (dim i, plane j)
-    return 1 if ((i * 2654435761 + j * 40503) % 7) < 3 else -1
+# plane sign formula: 1 if ((i * 2654435761 + j * 40503) % 7) < 3 else -1
+# — it lives INLINE in the _lsh_bit_spark/_lsh_bit_duck SQL strings
+# below (the single source of truth; a Python twin drifted once and
+# was removed)
 
 
 def _lsh_bit_spark(j: int) -> str:
@@ -169,19 +170,13 @@ _IVF_NPROBE = 4  # clusters probed per query (recall floor: sim_ivf_recall)
 
 
 def _ivf_centroids() -> list[list[int]]:
-    """Deterministic stand-in for trained centroids: hash-formula
-    components in [-1, 1], unit-normalized, micro-quantized."""
-    import math
+    """Deterministic stand-in for trained centroids — THE single source
+    is operators/kmeans.deterministic_centroids (same formula, salt
+    97003), so `kmeans_lloyd` literally trains the centroids the IVF
+    query probes and the two can never drift bit-wise."""
+    from copperhead_spark.operators.kmeans import deterministic_centroids
 
-    out = []
-    for cid in range(_IVF_NC):
-        v = [
-            ((i * 2654435761 + cid * 97003) % 2003) / 1001.0 - 1.0
-            for i in range(1, _IVF_DIM + 1)
-        ]
-        norm = math.sqrt(sum(x * x for x in v))
-        out.append([round(x / norm * 1_000_000) for x in v])
-    return out
+    return deterministic_centroids(_IVF_NC, _IVF_DIM)
 
 
 def _ivf_score_spark(q6: list[int]) -> str:
@@ -586,18 +581,6 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Product quantization (PQ) ANN — the third scale path besides LSH and
-# IVF, and the one that actually fits 100 TB of vectors in cluster RAM:
-# 64 float32 dims (256 B) compress to M=8 one-byte codes (one codeword
-# index per 8-dim subspace), a 32x reduction, and query-time scoring is
-# asymmetric distance computation (ADC): the query precomputes a
-# per-subspace distance table to every codeword, and each candidate's
-# approximate distance is M table lookups — no float math in the scan.
-# Codebooks come from an offline per-subspace k-means (here: the same
-# deterministic hash-formula stand-in as the IVF centroids, micro-int
-# quantized) and ship as literals, so encode + ADC are pure projections.
-# ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the third scale path besides LSH and
 # IVF, and the one that fits 100 TB of vectors in cluster RAM: 64
 # float32 dims (256 B) compress to M=16 codeword ids (one per 4-dim

@@ -259,13 +259,18 @@ def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k then merge k·p rows on the driver side of the exchange — no full
     global sort materialization."""
     orders = table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
+    # orderBy+limit FIRST (TakeOrderedAndProject: per-partition heaps,
+    # merge of 100*p rows) and only then the rank window over the
+    # 100-row slice — ranking before limiting would shuffle the whole
+    # fact table into ONE task for the unpartitioned window, the exact
+    # global sort this query's contract forbids
+    top = (
         orders.select("o_orderkey", "o_totalprice")
-        .withColumn("rank", F.row_number().over(w))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @register(

@@ -100,6 +100,11 @@ def read_nanoaod(
                 table = decoder(row["path"], tree, branch_list, row["start"], row["stop"])
                 yield from table.to_batches()
 
+    if not chunks:
+        raise ValueError(
+            "read_nanoaod: no input chunks (empty file list, or every "
+            "file reports zero entries)"
+        )
     # schema must be declared up-front; derive from a zero-entry read
     probe = decoder(chunks[0][0], tree, branch_list, 0, 0)
     return chunk_df.mapInArrow(decode, schema=from_arrow_schema(probe.schema))

@@ -174,6 +174,17 @@ def test_weights_ledger_variations(spark):
     # up-variation replaces the factor (no division -> zero-safe)
     assert np.allclose(out["wgt_a_up"], pdf.w1 * 2 * pdf.w2)
     assert np.allclose(out["wgt_a_down"], pdf.w1 / 2 * pdf.w2)
+    # an only_vars variation whose NAME collides with '{factor}_suffix'
+    # must multiply the full nominal, not replace factor 'a' (dispatch is
+    # by registration, not name parsing)
+    ledger2 = (
+        WeightsLedger()
+        .add_weight("a", F.col("w1"))
+        .add_weight("b", F.col("w2"))
+        .add_variation_only("a_up", F.lit(3.0))
+    )
+    out2 = ledger2.with_columns(df).toPandas()
+    assert np.allclose(out2["wgt_a_up"], pdf.w1 * pdf.w2 * 3.0)
 
 
 def test_connected_components_matches_union_find(spark):

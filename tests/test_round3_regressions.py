@@ -85,3 +85,28 @@ def test_bpe_encode_empty_word_cross_engine_parity(spark):
         assert rows[3]["n_tokens"] == 0 and rows[3]["seq_hash"] == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_mm_decode_non_ascii_parity(spark):
+    """fake_decode originally summed the first 32 UTF-8 BYTES while the
+    oracle sums the first 32 CHARACTERS' code points — divergent on any
+    non-ASCII document.  Crafted corpus with multi-byte characters must
+    hash-match the real oracle."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["héllo wörld — ünïcode test für décode", "plain ascii doc"],
+            "lang": "en",
+            "source": "web",
+            "n_chars": [38, 15],
+        }
+    )
+    d = tempfile.mkdtemp(prefix="mm_reg_")
+    try:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"))
+        rep = run_query_vs_oracle(
+            spark, make_duckdb(d), QUERIES["mm_decode_features"], d
+        )
+        assert rep.ok, str(rep)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
