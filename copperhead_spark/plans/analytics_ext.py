@@ -354,3 +354,72 @@ def p13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_type
         """
     )
+
+
+@register(
+    "a18_weighted_median",
+    oracle="""
+WITH wv AS (
+  SELECT l_returnflag, l_quantity AS v,
+         SUM(CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM wv
+)
+SELECT l_returnflag,
+       CAST(total AS BIGINT) AS total_w_e2,
+       CAST(MIN(CASE WHEN cum * 2 >= total THEN v END) AS DOUBLE)
+         AS weighted_median
+FROM c
+GROUP BY l_returnflag, total
+""",
+    tags=("A18", "statistics"),
+)
+def a18_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (weighted order statistic): the smallest quantity
+    whose cumulative weight reaches half the group's total, with weights
+    = integer-cent (1 - discount) — revenue-weighted rather than
+    row-weighted central tendency, which percentile()/a8 cannot express.
+    Entirely exact: integer weights, integer cumulative sums, and the
+    crossing rule cum*2 >= total avoids any half-total division.  Scale:
+    the raw fact collapses in ONE groupBy to at most |groups| x
+    |distinct values| rows (150 here); the window and crossing scan run
+    on that tiny table — the same collapse-then-window discipline as
+    events_spike_detection."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w_e2 = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    wv = li.groupBy(
+        "l_returnflag", F.col("l_quantity").alias("v")
+    ).agg(F.sum(w_e2).alias("w"))
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = wv.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(tot).alias("total"),
+    )
+    return (
+        c.groupBy("l_returnflag", "total")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("v")))
+            .cast("double")
+            .alias("weighted_median")
+        )
+        .select(
+            "l_returnflag",
+            F.col("total").cast("long").alias("total_w_e2"),
+            "weighted_median",
+        )
+    )

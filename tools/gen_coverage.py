@@ -210,6 +210,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("DQ1", "Data-quality constraint report (Deequ shape)", ["dq_constraint_report"], "uniqueness/non-null/range/domain in ONE scan (conditional sums); referential integrity via broadcast anti-join"),
     ("W8", "SCD type-2 dimension build from a change stream", ["scd2_dimension_build"], "lag() collapses same-as-previous versions, lead() closes validity intervals; one per-key exchange, sorted once"),
     ("A17", "2-D weighted histogram (joint heatmap rollup)", ["a17_histogram_2d"], "ONE groupBy; dimensionality multiplies cells, not passes"),
+    ("A18", "Weighted median (weighted order statistic)", ["a18_weighted_median"], "integer cumulative weights, crossing rule cum*2>=total; collapse-then-window on |groups| x |values| rows"),
     ("O6", "Keyset (seek) pagination", ["o6_keyset_pagination"], "O(page) per page vs LIMIT/OFFSET's O(depth); anchor ships as literals; TakeOrderedAndProject over pushed filter"),
     ("R15", "Null-preserving explode (LATERAL VIEW OUTER)", ["arr_explode_outer"], "empty arrays survive as NULL rows — the fan-out row-loss pitfall pinned"),
     ("TS6", "Time-series gap fill + forward fill", ["t5_gap_fill_ffill"], "hour-grid densify + last(ignorenulls) window; cost bound by the time range, not event volume"),
