@@ -333,3 +333,48 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)"
         " AS pixel_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# media dedup clusters: phash pairs -> connected components
+# ---------------------------------------------------------------------------
+
+_MMCC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_PHASH_ORACLE}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS component,
+       CAST((node = MIN(r)) AS BIGINT) AS keep
+FROM reach GROUP BY node
+"""
+
+
+@register("mm_phash_clusters", oracle=_MMCC_ORACLE, tags=("multimodal", "dedup"))
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup END TO END: perceptual-hash near-dup pairs
+    (mm_phash_dedup's banded join) close transitively into duplicate
+    clusters via the same O(diameter)-round hash-min propagation the
+    text pipeline uses (operators/graph.py) — A~B and B~C must put A and
+    C in one cluster even when their hashes differ by more than the
+    pairwise threshold, which is why pair output alone cannot drive a
+    keep/drop decision.  Each payload is labeled with its cluster's min
+    doc_id and keep = (doc_id == component) — the media twin of
+    dedup_connected_components, sharing the CC operator verbatim."""
+    from copperhead_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = mm_phash_dedup(spark, sf_dir).select("doc1", "doc2")
+    cc = connected_components(
+        docs, pairs, node_col="doc_id", src_col="doc1", dst_col="doc2"
+    )
+    return cc.withColumn(
+        "keep", (F.col("doc_id") == F.col("component")).cast("long")
+    )

@@ -255,6 +255,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("MM4", "Perceptual-hash media near-dup (banded)", ["mm_phash_dedup"], "4x8-bit bands; pigeonhole-lossless at hamming<=3; DCT swaps in via the same decode contract"),
     ("MM5", "Audio windowed-energy feature extraction", ["mm_audio_energy_windows"], "non-overlapping analysis frames; map-side explode, no shuffle; DSP swaps in via the decode contract"),
     ("MM6", "Image resize (nearest-neighbor gather)", ["mm_image_resize"], "integer index arithmetic; resized grid value-checked cell by cell; real resampler swaps in via the decode contract"),
+    ("MM7", "Media dedup clusters (phash pairs -> CC keep/drop)", ["mm_phash_clusters"], "media twin of D7: transitive closure over banded-phash pairs, shared hash-min CC operator"),
     ("D11", "LSH candidate recall gate (vs exact Jaccard)", ["dedup_lsh_recall"], "dedup twin of SIM5: integer hit counts oracle-check the banding quality claim itself"),
     # sources extensions
     ("S13", "Z-order clustered layout + 2-D range scan", ["s13_zorder_clustered_scan"], "Morton-key write; footer-measured file skipping"),
