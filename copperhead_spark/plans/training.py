@@ -346,3 +346,63 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("status") != "unchanged")
     )
+
+
+# ---------------------------------------------------------------------------
+# class-balanced downsampling
+# ---------------------------------------------------------------------------
+
+_BAL_SALT = "104729"
+
+
+def _bal_u(key: str) -> str:
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+
+    return hash_uniform_sql(key, _BAL_SALT)
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle=f"""
+WITH sz AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+m AS (SELECT MIN(n) AS m FROM sz),
+r AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY {_bal_u("vec_id")} ASC, vec_id ASC) AS rk
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+FROM r, m WHERE rk <= m
+GROUP BY label
+""",
+    tags=("T17", "sampling", "ml"),
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size rows, chosen by a per-label rank over the
+    deterministic hash uniform — the rebalancing step before training a
+    classifier on skewed labels, reproducible under any partitioning
+    (randomSplit/sample are not) and stable under appends of OTHER
+    classes.  The min class size ships as a literal (one tiny
+    pre-aggregate, scalar-subquery pattern); the per-label rank is one
+    window over the label partition.  The id-sum checksum pins the exact
+    kept SET, not just its size.  At 100 TB: same plan, label-partition
+    windows; for extreme per-label volumes swap rank for the
+    hash-threshold filter (text_sample_stratified) at the cost of
+    approximate counts."""
+    emb = table(spark, sf_dir, "embeddings")
+    m = emb.groupBy("label").count().agg(F.min("count")).first()[0]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.expr(_bal_u("vec_id")).asc(), F.col("vec_id").asc()
+    )
+    kept = emb.select("label", "vec_id").withColumn(
+        "rk", F.row_number().over(w)
+    ).filter(F.col("rk") <= int(m))
+    return kept.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("vec_id").cast("long").alias("kept_id_sum"),
+    )

@@ -164,6 +164,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("T4", "Deterministic stratified sampling", ["text_sample_stratified"], "hash-uniform filter on stable key: reproducible + pushdown-friendly"),
     ("T13", "Weighted reservoir sampling (A-Res)", ["sample_weighted_reservoir"],
      "hash-uniform u^(1/w) top-k via TakeOrderedAndProject (per-partition heaps, no global sort)"),
+    ("T17", "Class-balanced downsampling", ["sample_balanced_downsample"], "per-label hash-rank to min class size; reproducible where randomSplit/sample are not; id-sum checksum pins the exact kept set"),
     ("T14", "Temperature-weighted domain mixture sampling", ["sample_domain_mixture"],
      "per-source mass agg (vocab-sized) -> broadcast rates -> map-only hash-uniform keep filter"),
     ("T15", "Corpus snapshot diff (CDC changelog)", ["corpus_snapshot_diff"],
