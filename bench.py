@@ -2,19 +2,33 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": N}.
+"queries": {name: sec}, "sf": N, ...}.
 
 Execution is measured end-to-end per query with a noop sink (full plan
 runs, nothing collected to the driver) after a warmup pass of the first
 query to absorb JVM/codegen startup.
+
+Three measurement tiers per run:
+  - "queries": the carried-forward single-session loop (append-only key
+    set since r01 — round-over-round deltas compare this dict).
+  - "queries_young": every headline query re-timed on a freshly restarted
+    SparkContext (batches of 6, so no query sees more than ~5 queries of
+    session history).  Session-aging regressions show up as
+    queries[name] >> queries_young[name]; plan regressions move both.
+  - "soak": the jagged pipeline at 10x the headline event count on its
+    own fresh context, to catch memory-shape surprises a 10x scan hits
+    (array HOF codegen width, histogram agg width) before 100 TB does.
 """
 
 from __future__ import annotations
 
+import gc as _gc
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -61,11 +75,51 @@ HEADLINE = [
     "graph_label_propagation",
 ]
 
+# fresh-context batch width for the young pass: small enough that no
+# query sees meaningful session history, large enough that the ~2s
+# context restart amortizes
+_YOUNG_BATCH = 6
+
+
+def _time_query(spark, q, sf_dir: str) -> float:
+    """best-of-2 noop-sink timing with heap barriers OUTSIDE the timed
+    window: iterative queries (pagerank/kcore/CC) eagerly localCheckpoint
+    edge lists whose blocks linger until the ContextCleaner notices the
+    dropped refs — without the barrier, queries late in the run pay
+    earlier queries' garbage (measured 1.5-2x inflation on the tail).
+    Single-shot numbers on a shared host swing 3-10x with background
+    load; min-of-two is the standard noise floor estimate."""
+    _gc.collect()
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _time_pipeline(spark, ev) -> float:
+    from copperhead_spark.pipeline import stage1_arrays, stage2_variations
+
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        stage2_variations(stage1_arrays(ev)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_start = os.getloadavg()
     spark = get_spark(app_name="copperhead-bench")
 
     queries = all_queries()
@@ -73,18 +127,9 @@ def main() -> None:
 
     # warmup: run the first query once to pay JVM + codegen startup
     if names:
-        queries[names[0]].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    import gc as _gc
-
-    timings: dict[str, float] = {}
-
-    # the copperhead-shaped headline: jagged-event stage1+stage2 with the
-    # zero-shuffle array-native plan.  Input is materialized parquet
-    # (generated executor-side, written once as setup — generation is not
-    # what's being measured), 10M events/sf.
-    import shutil
-    import tempfile
+        queries[names[0]].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     from copperhead_spark.fixtures import events_fixture_distributed
     from copperhead_spark.pipeline import stage1_arrays, stage2_variations
@@ -92,62 +137,79 @@ def main() -> None:
     n_events = max(int(10_000_000 * sf), 10_000) if sf > 0 else 10_000
     tmp = tempfile.mkdtemp(prefix="cph_bench_")
 
-    def time_pipeline(ev):
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            stage2_variations(stage1_arrays(ev)).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
+    timings: dict[str, float] = {}
+    young: dict[str, float] = {}
+    soak: dict[str, float] = {}
 
+    # ONE try/finally covers everything from fixture write to the last
+    # measurement: any exception anywhere still rmtrees the up-to-10x
+    # events parquet tree
     try:
+        # the copperhead-shaped headline: jagged-event stage1+stage2 with
+        # the zero-shuffle array-native plan.  Input is materialized
+        # parquet (generated executor-side, written once as setup —
+        # generation is not what's being measured), 10M events/sf.
         events_fixture_distributed(spark, n_events).write.parquet(f"{tmp}/events")
         ev = spark.read.parquet(f"{tmp}/events")
         # warmup on a small slice: same plan -> Janino codegen cache is
         # hot, so the timed run measures throughput, not compilation
         events_fixture_distributed(spark, 5000).write.parquet(f"{tmp}/warmup")
         wu = spark.read.parquet(f"{tmp}/warmup")
-        stage2_variations(stage1_arrays(wu)).write.format("noop").mode("overwrite").save()
+        stage2_variations(stage1_arrays(wu)).write.format("noop").mode(
+            "overwrite"
+        ).save()
         # the jagged pipeline is the most session-history-sensitive plan
         # here (~2.4s in a young JVM vs ~4.5s after the 28 headline
         # queries, independent of load and of code-cache size).  It is
         # measured TWICE: the carried-forward key keeps its historical
         # tail-of-session position so r01/r02 deltas stay comparable;
-        # the _young key records the same plan on the clean JVM so the
-        # session-state cost is visible instead of folded into a
+        # the _young key records the same plan early in the session so
+        # the session-state cost is visible instead of folded into a
         # pseudo-regression.
-        timings[f"pipeline_jagged_{n_events // 1000}k_events_young"] = time_pipeline(ev)
-    except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+        timings[f"pipeline_jagged_{n_events // 1000}k_events_young"] = _time_pipeline(
+            spark, ev
+        )
 
-    # best-of-2: single-shot numbers on a shared host swing 3-10x with
-    # background load; min-of-two is the standard noise floor estimate
-    for name in names:
-        # heap barrier OUTSIDE the timed window: iterative queries
-        # (pagerank/kcore/CC) eagerly localCheckpoint edge lists whose
-        # blocks linger until the ContextCleaner notices the dropped
-        # refs — without this, queries late in the run pay earlier
-        # queries' garbage (measured 1.5-2x inflation on the tail)
-        _gc.collect()
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            queries[name].builder(spark, sf_dir).write.format("noop").mode(
+        for name in names:
+            timings[name] = _time_query(spark, queries[name], sf_dir)
+
+        # carried-forward tail-of-session measurement (see note above)
+        timings[f"pipeline_jagged_{n_events // 1000}k_events"] = _time_pipeline(
+            spark, ev
+        )
+
+        # ---- young-session counterpart pass --------------------------
+        # every headline query re-timed on a freshly restarted
+        # SparkContext so no query inherits the 28-query session history.
+        # queries[name] / queries_young[name] >> 1 with an unchanged plan
+        # == session aging, not a regression (the r03 bm25 question).
+        for i in range(0, len(names), _YOUNG_BATCH):
+            spark.stop()
+            spark = get_spark(app_name="copperhead-bench-young")
+            for name in names[i : i + _YOUNG_BATCH]:
+                young[name] = _time_query(spark, queries[name], sf_dir)
+
+        # ---- 10x soak ------------------------------------------------
+        # jagged pipeline at 10x the headline event count (100M-row scale
+        # shape at sf0.1) on its own fresh context.  Near-linear scaling
+        # vs the 1M young number is the pass condition; super-linear
+        # growth flags a memory-shape problem (agg width, HOF codegen)
+        # that a 100 TB scan would amplify.
+        if sf >= 0.1:
+            spark.stop()
+            spark = get_spark(app_name="copperhead-bench-soak")
+            n_soak = n_events * 10
+            events_fixture_distributed(spark, n_soak).write.parquet(f"{tmp}/soak")
+            ev10 = spark.read.parquet(f"{tmp}/soak")
+            wu = spark.read.parquet(f"{tmp}/warmup")
+            stage2_variations(stage1_arrays(wu)).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-
-    try:
-        # carried-forward tail-of-session measurement (see note above)
-        timings[f"pipeline_jagged_{n_events // 1000}k_events"] = time_pipeline(ev)
+            t = _time_pipeline(spark, ev10)
+            soak[f"pipeline_jagged_{n_soak // 1000}k_events"] = t
+            yk = f"pipeline_jagged_{n_events // 1000}k_events_young"
+            if timings.get(yk):
+                soak["scaling_vs_young_1x"] = round(t / (10 * timings[yk]), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -156,7 +218,13 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_young": young,
+        "soak": soak,
         "sf": sf,
+        "load_avg": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
     }
     print(json.dumps(out))
 

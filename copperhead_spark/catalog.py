@@ -48,6 +48,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(kind: str, sf_dir: str) -> str:
+    """Per-process scratch sink path for queries that materialize an
+    intermediate layout (partitioned/bucketed/CSV/ORC/JSONL copies).
+
+    Stable WITHIN a process — keyed (kind, sf basename), so re-runs
+    overwrite one tree instead of leaking a fresh mkdtemp per call — but
+    namespaced by PID so two concurrent sessions on the same scale
+    factor can never rmtree/overwrite each other's sink mid-query.  The
+    whole per-process tree is removed at interpreter exit."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = os.path.join(
+            tempfile.gettempdir(), f"copperhead_spark_pid{os.getpid()}"
+        )
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return os.path.join(_SCRATCH_ROOT, kind, os.path.basename(sf_dir.rstrip("/")))
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so spark.sql() queries see the same table names
     the DuckDB oracle does."""

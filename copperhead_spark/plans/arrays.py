@@ -129,15 +129,30 @@ def arr_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "map_props_explode",
     oracle="""
-SELECT event_type,
-       'k' AS prop_key,
+WITH base AS (
+  SELECT event_type, props,
+         CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+              ELSE json_keys(props) END AS ks
+  FROM events
+),
+kv AS (
+  SELECT event_type, k AS prop_key,
+         CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS val
+  FROM (SELECT event_type, props, unnest(ks) AS k
+        FROM base WHERE ks IS NOT NULL AND len(ks) > 0)
+),
+nullrows AS (
+  SELECT event_type, CAST(NULL AS VARCHAR) AS prop_key,
+         CAST(NULL AS BIGINT) AS val
+  FROM base WHERE ks IS NULL OR len(ks) = 0
+),
+allkv AS (SELECT * FROM kv UNION ALL SELECT * FROM nullrows)
+SELECT event_type, prop_key,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS val_sum,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS val_min
-FROM events
-GROUP BY event_type
+       CAST(SUM(val) AS BIGINT) AS val_sum,
+       CAST(MIN(val) AS BIGINT) AS val_min
+FROM allkv
+GROUP BY event_type, prop_key
 """,
     tags=("map", "functions", "json"),
 )
@@ -146,17 +161,19 @@ def map_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     map<string,bigint> (from_json with a map schema — the schema-on-read
     shape for property bags whose KEY SET is not fixed at plan time,
     where a struct schema would silently drop unknown keys), then
-    explode(map) yields one (key, value) row per entry for per-key
-    rollups.  The oracle pins the same result via per-key JSON
-    extraction — on this corpus the discovered key set is exactly
-    {{'k'}}, so a map-explode bug that dropped or duplicated entries
-    breaks the row count, and a parse drift breaks the sums.  Scale:
-    parse + explode are map-side; the aggregate is one partial-agg
-    exchange keyed (event_type, key)."""
+    explode_outer(map) yields one (key, value) row per entry — and ONE
+    NULL-keyed row for NULL/unparseable/empty bags, so dirty rows are
+    counted, not silently dropped.  The oracle discovers the key set
+    itself (json_keys + dynamic extract) with an explicit branch for the
+    dirty rows, so the parity holds for ANY corpus, not just one whose
+    every row happens to parse with the same key — a map-explode bug
+    that drops or duplicates entries breaks the row count, a parse
+    drift breaks the sums.  Scale: parse + explode are map-side; the
+    aggregate is one partial-agg exchange keyed (event_type, key)."""
     ev = table(spark, sf_dir, "events")
     kv = ev.select(
         "event_type",
-        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+        F.explode_outer(F.from_json("props", "map<string,bigint>")).alias(
             "prop_key", "val"
         ),
     )

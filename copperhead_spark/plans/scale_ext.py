@@ -10,12 +10,11 @@ local suite — pins its semantics.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from copperhead_spark.catalog import table
+from copperhead_spark.catalog import scratch_dir, table
 from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
 from copperhead_spark.operators.histogram import bin_index_sql, histogram
 from copperhead_spark.plans.registry import register
@@ -70,7 +69,7 @@ def bk1_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan); here the oracle pins that bucketed write + catalog read + join
     loses no rows vs the plain join on the original parquet."""
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), "copperhead_spark_buckets", sf_tag)
+    base = scratch_dir("buckets", sf_dir)
     names = {}
     for tname, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         qname = f"cph_bk1_{tname}_{sf_tag}"

@@ -7,12 +7,11 @@ reading the original table, proving the sink+scan round-trip lossless.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from copperhead_spark.catalog import table
+from copperhead_spark.catalog import scratch_dir, table
 from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
 from copperhead_spark.plans.registry import register
 from copperhead_spark.sources.parquet_io import read_partitioned, write_partitioned
@@ -35,9 +34,7 @@ def s3_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     partition overwrite (S9 delete-before-write replacement), re-read via
     partition discovery, aggregate.  Oracle reads the ORIGINAL table, so
     any loss/dup in the sink or scan fails the value hash."""
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "copperhead_spark_sink", os.path.basename(sf_dir.rstrip("/"))
-    )
+    out_dir = scratch_dir("sink", sf_dir)
     orders = table(spark, sf_dir, "orders")
     write_partitioned(orders, out_dir, partition_by=("o_orderpriority",))
     back = read_partitioned(spark, out_dir)
@@ -63,11 +60,7 @@ def s4_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-dataset glob, run_stage2.py:148-153, for free).
     Always rewrites its own sink dir (orders is tiny) so the result never
     depends on stale /tmp state from an older fixture version."""
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_sink_s4",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out_dir = scratch_dir("sink_s4", sf_dir)
     write_partitioned(
         table(spark, sf_dir, "orders"), out_dir, partition_by=("o_orderpriority",)
     )
@@ -100,11 +93,7 @@ def s5_multipath_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites its sink (orders is tiny) — no stale-/tmp dependence."""
     from copperhead_spark.sources.layout import list_data_files, optimize_layout
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_layout_s5",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out_dir = scratch_dir("layout_s5", sf_dir)
     optimize_layout(
         spark,
         os.path.join(sf_dir, "orders.parquet"),
@@ -143,11 +132,7 @@ def s10_csv_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join it to nation, aggregate.  The oracle reads the ORIGINAL parquet
     region table, so any loss in the CSV writer/parser (quoting, type
     round-trip) fails the value hash."""
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_csv",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out_dir = scratch_dir("csv", sf_dir)
     from copperhead_spark.sources.tabular_io import read_lookup_csv
 
     region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
@@ -200,11 +185,7 @@ def s11_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stable per-sf scratch path (not mkdtemp): repeated runs overwrite
     # one tree instead of accumulating orphaned directories
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_evo",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out = scratch_dir("evo", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     orders = table(spark, sf_dir, "orders")
     gen1 = orders.filter("o_orderkey % 2 = 0").drop("o_orderpriority")
@@ -380,11 +361,7 @@ def s13_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     read it back with the (shipdate x price) predicate, aggregate.
     Oracle reads the ORIGINAL table — the layout must change bytes
     scanned, never results."""
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_zorder",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out_dir = scratch_dir("zorder", sf_dir)
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"
     )
@@ -425,11 +402,7 @@ def s14_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jackson skips others token-wise)."""
     import shutil
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_jsonl",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out = scratch_dir("jsonl", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props"
@@ -466,11 +439,7 @@ def s15_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown into the stripe reader."""
     import shutil
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_orc",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out = scratch_dir("orc", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
@@ -506,11 +475,7 @@ def s16_csv_badrecords_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parser neither drops good rows nor silently coerces bad ones."""
     import shutil
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_badcsv",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out = scratch_dir("badcsv", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     corrupted = orders.selectExpr(

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from copperhead_spark.catalog import scratch_dir
 from copperhead_spark.functions.exact import exact_sum, exact_sum_sql
 from copperhead_spark.plans.registry import register
 from copperhead_spark.streaming.events import events_stream, run_to_memory
@@ -238,7 +239,6 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
 
     ev = events_stream(spark, sf_dir)
     agg = (
@@ -251,11 +251,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stable per-sf scratch path: reruns overwrite instead of leaking
     # a fresh mkdtemp tree per invocation
-    sink = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_fes",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    sink = scratch_dir("fes", sf_dir)
     shutil.rmtree(sink, ignore_errors=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -327,16 +323,11 @@ def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch."""
     import os
     import shutil
-    import tempfile
 
     from copperhead_spark.catalog import table
     from copperhead_spark.plans.sketches import _bucket_sql, _estimate_sql, _rank_sql
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "copperhead_spark_hllinc",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    root = scratch_dir("hllinc", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     src, cells_dir = f"{root}/src", f"{root}/cells"
     # 4-way split so availableNow + maxFilesPerTrigger=1 yields 4 real
