@@ -2,20 +2,30 @@
 trained BPE merge table (the inference half of the tokenizer; the
 training half is plans/linkage.py text_bpe_train_merges).
 
-The merge list ships as a LITERAL ranked table (in production it is the
-few-thousand-row output of training — broadcast-sized by construction),
-so encoding is a map-only projection: no shuffle, no UDF, one pass over
-the corpus.  The per-word greedy left-to-right fold is the same
-aggregate() expression the trainer uses between rounds, applied once per
-merge rank in order — the standard "apply merges in rank order"
-sequential encoder, matching how the table was trained.
+Two registered encoders over the same semantics:
 
-Everything is array expressions (order-preserving on both engines — no
-unnest/explode anywhere, so the sequence hash is well-defined), and the
-output is integers only: token count, merged-token count, and an
-order-SENSITIVE polynomial rolling hash of the full token sequence, so
-the oracle check proves the exact token *sequence* agrees, not just its
-length.
+- ``text_bpe_encode`` — the PRODUCTION shape: a 1000-rank merge table
+  applied by the Arrow mapInPandas kernel (operators/bpe.py) over the
+  DISTINCT-word vocabulary, merge list shipped as a SparkContext
+  broadcast, encodings broadcast-joined back onto the positional token
+  stream.  Rank count moves a Python loop bound, not the Catalyst plan
+  depth, so this is the form that survives a realistic ~30k-rank trained
+  table.  The DuckDB oracle iterates the SAME 1000 ranks with a
+  recursive CTE over the vocabulary (working set = vocab x ranks — fine
+  at oracle scale, and the oracle only ever runs at small sf).
+
+- ``text_bpe_encode_expr8`` — the expression-form twin at the 8-rank
+  toy table: one nested aggregate() layer per rank, fully inside
+  whole-stage codegen.  Exact at small rank count and pinned equal to
+  the kernel on the same table (tests/test_round4_regressions.py), but
+  the unroll cannot scale in rank — which is WHY the kernel exists.
+
+Everything downstream of the vocab encode is array expressions
+(order-preserving on both engines — no unnest/explode reassembly
+ambiguity), and the output is integers only: token count, merged-token
+count, and an order-SENSITIVE polynomial rolling hash of the full token
+sequence, so the oracle check proves the exact token *sequence* agrees,
+not just its length.
 """
 
 from __future__ import annotations
@@ -24,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
+from copperhead_spark.operators.bpe import encode_vocab_arrow
 from copperhead_spark.plans.linkage import (
     _bpe_chars_duck,
     _bpe_merge_duck,
@@ -44,6 +55,41 @@ _MERGES = (
     ("e", "d"),
     ("s", "t"),
 )
+
+
+def _make_merges_1k(n: int = 1000) -> tuple[tuple[str, str], ...]:
+    """Deterministic 1000-rank merge table: the 8 real digraphs first
+    (so the table's head matches the toy twin), then letter-letter pairs
+    in frequency order, then (digraph, letter) ranks that reference
+    tokens earlier ranks created — the compositional shape of a real
+    trained table.  Pure function of constants: the Spark kernel and the
+    DuckDB oracle literal are built from the same tuple."""
+    freq = "etaoinsrhldcumfpgwybvkxjqz"
+    out: list[tuple[str, str]] = list(_MERGES)
+    seen = set(out)
+    for a in freq:
+        for b in freq:
+            if len(out) >= n:
+                break
+            if (a, b) not in seen:
+                seen.add((a, b))
+                out.append((a, b))
+        if len(out) >= n:
+            break
+    digraphs = [left + right for left, right in out[: len(_MERGES) + 50]]
+    for d in digraphs:
+        for c in freq:
+            if len(out) >= n:
+                break
+            if (d, c) not in seen:
+                seen.add((d, c))
+                out.append((d, c))
+        if len(out) >= n:
+            break
+    return tuple(out[:n])
+
+
+_MERGES_1K = _make_merges_1k()
 
 _HASH_P = 2_147_483_647  # Mersenne prime; fits products in int64
 
@@ -96,7 +142,7 @@ def _seq_hash_duck(toks: str) -> str:
     )
 
 
-_ENC_ORACLE = f"""
+_ENC_ORACLE_EXPR8 = f"""
 WITH enc AS (
   SELECT doc_id,
          flatten(list_transform(
@@ -112,65 +158,104 @@ FROM enc
 """
 
 
-@register("text_bpe_encode", oracle=_ENC_ORACLE, tags=("text", "tokenizer"))
-def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode every document with the {len(_MERGES)}-rank literal BPE
-    merge table: per word, chars -> greedy left-to-right merge folds in
-    rank order; per doc, flatten back to one token sequence.  Returns
-    (doc_id, n_tokens, n_merged, seq_hash) where seq_hash is an
-    order-sensitive polynomial hash over per-token character-code
-    hashes — bit-equal hashes mean bit-equal token sequences.  Map-only
-    (the merge table is a broadcast literal), so it scales linearly with
-    the corpus; reference analogue: none (beyond-reference LLM-pipeline
-    operator, tokenizer inference over the documents table)."""
-    from copperhead_spark.operators.barrier import project_once
+def _merges_values_sql(merges: tuple[tuple[str, str], ...]) -> str:
+    rows = ", ".join(
+        f"({i + 1}, '{left}', '{right}')"
+        for i, (left, right) in enumerate(merges)
+    )
+    return f"(VALUES {rows})"
 
+
+# 1000-rank oracle: a recursive CTE steps the vocabulary through the
+# ranked merge table one rank per iteration (the same left-to-right fold
+# per rank), then encodings join back onto the positional token stream
+# and reassemble per doc in order.  Working set is vocab x ranks rows —
+# an oracle-scale formulation (the production engine never materializes
+# per-rank states), which is exactly its job.
+_ENC_ORACLE_1K = f"""
+WITH RECURSIVE
+merges(rank, ml, mr) AS (SELECT * FROM {_merges_values_sql(_MERGES_1K)} v),
+words AS (
+  SELECT DISTINCT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+enc(w, syms, rank) AS (
+  SELECT w, {_bpe_chars_duck('w')}, 0 FROM words
+  UNION ALL
+  SELECT e.w, {_bpe_merge_duck('e.syms', 'm.ml', 'm.mr')}, e.rank + 1
+  FROM enc e JOIN merges m ON m.rank = e.rank + 1
+),
+vocab AS (
+  SELECT w,
+         CAST(len(syms) AS BIGINT) AS nt,
+         CAST(len(list_filter(syms, t -> length(t) > 1)) AS BIGINT) AS nm,
+         list_transform(syms, t -> {_tok_hash_duck('t')}) AS hs
+  FROM enc WHERE rank = {len(_MERGES_1K)}
+),
+docs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM docs
+),
+perdoc AS (
+  SELECT t.doc_id,
+         CAST(SUM(v.nt) AS BIGINT) AS n_tokens,
+         CAST(SUM(v.nm) AS BIGINT) AS n_merged,
+         flatten(list(v.hs ORDER BY t.pos)) AS hsall
+  FROM tok t JOIN vocab v USING (w)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_merged, 0) AS n_merged,
+       COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), p.hsall),
+                            (a, h) -> (a * 131 + h) % {_HASH_P}), 0) AS seq_hash
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+def _token_stream(spark: SparkSession, sf_dir: str):
+    """(docs, positional token stream): one row per non-empty word with
+    its position.  Empty words (split artifacts of consecutive/leading/
+    trailing spaces) are DROPPED on both engines: Spark's split('', '')
+    yields [''] where DuckDB's chars('') yields [], so the empty word is
+    the one input the two merge folds disagree on — excluding it pins
+    the semantics (tokens come from non-empty words only)."""
     docs = table(spark, sf_dir, "documents")
-    # vocabulary factorization: the merge fold is expensive (interpreted
-    # HOF lambdas, one pass per merge rank over every character) but the
-    # corpus token stream is massively repetitive — encode each DISTINCT
-    # word ONCE, then broadcast-join the encodings back onto the
-    # positional token stream (measured 8.4s -> sub-second at sf0.1,
-    # 270k tokens over a 31-word vocabulary; at 100 TB the vocab is
-    # millions of words while the stream is trillions — the same
-    # factorization only gets better).  Bit-identical to the direct
-    # per-token fold: same algorithm, same per-word results, reassembled
-    # in position order.
-    # empty words (split artifacts of consecutive/leading/trailing
-    # spaces) are DROPPED on both engines: Spark's split('', '') yields
-    # [''] where DuckDB's chars('') yields [], so the empty word is the
-    # one input the two merge folds disagree on — excluding it pins the
-    # semantics (tokens come from non-empty words only)
     tok = docs.selectExpr(
         "doc_id", "posexplode(split(text, ' ')) AS (pos, w)"
     ).filter("w <> ''")
-    vocab = project_once(
-        tok.select("w").distinct(),
-        "w",
-        f"{_encode_word_spark('w')} AS enc",
-    ).selectExpr(
-        "w",
-        "CAST(size(enc) AS BIGINT) AS nt",
-        "CAST(size(filter(enc, t -> length(t) > 1)) AS BIGINT) AS nm",
-        f"transform(enc, t -> {_tok_hash_spark('t')}) AS hs",
-    )
+    return docs, tok
+
+
+def _assemble_per_doc(docs: DataFrame, tok: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Broadcast-join per-word encodings back onto the positional stream
+    and reassemble per doc in position order.  A doc whose text is all
+    spaces has no non-empty words: keep it in the output with the empty
+    encoding (0 tokens, fold seed hash 0), matching the oracle's per-doc
+    row."""
     joined = tok.join(F.broadcast(vocab), "w")
-    per = joined.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("pos"), F.col("nt"), F.col("nm"), F.col("hs")))
-        ).alias("parts")
-    ).selectExpr(
-        "doc_id",
-        "CAST(aggregate(parts, CAST(0 AS BIGINT), (a, p) -> a + p.nt) AS BIGINT)"
-        " AS n_tokens",
-        "CAST(aggregate(parts, CAST(0 AS BIGINT), (a, p) -> a + p.nm) AS BIGINT)"
-        " AS n_merged",
-        "aggregate(flatten(transform(parts, p -> p.hs)), CAST(0 AS BIGINT),"
-        f" (a, h) -> pmod(a * 131 + h, {_HASH_P})) AS seq_hash",
+    per = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("pos"), F.col("nt"), F.col("nm"), F.col("hs"))
+                )
+            ).alias("parts")
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(aggregate(parts, CAST(0 AS BIGINT), (a, p) -> a + p.nt) AS BIGINT)"
+            " AS n_tokens",
+            "CAST(aggregate(parts, CAST(0 AS BIGINT), (a, p) -> a + p.nm) AS BIGINT)"
+            " AS n_merged",
+            "aggregate(flatten(transform(parts, p -> p.hs)), CAST(0 AS BIGINT),"
+            f" (a, h) -> pmod(a * 131 + h, {_HASH_P})) AS seq_hash",
+        )
     )
-    # a doc whose text is all spaces has no non-empty words: keep it in
-    # the output with the empty encoding (0 tokens, fold seed hash 0),
-    # matching the oracle's per-doc row
     return (
         docs.select("doc_id")
         .join(per, "doc_id", "left")
@@ -181,3 +266,51 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("seq_hash", F.lit(0)).alias("seq_hash"),
         )
     )
+
+
+@register("text_bpe_encode", oracle=_ENC_ORACLE_1K, tags=("text", "tokenizer"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the {len(_MERGES_1K)}-rank merge table
+    via the Arrow kernel (operators/bpe.py): distinct words encode once
+    per vocabulary entry (vocabulary factorization — measured 8.4s ->
+    sub-second at sf0.1 when it replaced the direct per-token fold; at
+    100 TB the vocab is millions of words while the stream is trillions
+    of tokens, so the same factorization only gets better), the merge
+    list ships as ONE broadcast per executor, and per-word results
+    broadcast-join back onto the positional stream.  Returns (doc_id,
+    n_tokens, n_merged, seq_hash) where seq_hash is an order-sensitive
+    polynomial hash over per-token character-code hashes — bit-equal
+    hashes mean bit-equal token sequences, here proven at production
+    rank count against a recursive-CTE DuckDB oracle stepping the same
+    1000 ranks.  Reference analogue: none (beyond-reference LLM-pipeline
+    operator, tokenizer inference over the documents table)."""
+    docs, tok = _token_stream(spark, sf_dir)
+    vocab = encode_vocab_arrow(tok.select("w").distinct(), _MERGES_1K)
+    return _assemble_per_doc(docs, tok, vocab)
+
+
+@register(
+    "text_bpe_encode_expr8", oracle=_ENC_ORACLE_EXPR8, tags=("text", "tokenizer")
+)
+def text_bpe_encode_expr8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-form encoder at the 8-rank toy table: per word, chars
+    -> one nested greedy left-to-right merge fold per rank, entirely
+    whole-stage-codegen'd — zero Python anywhere.  The oracle twin of
+    the Arrow kernel: exact and independently checkable at small rank
+    count (and pinned bit-equal to the kernel on this table), but each
+    rank adds one nesting layer to the Catalyst expression tree, so the
+    kernel is the form that scales in rank count."""
+    from copperhead_spark.operators.barrier import project_once
+
+    docs, tok = _token_stream(spark, sf_dir)
+    vocab = project_once(
+        tok.select("w").distinct(),
+        "w",
+        f"{_encode_word_spark('w')} AS enc",
+    ).selectExpr(
+        "w",
+        "CAST(size(enc) AS BIGINT) AS nt",
+        "CAST(size(filter(enc, t -> length(t) > 1)) AS BIGINT) AS nm",
+        f"transform(enc, t -> {_tok_hash_spark('t')}) AS hs",
+    )
+    return _assemble_per_doc(docs, tok, vocab)

@@ -1,0 +1,114 @@
+"""Round-4 regression pins.
+
+1. The Arrow BPE kernel (operators/bpe.py) is bit-equal to the
+   expression-form encoder on the same merge table — the "oracle twin"
+   contract that lets the kernel carry production rank counts while the
+   expression form stays independently checkable.
+2. apply_merges implements the exact left-to-right fold semantics of
+   the SQL twins (property-tested against an independent reimplementation
+   over random words and random merge tables, including cascading and
+   repeated-pair cases).
+3. The 1000-rank merge table is deterministic, deduplicated, and really
+   has >= 1000 ranks of which a meaningful number fire on the corpus.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from copperhead_spark.operators.bpe import apply_merges, token_hash
+
+
+def _fold_reference(word, merges):
+    """Independent per-rank fold (mirrors tests/test_properties.py
+    _bpe_apply_py, kept separate so a shared bug can't hide)."""
+    syms = list(word)
+    for left, right in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abct", min_size=0, max_size=24),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abct", min_size=1, max_size=2),
+            st.text(alphabet="abct", min_size=1, max_size=2),
+        ),
+        max_size=8,
+    ),
+)
+def test_apply_merges_matches_reference_fold(word, merges):
+    assert apply_merges(word, merges) == _fold_reference(word, merges)
+
+
+def test_apply_merges_cascade_semantics():
+    # ('a','a') over 'aaaa' pairs greedily left-to-right: [aa, aa];
+    # over 'aaa': [aa, a] — the fold never re-merges the merged token
+    assert apply_merges("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert apply_merges("aaa", [("a", "a")]) == ["aa", "a"]
+    # rank order matters: (t,h) then (th,e) composes; reversed starves
+    assert apply_merges("the", [("t", "h"), ("th", "e")]) == ["the"]
+    assert apply_merges("the", [("th", "e"), ("t", "h")]) == ["th", "e"]
+
+
+def test_merge_table_1k_shape():
+    from copperhead_spark.plans.tokenize import _MERGES, _MERGES_1K, _make_merges_1k
+
+    assert len(_MERGES_1K) >= 1000
+    assert len(set(_MERGES_1K)) == len(_MERGES_1K)
+    assert _MERGES_1K[: len(_MERGES)] == _MERGES
+    assert _make_merges_1k() == _MERGES_1K  # deterministic
+    # compositional ranks exist: some rank's left side is itself a
+    # merged token produced by an earlier rank
+    products = {left + right for left, right in _MERGES_1K}
+    assert any(left in products for left, _ in _MERGES_1K[len(_MERGES) :])
+
+
+def test_token_hash_matches_sql_arithmetic():
+    # seed 7, base 31, mod 2^31-1 — the _tok_hash_spark/_tok_hash_duck fold
+    assert token_hash("") == 7
+    assert token_hash("a") == (7 * 31 + ord("a")) % 2_147_483_647
+    assert token_hash("th") == ((7 * 31 + ord("t")) * 31 + ord("h")) % 2_147_483_647
+
+
+def test_bpe_kernel_equals_expression_twin(spark, sf_dir):
+    """Kernel and expression form on the SAME 8-rank table produce
+    identical (doc_id, n_tokens, n_merged, seq_hash) rows — the swap is
+    an implementation change, not a semantics change."""
+    from copperhead_spark.operators.bpe import encode_vocab_arrow
+    from copperhead_spark.plans.registry import all_queries
+    from copperhead_spark.plans.tokenize import (
+        _MERGES,
+        _assemble_per_doc,
+        _token_stream,
+    )
+
+    docs, tok = _token_stream(spark, sf_dir)
+    kern = _assemble_per_doc(
+        docs, tok, encode_vocab_arrow(tok.select("w").distinct(), _MERGES)
+    ).collect()
+    expr = all_queries()["text_bpe_encode_expr8"].builder(spark, sf_dir).collect()
+    assert sorted(map(tuple, kern)) == sorted(map(tuple, expr))
+
+
+def test_bpe_1k_actually_merges_more_than_8(spark, sf_dir):
+    """The 1000-rank table is non-vacuous on the corpus: it merges
+    strictly more than the 8-rank toy table does."""
+    from copperhead_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    m1k = sum(
+        r["n_merged"] for r in qs["text_bpe_encode"].builder(spark, sf_dir).collect()
+    )
+    m8 = sum(
+        r["n_merged"]
+        for r in qs["text_bpe_encode_expr8"].builder(spark, sf_dir).collect()
+    )
+    assert m1k > m8 > 0
