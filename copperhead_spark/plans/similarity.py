@@ -1095,3 +1095,214 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(code_hash).alias("code_hash"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN end-to-end: query THROUGH the built index (build -> coarse probe ->
+# ADC scan over stored codes -> exact re-rank -> recall gate, one plan)
+# ---------------------------------------------------------------------------
+
+_E2E_NPROBE = 4  # coarse cells probed per query (recall knob #1)
+
+
+def _km_probes_spark(cents: list[list[int]], nprobe: int, e6: str = "e6") -> str:
+    """top-nprobe centroid ids by exact int64 squared L2 distance (the
+    SAME metric assign_expr indexes with — probing by a different metric
+    than the one that built the cells silently costs recall), ties ->
+    lowest cid."""
+    entries = ", ".join(
+        f"struct(aggregate(zip_with({e6}, array({', '.join(str(c) for c in cent)}),"
+        f" (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d,"
+        f" {cid} AS c)"
+        for cid, cent in enumerate(cents)
+    )
+    return f"transform(slice(array_sort(array({entries})), 1, {nprobe}), x -> x.c)"
+
+
+def _km_probes_duck(cents: list[list[int]], nprobe: int, e6: str = "e6") -> str:
+    dim = len(cents[0])
+    entries = ", ".join(
+        f"{{'d': list_aggregate(list_transform(range(1, {dim + 1}),"
+        f" i -> ({e6}[i] - ([{', '.join(str(c) for c in cent)}])[i])"
+        f" * ({e6}[i] - ([{', '.join(str(c) for c in cent)}])[i])), 'sum'),"
+        f" 'c': {cid}}}"
+        for cid, cent in enumerate(cents)
+    )
+    return f"(list_transform(list_sort([{entries}]), x -> x.c))[1:{nprobe}]"
+
+
+def _ann_e2e_oracle() -> str:
+    from copperhead_spark.operators.kmeans import (
+        assign_expr_duck,
+        deterministic_centroids,
+    )
+
+    books = _pq_codebooks()
+    cents = deterministic_centroids(_KM_K, _KM_DIM)
+    n2 = "list_aggregate(list_transform(e6, x -> x * x), 'sum')"
+    qdot = "list_aggregate(list_transform(range(1, 65), i -> qe[i] * ce[i]), 'sum')"
+    return f"""
+WITH m AS (SELECT vec_id, {_E6_DUCK} AS e6 FROM embeddings),
+ix AS (
+  SELECT vec_id AS cand_id,
+         {assign_expr_duck(cents)} AS cid,
+         {_pq_codes_duck(books)} AS codes,
+         e6 AS ce, {n2} AS cn
+  FROM m WHERE vec_id >= {_NQ}
+),
+q AS (
+  SELECT vec_id AS query_id,
+         {_pq_dtab_duck(books)} AS dtab,
+         e6 AS qe, {n2} AS qn,
+         unnest({_km_probes_duck(cents, _E2E_NPROBE)}) AS cid
+  FROM m WHERE vec_id < {_NQ}
+),
+scored AS (
+  SELECT query_id, cand_id, qe, qn, ce, cn,
+         list_aggregate(list_transform(range(0, {_PQ_M}),
+           mm -> dtab[mm + 1][codes[mm + 1] + 1]), 'sum') AS adc
+  FROM q JOIN ix USING (cid)
+),
+short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc ASC, cand_id ASC
+    ) AS srn FROM scored
+  ) WHERE srn <= {_PQ_S}
+),
+topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY
+        CAST({qdot} AS DOUBLE)
+          / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) DESC,
+        cand_id ASC
+    ) AS rn FROM short
+  ) WHERE rn <= {_TOPK}
+),
+exact AS ({_COSINE_TOPK_ORACLE})
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN topk t ON e.query_id = t.query_id AND e.cand_id = t.cand_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "pipeline_ann_query_e2e",
+    oracle=_ann_e2e_oracle(),
+    tags=("similarity", "pipeline"),
+)
+def pipeline_ann_query_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shape a real vector store runs, in ONE plan: (1) OFFLINE the
+    index table materializes — every candidate's IVF cell + {_PQ_M}-byte
+    PQ code, the same map-only build as pipeline_ann_index_build,
+    truncated with localCheckpoint (= the index table's parquet write on
+    a cluster); (2) ONLINE each query computes its distance table and
+    its {_E2E_NPROBE} nearest cells against the SAME centroids the build
+    used, joins candidates FROM THE BUILT TABLE on cell id (the probe
+    reads codes, never raw vectors — 32x less data scanned), ranks by
+    ADC ({_PQ_M} array lookups per candidate), shortlists top-{_PQ_S}
+    per query two-stage (partition-local then global, so the shuffle
+    carries O(parts * nq * S) rows); (3) only the shortlist joins back
+    to the vector table for the exact-cosine top-{_TOPK}; (4) the
+    recall\\@k gate vs the brute-force oracle-checked exact top-k is IN
+    the result, so index-quality regressions hash-fail the driver gate
+    (floor asserted in tests/test_round4_regressions.py).  All integer
+    arithmetic -> bit-equal to the SQL oracle replaying the same index.
+    Reference analogue: none (beyond-reference retrieval
+    infrastructure)."""
+    from copperhead_spark.operators.barrier import project_once
+    from copperhead_spark.operators.kmeans import (
+        assign_expr,
+        deterministic_centroids,
+    )
+
+    books = _pq_codebooks()
+    cents = deterministic_centroids(_KM_K, _KM_DIM)
+    emb = table(spark, sf_dir, "embeddings")
+    base = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6")
+    n2 = "aggregate(transform(e6, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    # ---- offline: the index table (cell id + PQ codes per candidate) ----
+    ix = project_once(
+        base.filter(F.col("vec_id") >= _NQ),
+        "vec_id",
+        f"{assign_expr(cents)} AS cid",
+        f"{_pq_codes_spark(books)} AS codes",
+    ).localCheckpoint()
+    # ---- online: probe the built table ----
+    q = base.filter(F.col("vec_id") < _NQ).selectExpr(
+        "vec_id AS query_id",
+        f"{_pq_dtab_spark(books)} AS dtab",
+        "e6 AS qe",
+        f"{n2} AS qn",
+        f"explode({_km_probes_spark(cents, _E2E_NPROBE)}) AS cid",
+    )
+    scored = (
+        ix.join(F.broadcast(q), "cid")
+        .selectExpr(
+            "query_id",
+            "vec_id AS cand_id",
+            "aggregate(zip_with(codes, dtab, (c, dr) -> element_at(dr, c + 1)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS adc",
+        )
+    )
+    # two-stage top-S: local (per input partition) then global — the
+    # shuffle never carries the probed candidate set, only partials
+    wl = Window.partitionBy("query_id", "part").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    short = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= _PQ_S)
+        .withColumn("srn", F.row_number().over(wg))
+        .filter(F.col("srn") <= _PQ_S)
+        .select("query_id", "cand_id")
+    )
+    # exact re-rank: shortlist + query vectors broadcast against the
+    # vector table (the only touch of raw candidate vectors post-probe)
+    qvec = base.filter(F.col("vec_id") < _NQ).selectExpr(
+        "vec_id AS query_id", "e6 AS qe", f"{n2} AS qn"
+    )
+    rr = (
+        base.join(F.broadcast(short), base.vec_id == short.cand_id)
+        .join(F.broadcast(qvec), "query_id")
+        .selectExpr(
+            "query_id",
+            "cand_id",
+            "CAST(aggregate(zip_with(qe, e6, (x, y) -> x * y), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v) AS DOUBLE)"
+            f" / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST({n2} AS DOUBLE))) AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        rr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    return (
+        exact.join(topk, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_match"),
+            F.count("*").cast("long").alias("k"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("recall"),
+        )
+    )

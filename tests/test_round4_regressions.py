@@ -112,3 +112,16 @@ def test_bpe_1k_actually_merges_more_than_8(spark, sf_dir):
         for r in qs["text_bpe_encode_expr8"].builder(spark, sf_dir).collect()
     )
     assert m1k > m8 > 0
+
+
+def test_ann_e2e_recall_floor(spark, sf_dir):
+    """The end-to-end index-probe path must keep recall@k >= 0.5 vs the
+    brute-force exact top-k (observed 0.64 at sf0.001 / 0.68 at sf0.01
+    with nprobe=4, shortlist=50) — a probe/metric mismatch or code
+    corruption tanks this long before it breaks determinism."""
+    from copperhead_spark.plans.registry import all_queries
+
+    rows = all_queries()["pipeline_ann_query_e2e"].builder(spark, sf_dir).collect()
+    assert rows, "no query rows"
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.5, mean_recall
