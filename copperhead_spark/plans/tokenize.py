@@ -119,13 +119,6 @@ def _tok_hash_spark(t: str) -> str:
     )
 
 
-def _seq_hash_spark(toks: str) -> str:
-    return (
-        f"aggregate(transform({toks}, t -> {_tok_hash_spark('t')}),"
-        f" CAST(0 AS BIGINT), (a, h) -> pmod(a * 131 + h, {_HASH_P}))"
-    )
-
-
 def _tok_hash_duck(t: str) -> str:
     return (
         f"list_reduce(list_prepend(CAST(7 AS BIGINT),"

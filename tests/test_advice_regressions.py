@@ -211,3 +211,102 @@ def test_segment_hashes_short_docs_agree_with_duckdb(spark):
         w = [int(x) for x in want.loc[i, "segs"]]
         assert g == w, f"doc {i}: spark {g} != duck {w}"
         assert len(g) == exp_counts[i], f"doc {i}: {len(g)} segments"
+
+
+# ---------------------------------------------------------------------------
+# round-3 advisor findings (ADVICE.md r3)
+# ---------------------------------------------------------------------------
+
+
+def test_map_props_explode_robust_to_dirty_props(spark, tmp_path):
+    """ADVICE r3 #2: the parity must not be corpus-coupled.  The oracle
+    now discovers the key set itself (json_keys + dynamic extract) and
+    the plan uses explode_outer, so NULL / unparseable / empty-bag /
+    multi-key props rows agree across engines instead of silently
+    breaking the equivalence."""
+    from copperhead_spark.plans.registry import all_queries
+    from copperhead_spark.testing import make_duckdb, run_query_vs_oracle
+
+    rows = [
+        (1, "click", '{"k": 3}'),
+        (2, "click", '{"k": 4, "z": 9}'),  # extra key
+        (3, "view", "{}"),  # empty bag
+        (4, "view", None),  # NULL bag
+        (5, "view", "not json"),  # unparseable
+        (6, "buy", '{"z": -2}'),  # disjoint key set
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "props": pa.array([r[2] for r in rows]),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    duck = make_duckdb(sf)
+    try:
+        rep = run_query_vs_oracle(
+            spark, duck, all_queries()["map_props_explode"], sf
+        )
+        assert rep.ok, str(rep)
+        # groups: (click,k), (click,z), (view,NULL — empty/NULL/invalid
+        # bags fold into ONE null-keyed group), (buy,z)
+        assert rep.rows == 4
+    finally:
+        duck.close()
+
+
+def test_scratch_dir_pid_namespaced():
+    """ADVICE r3 #3: concurrent sessions on the same scale factor must
+    not share sink paths (they used to rmtree/overwrite each other
+    mid-query).  scratch_dir is stable within a process, distinct per
+    kind, and distinct across processes."""
+    import os
+    import subprocess
+    import sys
+
+    from copperhead_spark.catalog import scratch_dir
+
+    p = scratch_dir("kind_a", "/root/testdata/sf0.01")
+    assert f"pid{os.getpid()}" in p
+    assert p == scratch_dir("kind_a", "/root/testdata/sf0.01")
+    assert p != scratch_dir("kind_b", "/root/testdata/sf0.01")
+    assert p != scratch_dir("kind_a", "/root/testdata/sf0.001")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    other = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from copperhead_spark.catalog import scratch_dir;"
+            "print(scratch_dir('kind_a', '/root/testdata/sf0.01'))",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    ).stdout.strip()
+    assert other and other != p
+
+
+def test_shared_edges_cache_builds_once_per_session(spark):
+    """Round-4 graph edge cache: the build closure runs once per
+    (context, sf, kind); repeat calls return the same checkpointed
+    relation with identical rows."""
+    from copperhead_spark.plans import graph
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).selectExpr("id AS src", "id + 1 AS dst")
+
+    a = graph.shared_edges(spark, "/x/sf_test", "advice_test_kind", build)
+    b = graph.shared_edges(spark, "/x/sf_test", "advice_test_kind", build)
+    assert calls["n"] == 1
+    assert a is b
+    assert sorted(r.src for r in b.collect()) == [0, 1, 2, 3, 4]
