@@ -118,7 +118,7 @@ def kmeans_lloyd(
         by_cid = {r["cid"]: r for r in rows}
         cents = [
             [
-                int(round(by_cid[cid][f"s{i}"] / by_cid[cid]["n"]))
+                div_round_half_away(by_cid[cid][f"s{i}"], by_cid[cid]["n"])
                 for i in range(dim)
             ]
             if cid in by_cid
@@ -126,3 +126,16 @@ def kmeans_lloyd(
             for cid in range(k)
         ]
     return cents
+
+
+def div_round_half_away(s: int, n: int) -> int:
+    """Exact integer round(s/n), half away from zero, n > 0.  Pure
+    int64-safe arithmetic — the former float ``round(s/n)`` carried two
+    portability hazards: banker's rounding on ties (no SQL twin) and
+    silent precision loss once |s| outgrows 2^53 (inevitable for
+    micro-int sums over billions of vectors).  This formula is the one
+    the DuckDB training oracle replays, making the full Lloyd loop
+    value-checkable."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))

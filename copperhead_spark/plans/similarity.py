@@ -488,17 +488,85 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return update_step(emb, deterministic_centroids(_KM_K, _KM_DIM))
 
 
-@register("sim_kmeans_train", oracle=None, tags=("similarity", "ml"))
+_KM_ITERS = 3
+
+
+def _kmeans_train_oracle() -> str:
+    """Unrolled Lloyd loop as plain CTEs (the kcore-oracle pattern):
+    per iteration, distances vs the previous centroid TABLE (k-row cross
+    join — oracle-scale; the engine's assignment is a literal-centroid
+    projection precisely to avoid this join), struct-min argmin (ties ->
+    lowest cid), per-dim integer sums via zipped unnest, and the exact
+    integer round-half-away(sum/n) update; empty clusters carry their
+    previous centroid forward."""
+    from copperhead_spark.operators.kmeans import E6_DUCK, deterministic_centroids
+
+    cents0 = deterministic_centroids(_KM_K, _KM_DIM)
+    c0_rows = ", ".join(
+        f"({cid}, [{', '.join(str(v) for v in cent)}])"
+        for cid, cent in enumerate(cents0)
+    )
+    its = []
+    prev = "c0"
+    for t in range(1, _KM_ITERS + 1):
+        its.append(
+            f"""d{t} AS (
+  SELECT v.vec_id, c.cid,
+         list_aggregate(list_transform(range(1, {_KM_DIM + 1}),
+           i -> (v.e6[i] - c.cent[i]) * (v.e6[i] - c.cent[i])), 'sum') AS dist
+  FROM m v CROSS JOIN {prev} c
+),
+a{t} AS (
+  SELECT vec_id, (MIN({{'d': dist, 'c': cid}})).c AS cid
+  FROM d{t} GROUP BY vec_id
+),
+s{t} AS (
+  SELECT cid, i, CAST(SUM(val) AS BIGINT) AS s, COUNT(*) AS n
+  FROM (
+    SELECT a.cid, unnest(range(1, {_KM_DIM + 1})) AS i, unnest(v.e6) AS val
+    FROM a{t} a JOIN m v USING (vec_id)
+  )
+  GROUP BY cid, i
+),
+c{t} AS (
+  SELECT cid,
+         list(CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                        ELSE -(((-2 * s) + n) // (2 * n)) END AS BIGINT)
+              ORDER BY i) AS cent
+  FROM s{t} GROUP BY cid
+  UNION ALL
+  SELECT cid, cent FROM {prev}
+  WHERE cid NOT IN (SELECT cid FROM s{t})
+)"""
+        )
+        prev = f"c{t}"
+    return f"""
+WITH m AS (SELECT vec_id, {E6_DUCK.format(vec="embedding")} AS e6 FROM embeddings),
+c0 AS (
+  SELECT cid, list_transform(cent, x -> CAST(x AS BIGINT)) AS cent
+  FROM (VALUES {c0_rows}) v(cid, cent)
+),
+{",".join(its)}
+SELECT CAST(cid AS INTEGER) AS cid, cent AS centroid FROM {prev}
+"""
+
+
+@register("sim_kmeans_train", oracle=_kmeans_train_oracle(), tags=("similarity", "ml"))
 def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Lloyd training loop (3 iterations): driver orchestrates, every
-    data pass is the oracle-checked update_step shape, and only k rows
-    cross the driver boundary per iteration.  Iterative — no SQL oracle
-    (rows-only check); bit-exact vs an independent numpy mirror in
-    tests/test_operators.py."""
+    """Full Lloyd training loop ({_KM_ITERS} iterations): driver
+    orchestrates, every data pass is the oracle-checked update_step
+    shape (map-only literal-centroid assignment + one k-row hash
+    aggregate), and only k rows cross the driver boundary per iteration.
+    VALUE-CHECKED end-to-end: the centroid update is exact integer
+    round-half-away (operators/kmeans.div_round_half_away — no float
+    division anywhere, so the result is exact at any sum magnitude),
+    which lets the DuckDB oracle replay all {_KM_ITERS} iterations as
+    unrolled CTEs and pin every trained centroid component bit-exactly.
+    Also mirrored bit-exactly in numpy (tests/test_operators.py)."""
     from copperhead_spark.operators.kmeans import kmeans_lloyd
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = kmeans_lloyd(emb, k=_KM_K, iters=3, dim=_KM_DIM)
+    cents = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
     rows = [(cid, cent) for cid, cent in enumerate(cents)]
     return spark.createDataFrame(rows, "cid int, centroid array<bigint>")
 

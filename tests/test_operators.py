@@ -294,9 +294,10 @@ def test_pii_redaction_semantics(spark):
 
 def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
     """Distributed Lloyd vs an independent numpy mirror: same micro-int
-    quantization, same min-distance/lowest-cid assignment, same
-    round(sum/n) update — centroids must be integer-identical after 3
-    iterations (no float accumulation anywhere in the distributed path)."""
+    quantization, same min-distance/lowest-cid assignment, same exact
+    integer round-half-away(sum/n) update — centroids must be
+    integer-identical after 3 iterations (no float arithmetic anywhere
+    on either path)."""
     import numpy as np
 
     from copperhead_spark.catalog import table
@@ -316,8 +317,14 @@ def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
         for cid in range(8):
             members = e6[assign == cid]
             if len(members):
+                n = len(members)
                 cents[cid] = np.array(
-                    [round(s / len(members)) for s in members.sum(axis=0)],
+                    [
+                        (2 * int(s) + n) // (2 * n)
+                        if s >= 0
+                        else -((-2 * int(s) + n) // (2 * n))
+                        for s in members.sum(axis=0)
+                    ],
                     dtype=np.int64,
                 )
     assert got == cents.tolist()
