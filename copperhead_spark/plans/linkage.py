@@ -441,7 +441,10 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_train_ctes() -> tuple[list[str], list[str]]:
+    """(CTE parts, per-round selects) of the BPE-training oracle —
+    exposed so the train->encode E2E oracle (plans/tokenize.py) can
+    compose the SAME trainer CTEs with the recursive encode."""
     parts = [
         "toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
         f"s0 AS MATERIALIZED (SELECT {_bpe_chars_duck('w')} AS a FROM toks)",
@@ -465,6 +468,11 @@ def _bpe_train_oracle() -> str:
         unions.append(
             f"SELECT {i} AS round, l AS left_sym, r AS right_sym, n AS pair_count FROM b{i}"
         )
+    return parts, unions
+
+
+def _bpe_train_oracle() -> str:
+    parts, unions = _bpe_train_ctes()
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(unions)
 
 

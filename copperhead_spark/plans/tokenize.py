@@ -159,15 +159,19 @@ def _merges_values_sql(merges: tuple[tuple[str, str], ...]) -> str:
     return f"(VALUES {rows})"
 
 
-# 1000-rank oracle: a recursive CTE steps the vocabulary through the
-# ranked merge table one rank per iteration (the same left-to-right fold
-# per rank), then encodings join back onto the positional token stream
-# and reassemble per doc in order.  Working set is vocab x ranks rows —
-# an oracle-scale formulation (the production engine never materializes
-# per-rank states), which is exactly its job.
-_ENC_ORACLE_1K = f"""
+def _enc_oracle_from_merges(merges_ctes: str, n_ranks: int) -> str:
+    """Recursive-CTE encode oracle over an arbitrary ranked merge TABLE:
+    ``merges_ctes`` must define a CTE ``merges(rank, ml, mr)`` (plus any
+    CTEs it needs — e.g. the trainer's own rounds).  The recursion steps
+    the vocabulary through the ranks one per iteration (the same
+    left-to-right fold per rank), then encodings join back onto the
+    positional token stream and reassemble per doc in order.  Working
+    set is vocab x ranks rows — an oracle-scale formulation (the
+    production engine never materializes per-rank states), which is
+    exactly its job."""
+    return f"""
 WITH RECURSIVE
-merges(rank, ml, mr) AS (SELECT * FROM {_merges_values_sql(_MERGES_1K)} v),
+{merges_ctes},
 words AS (
   SELECT DISTINCT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
   FROM documents
@@ -183,7 +187,7 @@ vocab AS (
          CAST(len(syms) AS BIGINT) AS nt,
          CAST(len(list_filter(syms, t -> length(t) > 1)) AS BIGINT) AS nm,
          list_transform(syms, t -> {_tok_hash_duck('t')}) AS hs
-  FROM enc WHERE rank = {len(_MERGES_1K)}
+  FROM enc WHERE rank = {n_ranks}
 ),
 docs AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -207,6 +211,13 @@ SELECT d.doc_id,
                             (a, h) -> (a * 131 + h) % {_HASH_P}), 0) AS seq_hash
 FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
+
+
+# 1000-rank oracle: the literal merge table through the recursive encode
+_ENC_ORACLE_1K = _enc_oracle_from_merges(
+    f"merges(rank, ml, mr) AS (SELECT * FROM {_merges_values_sql(_MERGES_1K)} v)",
+    len(_MERGES_1K),
+)
 
 
 def _token_stream(spark: SparkSession, sf_dir: str):
@@ -306,4 +317,52 @@ def text_bpe_encode_expr8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(size(filter(enc, t -> length(t) > 1)) AS BIGINT) AS nm",
         f"transform(enc, t -> {_tok_hash_spark('t')}) AS hs",
     )
+    return _assemble_per_doc(docs, tok, vocab)
+
+
+def _train_encode_oracle() -> str:
+    """Composed oracle: the trainer's own CTE rounds (plans/linkage.py
+    _bpe_train_ctes — identical SQL to the text_bpe_train_merges oracle)
+    feed the recursive encode as the ``merges`` table, so BOTH halves of
+    the E2E replay independently in DuckDB and the hash pins the whole
+    train->encode composition."""
+    from copperhead_spark.plans.linkage import _BPE_ROUNDS, _bpe_train_ctes
+
+    parts, _ = _bpe_train_ctes()
+    tm = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l AS ml, r AS mr FROM b{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    merges_ctes = ",\n".join(parts) + f",\nmerges(rank, ml, mr) AS ({tm})"
+    return _enc_oracle_from_merges(merges_ctes, _BPE_ROUNDS)
+
+
+@register(
+    "pipeline_tokenizer_train_encode",
+    oracle=_train_encode_oracle(),
+    tags=("text", "tokenizer", "pipeline"),
+)
+def pipeline_tokenizer_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer lifecycle E2E in one plan: TRAIN the merge table on the
+    corpus (text_bpe_train_merges — per round, the corpus-wide
+    adjacent-pair argmax becomes the next merge), then ENCODE the same
+    corpus with the trained table via the Arrow kernel.  The trained
+    merges cross the driver boundary as a few ranked rows (a merge table
+    IS driver-sized by construction — that is the entire premise of
+    broadcasting it) and ship back as one broadcast; encoding is the
+    vocabulary-factorized kernel path of text_bpe_encode.  The oracle
+    replays BOTH halves — trainer rounds AND recursive encode — purely
+    in SQL, so a drift anywhere in the composition (tie-breaks in
+    training, fold semantics in encoding, reassembly order) hash-fails.
+    Reference analogue: none (beyond-reference LLM-pipeline operator —
+    the 'train tokenizer, apply tokenizer' loop every corpus pipeline
+    runs)."""
+    from copperhead_spark.plans.linkage import text_bpe_train_merges
+
+    trained = sorted(
+        text_bpe_train_merges(spark, sf_dir).collect(), key=lambda r: r["round"]
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in trained]
+    docs, tok = _token_stream(spark, sf_dir)
+    vocab = encode_vocab_arrow(tok.select("w").distinct(), merges)
     return _assemble_per_doc(docs, tok, vocab)
