@@ -73,6 +73,10 @@ HEADLINE = [
     "text_bpe_encode",
     "mm_phash_dedup",
     "graph_label_propagation",
+    # round-4 additions: vector-store E2E (build -> probe -> rerank ->
+    # recall gate), tokenizer lifecycle E2E (train -> kernel encode)
+    "pipeline_ann_query_e2e",
+    "pipeline_tokenizer_train_encode",
 ]
 
 # fresh-context batch width for the young pass: small enough that no
