@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
+from copperhead_spark.operators.pq import ivf_pq_index_arrow
 from copperhead_spark.plans.registry import register
 
 _MICRO_S = "CAST(ROUND(CAST({e} AS DOUBLE) * 1000000) AS BIGINT)"
@@ -1129,20 +1130,17 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly.  Reference analogue: none (beyond-reference retrieval
     infrastructure)."""
     from copperhead_spark.operators.barrier import project_once
-    from copperhead_spark.operators.kmeans import (
-        assign_expr,
-        deterministic_centroids,
-    )
+    from copperhead_spark.operators.kmeans import deterministic_centroids
     books = _pq_codebooks()
     cents = deterministic_centroids(_KM_K, _KM_DIM)
     emb = table(spark, sf_dir, "embeddings")
     v = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6")
-    ix = project_once(
-        v,
-        "vec_id",
-        f"{assign_expr(cents)} AS cid",
-        f"{_pq_codes_spark(books)} AS codes",
-    )
+    # Arrow kernel build (operators/pq.py): same exact int64 argmins as
+    # the expression twins, vectorized — HOF lambdas are interpreted, so
+    # at ~1500 int ops/vector the kernel is the form that scales (the
+    # DuckDB oracle still replays the expression arithmetic, so kernel
+    # drift hash-fails)
+    ix = ivf_pq_index_arrow(v, cents, books)
     code_hash = (
         f"aggregate(codes, CAST(0 AS BIGINT),"
         f" (a, c) -> pmod(a * 17 + CAST(c AS BIGINT), {_IXB_HASH_P}))"
@@ -1286,22 +1284,17 @@ def pipeline_ann_query_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none (beyond-reference retrieval
     infrastructure)."""
     from copperhead_spark.operators.barrier import project_once
-    from copperhead_spark.operators.kmeans import (
-        assign_expr,
-        deterministic_centroids,
-    )
+    from copperhead_spark.operators.kmeans import deterministic_centroids
 
     books = _pq_codebooks()
     cents = deterministic_centroids(_KM_K, _KM_DIM)
     emb = table(spark, sf_dir, "embeddings")
     base = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6")
     n2 = "aggregate(transform(e6, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    # ---- offline: the index table (cell id + PQ codes per candidate) ----
-    ix = project_once(
-        base.filter(F.col("vec_id") >= _NQ),
-        "vec_id",
-        f"{assign_expr(cents)} AS cid",
-        f"{_pq_codes_spark(books)} AS codes",
+    # ---- offline: the index table (cell id + PQ codes per candidate,
+    # Arrow kernel build — see pipeline_ann_index_build) ----
+    ix = ivf_pq_index_arrow(
+        base.filter(F.col("vec_id") >= _NQ), cents, books
     ).localCheckpoint()
     # ---- online: probe the built table ----
     q = base.filter(F.col("vec_id") < _NQ).selectExpr(

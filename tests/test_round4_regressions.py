@@ -125,3 +125,42 @@ def test_ann_e2e_recall_floor(spark, sf_dir):
     assert rows, "no query rows"
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall >= 0.5, mean_recall
+
+
+def test_pq_kernel_equals_expression_twin(spark, sf_dir):
+    """The Arrow IVF+PQ index kernel (operators/pq.py) produces the
+    exact (cid, codes) the SQL-expression encoders produce — same int64
+    distances, same lowest-id tie-break — so swapping the build kernel
+    can never drift the index."""
+    from pyspark.sql import functions as F
+
+    from copperhead_spark.catalog import table
+    from copperhead_spark.operators.barrier import project_once
+    from copperhead_spark.operators.kmeans import assign_expr, deterministic_centroids
+    from copperhead_spark.operators.pq import ivf_pq_index_arrow
+    from copperhead_spark.plans.similarity import (
+        _E6_SPARK,
+        _KM_DIM,
+        _KM_K,
+        _pq_codebooks,
+        _pq_codes_spark,
+    )
+
+    books = _pq_codebooks()
+    cents = deterministic_centroids(_KM_K, _KM_DIM)
+    emb = table(spark, sf_dir, "embeddings")
+    v = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6")
+    kern = {
+        r.vec_id: (r.cid, tuple(r.codes))
+        for r in ivf_pq_index_arrow(v, cents, books).collect()
+    }
+    expr = {
+        r.vec_id: (r.cid, tuple(r.codes))
+        for r in project_once(
+            v,
+            "vec_id",
+            f"{assign_expr(cents)} AS cid",
+            f"{_pq_codes_spark(books)} AS codes",
+        ).collect()
+    }
+    assert kern == expr
