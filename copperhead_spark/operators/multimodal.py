@@ -137,12 +137,15 @@ def _real_decoder():
 
 
 def decode_media(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", decoder=None
 ) -> DataFrame:
     """mapInPandas media decode: binary payload -> typed feature columns.
     Batches stream through Arrow; each partition decodes independently
-    (embarrassingly parallel — the right shape for a 100 TB media lake)."""
-    decoder = _DECODER_OVERRIDE or _real_decoder() or fake_decode
+    (embarrassingly parallel — the right shape for a 100 TB media lake).
+    ``decoder`` pins a codec for this plan; otherwise the set_decoder
+    override applies, then autodetect (PIL if importable, else the
+    deterministic fake)."""
+    decoder = decoder or _DECODER_OVERRIDE or _real_decoder() or fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -547,3 +547,89 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         "community_size",
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_DUCK},
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pert AS (
+  SELECT a AS x FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM pert GROUP BY 1)
+SELECT d.x AS node,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+       CAST(d.d * (d.d - 1) // 2 AS BIGINT) AS n_wedges,
+       CAST(CASE WHEN d.d >= 2
+                 THEN (2000000 * COALESCE(t.t, 0)) // (d.d * (d.d - 1))
+                 ELSE 0 END AS BIGINT) AS cc_e6
+FROM deg d LEFT JOIN tcnt t ON t.x = d.x
+""",
+    tags=("graph",),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the co-purchase graph:
+    cc(v) = 2*tri(v) / (d(v)*(d(v)-1)), emitted in exact micro-units
+    (integer division — no float anywhere, so the hash pins every
+    node).  Triangles attribute to all three corners: the oriented
+    adjacency-intersect (the triangle_count plan) EXPLODES the
+    intersection members instead of counting them, yielding one (a,b,c)
+    row per triangle — a deliberate O(#triangles) materialization,
+    which is the price of per-node attribution at any scale — then one
+    partial-agg count per corner.  Edges come pre-materialized from the
+    shared per-session cache (shared_edges), so this query starts at
+    the intersect.  The graph feature every community/quality pipeline
+    computes before sampling hubs.  Reference analogue: none
+    (beyond-reference graph extension)."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e0.select(F.col("u").alias("x"))
+        .unionByName(e0.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    adj = e0.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    au = adj.select("u", F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
+    tri = (
+        e0.join(au, "u")
+        .join(av, "v")
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.explode(F.array_intersect("nu", "nv")).alias("c"),
+        )
+    )
+    pert = (
+        tri.select(F.col("a").alias("x"))
+        .unionByName(tri.select(F.col("b").alias("x")))
+        .unionByName(tri.select(F.col("c").alias("x")))
+    )
+    tcnt = pert.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    return (
+        deg.join(tcnt, "x", "left")
+        .select(
+            F.col("x").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr("CAST(d * (d - 1) DIV 2 AS BIGINT)").alias("n_wedges"),
+            F.expr(
+                "CAST(IF(d >= 2, (2000000 * coalesce(t, 0)) DIV (d * (d - 1)), 0)"
+                " AS BIGINT)"
+            ).alias("cc_e6"),
+        )
+    )

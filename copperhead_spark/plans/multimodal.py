@@ -378,3 +378,46 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.withColumn(
         "keep", (F.col("doc_id") == F.col("component")).cast("long")
     )
+
+
+@register(
+    "mm_ppm_real_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(43 AS BIGINT) AS byte_len,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames,
+       CAST(list_aggregate(list_transform(range(1, 33),
+            i -> ascii(substring(rpad(substring(text, 1, 32), 32, ' '), i, 1))),
+            'sum') AS BIGINT) AS pixel_sum
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode path, driver-checked: each document's first 32
+    chars (space-padded) become the raster of a genuine binary P5
+    grayscale image (11-byte netpbm header '{header}' + 8x4 samples =
+    43 bytes), and the numpy netpbm decoder (operators/multimodal.py
+    ppm_decode — a real header-parsing, pixel-summing codec, not the
+    byte-arithmetic fake) decodes it through the SAME Arrow mapInPandas
+    contract mm_decode_features uses.  The oracle recomputes the header
+    constants and the pixel sum from the text independently, so the
+    whole encode->decode round trip (header framing, raster layout,
+    sample arithmetic) is value-pinned.  This closes the loop the
+    seam tests open: the pluggable-decoder contract carries a REAL
+    decoder under the driver's correctness gate, not only under local
+    tests.""".format(header="P5\\n8 4\\n255\\n")
+    from copperhead_spark.operators.multimodal import decode_media, ppm_decode
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("P5\n8 4\n255\n"), F.rpad(F.substring("text", 1, 32), 32, " ")
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+    return decode_media(payloads, decoder=ppm_decode)

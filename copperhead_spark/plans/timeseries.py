@@ -338,3 +338,43 @@ def a17_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum(F.col("value"), 4).alias("value_sum"),
     )
+
+
+@register(
+    "t7_ohlc_downsample",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS n,
+       (MIN({{'t': ts, 'i': event_id, 'v': value}})).v AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (MAX({{'t': ts, 'i': event_id, 'v': value}})).v AS close
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("T7", "date"),
+)
+def t7_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling: per (hour, event_type), the value at the
+    earliest timestamp (open), extremes (high/low), and the value at
+    the latest timestamp (close) — the canonical time-series
+    re-sampling shape.  Open/close are picked by a lexicographic
+    MIN/MAX over (ts, event_id, value) structs on BOTH engines (never
+    min_by/arg_min, whose tie behavior is engine-arbitrary; event_id
+    makes the key unique, so the value slot never decides).  Selection,
+    not arithmetic, so the doubles hash bit-exactly.  One partial-agg
+    shuffle keyed (hour, type) — the same one-exchange shape as
+    t1_time_bucket_agg regardless of input size."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v"))
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(key)["v"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(key)["v"].alias("close"),
+    )
