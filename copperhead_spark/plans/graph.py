@@ -288,7 +288,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with array payloads through two hash joins and intersects
     # JVM-side (measured 1.5x faster here, and the gap widens with
     # degree — shuffle volume stays O(m), not O(sum d^2))
-    adj = e0.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    # forward-adjacency lists, cached alongside the edge list: both the
+    # triangle count and the clustering coefficient intersect the same
+    # sorted neighbor arrays, so the collect_list aggregate runs once
+    # per session (shared_edges) instead of once per query
+    adj = shared_edges(
+        spark,
+        sf_dir,
+        "copurchase_adj",
+        lambda: e0.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs")),
+    )
     au = adj.select("u", F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
     tri = (
@@ -602,7 +611,16 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("d"))
     )
-    adj = e0.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    # forward-adjacency lists, cached alongside the edge list: both the
+    # triangle count and the clustering coefficient intersect the same
+    # sorted neighbor arrays, so the collect_list aggregate runs once
+    # per session (shared_edges) instead of once per query
+    adj = shared_edges(
+        spark,
+        sf_dir,
+        "copurchase_adj",
+        lambda: e0.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs")),
+    )
     au = adj.select("u", F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
     tri = (
