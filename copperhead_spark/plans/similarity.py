@@ -1289,7 +1289,11 @@ def pipeline_ann_query_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_codebooks()
     cents = deterministic_centroids(_KM_K, _KM_DIM)
     emb = table(spark, sf_dir, "embeddings")
-    base = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6")
+    # materialize the micro-int projection ONCE: the query probe, the
+    # exact re-rank, and the index build all consume e6, and the
+    # interpreted per-element CAST/ROUND transform would otherwise
+    # re-run per consumer (measured ~1s of the e2e at sf0.1)
+    base = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6").localCheckpoint()
     n2 = "aggregate(transform(e6, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     # ---- offline: the index table (cell id + PQ codes per candidate,
     # Arrow kernel build — see pipeline_ann_index_build) ----
