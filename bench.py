@@ -214,6 +214,29 @@ def main() -> None:
             yk = f"pipeline_jagged_{n_events // 1000}k_events_young"
             if timings.get(yk):
                 soak["scaling_vs_young_1x"] = round(t / (10 * timings[yk]), 3)
+
+            # ---- dedup soak: 10x documents through the banded minhash
+            # path (each doc spawns 10 near-identical variants — the
+            # duplicate-heavy corpus shape dedup exists for, so the LSH
+            # pair volume grows SUPER-linearly while the plan must stay
+            # sub-linear per doc: banding groupBy + bucket-mate joins
+            # only).  Ratios are vs a same-session 1x run: > 1.0 means
+            # the banded path degraded super-linearly per doc.
+            docs1 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            (
+                docs1.selectExpr("explode(sequence(0, 9)) AS rep", "doc_id", "text")
+                .selectExpr(
+                    "doc_id * 10 + rep AS doc_id",
+                    "concat(text, ' v', CAST(rep AS STRING)) AS text",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/dedup10x/documents.parquet")
+            )
+            for qn in ("dedup_minhash_signatures", "dedup_minhash_lsh_pairs"):
+                one = _time_query(spark, queries[qn], sf_dir)
+                ten = _time_query(spark, queries[qn], f"{tmp}/dedup10x")
+                soak[f"{qn}_10x_docs"] = ten
+                soak[f"{qn}_scaling_vs_1x"] = round(ten / (10 * one), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
