@@ -246,6 +246,24 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     return shared_edges(spark, sf_dir, "copurchase", build)
 
 
+def _copurchase_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, degree) of the undirected co-purchase graph, cached like
+    the edge list: the degree histogram, the triangle stats, and the
+    clustering coefficient all consume it."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    return shared_edges(
+        spark,
+        sf_dir,
+        "copurchase_deg",
+        lambda: (
+            e0.select(F.col("u").alias("x"))
+            .unionByName(e0.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").cast("long").alias("degree"))
+        ),
+    )
+
+
 @register(
     "graph_triangle_count",
     oracle=f"""
@@ -275,12 +293,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan instead.
     e0 = _copurchase_edges(spark, sf_dir)
     n_edges = e0.count()
-    n_nodes = (
-        e0.select(F.col("u").alias("x"))
-        .unionByName(e0.select(F.col("v").alias("x")))
-        .distinct()
-        .count()
-    )
+    n_nodes = _copurchase_deg(spark, sf_dir).count()
     # adjacency-intersection ("compact forward") instead of the
     # wedge-join: |N_>(u) ∩ N_>(v)| summed per edge.  The wedge join
     # materializes sum_v d_<(v)*d_>(v) rows through a shuffle (49M at
@@ -331,13 +344,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBys (node degree, then histogram) — the skew diagnostic you run
     BEFORE the triangle/PageRank passes to pick salting and orientation
     thresholds."""
-    e0 = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e0.select(F.col("u").alias("x"))
-        .unionByName(e0.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("degree"))
-    )
+    deg = _copurchase_deg(spark, sf_dir)
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
@@ -605,12 +612,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes before sampling hubs.  Reference analogue: none
     (beyond-reference graph extension)."""
     e0 = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e0.select(F.col("u").alias("x"))
-        .unionByName(e0.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").cast("long").alias("d"))
-    )
+    deg = _copurchase_deg(spark, sf_dir).withColumnRenamed("degree", "d")
     # forward-adjacency lists, cached alongside the edge list: both the
     # triangle count and the clustering coefficient intersect the same
     # sorted neighbor arrays, so the collect_list aggregate runs once
