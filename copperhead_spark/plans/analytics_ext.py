@@ -423,3 +423,60 @@ def a18_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median",
         )
     )
+
+
+@register(
+    "sql_recursive_date_spine",
+    oracle=f"""
+WITH RECURSIVE spine(m) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) FROM orders)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n,
+         {exact_sum_sql("o_totalprice")} AS total
+  FROM orders GROUP BY 1
+)
+SELECT s.m AS month_start,
+       CAST(COALESCE(mo.n, 0) AS BIGINT) AS n_orders,
+       COALESCE(mo.total, 0.0) AS month_total
+FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+""",
+    tags=("sql", "recursive", "T5"),
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE surface (Spark 4's WITH RECURSIVE): generate the
+    complete month spine between the corpus's first and last order month
+    — one row per month whether or not any order landed in it — and
+    LEFT JOIN the monthly rollup onto it, so empty months surface as
+    explicit zeros instead of silently missing rows (the
+    calendar-completeness property every reporting pipeline needs, and
+    the one a plain GROUP BY cannot provide).  The recursion is
+    |months|-deep on a single-row frontier — driver-bounded work; the
+    data-touching parts (bounds aggregate, monthly rollup) stay
+    ordinary distributed aggregates.  Both engines run structurally
+    identical recursive SQL (Spark: add_months; DuckDB: + INTERVAL)."""
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        f"""
+WITH RECURSIVE spine(m) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders
+  UNION ALL
+  SELECT add_months(m, 1) FROM spine
+  WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) FROM orders)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n,
+         {{exact}} AS total
+  FROM orders GROUP BY 1
+)
+SELECT s.m AS month_start,
+       CAST(COALESCE(mo.n, 0) AS BIGINT) AS n_orders,
+       COALESCE(mo.total, CAST(0.0 AS DOUBLE)) AS month_total
+FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+""".format(exact=exact_sum_sql("o_totalprice"))
+    )
