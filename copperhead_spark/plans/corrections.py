@@ -107,3 +107,63 @@ def rand_hash_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         f"{hash_uniform_sql('l_orderkey', 'l_linenumber')} AS u",
     )
+
+
+@register(
+    "j17_interval_overlap_join",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS a_lo,
+         CAST(ROUND(value * 1000000) AS BIGINT)
+           + 1000000 * (5 + event_id % 7) AS a_hi
+  FROM events WHERE event_id % 20 = 0
+),
+b AS (
+  SELECT event_id AS b_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS b_lo,
+         CAST(ROUND(value * 1000000) AS BIGINT)
+           + 1000000 * (5 + event_id % 5) AS b_hi
+  FROM events WHERE event_id % 20 = 1
+)
+SELECT a_id, b_id,
+       CAST(LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo) AS BIGINT) AS overlap_e6
+FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+""",
+    tags=("J17", "range"),
+)
+def j17_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join with NO equi key — the shape Spark plans as
+    a BroadcastNestedLoopJoin and a 100 TB cluster cannot run that way.
+    Two interval sets derive deterministically from events (micro-int
+    endpoints, widths 5-11 units); the bucketed rewrite
+    (operators/rangejoin.bucketed_interval_join) explodes BOTH sides
+    into covering buckets, hash-joins on bucket with the exact overlap
+    residual, and dedups multi-bucket meetings by keeping each pair
+    only in the first shared bucket — one equi-join shuffle, zero
+    nested loops (the plan audit's no-BNLJ invariant holds).  Output
+    pins every overlapping pair AND its exact integer overlap length
+    against the oracle's direct quadratic join."""
+    from copperhead_spark.operators.rangejoin import bucketed_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter("event_id % 20 = 0").selectExpr(
+        "event_id AS a_id",
+        "CAST(ROUND(value * 1000000) AS BIGINT) AS a_lo",
+        "CAST(ROUND(value * 1000000) AS BIGINT)"
+        " + 1000000 * (5 + event_id % 7) AS a_hi",
+    )
+    b = ev.filter("event_id % 20 = 1").selectExpr(
+        "event_id AS b_id",
+        "CAST(ROUND(value * 1000000) AS BIGINT) AS b_lo",
+        "CAST(ROUND(value * 1000000) AS BIGINT)"
+        " + 1000000 * (5 + event_id % 5) AS b_hi",
+    )
+    joined = bucketed_interval_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=4_000_000
+    )
+    return joined.selectExpr(
+        "a_id",
+        "b_id",
+        "CAST(LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo) AS BIGINT) AS overlap_e6",
+    )

@@ -164,3 +164,28 @@ def test_pq_kernel_equals_expression_twin(spark, sf_dir):
         ).collect()
     }
     assert kern == expr
+
+
+def test_bucketed_interval_join_dedups_multibucket_pairs(spark):
+    """Two long intervals overlapping across MANY shared buckets must
+    yield exactly ONE pair row (the first-shared-bucket dedup), and
+    non-overlapping / touching (half-open) intervals none."""
+    from copperhead_spark.operators.rangejoin import bucketed_interval_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 1000), (2, 5000, 5010)], "a_id long, a_lo long, a_hi long"
+    )
+    b = spark.createDataFrame(
+        [(10, 500, 2000), (11, 1000, 1500), (12, 4000, 5000)],
+        "b_id long, b_lo long, b_hi long",
+    )
+    out = sorted(
+        (r.a_id, r.b_id)
+        for r in bucketed_interval_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=16
+        ).collect()
+    )
+    # (1,10): overlap [500,1000) across ~30 shared 16-wide buckets -> once;
+    # (1,11): touching at 1000 (half-open) -> no pair;
+    # (2,12): touching at 5000 -> no pair
+    assert out == [(1, 10)]
