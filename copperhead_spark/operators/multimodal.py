@@ -60,17 +60,26 @@ def ppm_pixels(payload: bytes):
     if payload[:2] not in (b"P5", b"P6"):
         raise ValueError(f"not a binary netpbm payload: {payload[:2]!r}")
     tokens: list[int] = []
-    i = 2
+    i, end = 2, len(payload)
+    # every scan is bounded by len(payload): a truncated/corrupt header
+    # must raise here, not spin an executor task forever (ADVICE r4 #2)
     while len(tokens) < 3:
+        if i >= end:
+            raise ValueError("truncated netpbm header")
         c = payload[i : i + 1]
         if c == b"#":
-            i = payload.index(b"\n", i) + 1
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated netpbm header")
+            i = nl + 1
         elif c.isspace():
             i += 1
         else:
             j = i
-            while not payload[j : j + 1].isspace():
+            while j < end and not payload[j : j + 1].isspace():
                 j += 1
+            if j >= end:
+                raise ValueError("truncated netpbm header")
             tokens.append(int(payload[i:j]))
             i = j
     i += 1  # single whitespace byte after maxval, then raw samples

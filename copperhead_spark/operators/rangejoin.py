@@ -78,11 +78,17 @@ def bucketed_interval_join(
     b_lo: str,
     b_hi: str,
     bucket_width: int,
-    how: str = "inner",
 ) -> DataFrame:
     """Interval-OVERLAP join (two interval sets, no equi key) without a
     nested-loop: the same bucket-expansion rewrite as
     :func:`bucketed_range_join`, applied to BOTH sides.
+
+    INNER join only, by construction: both sides are exploded into
+    covering buckets with the first-shared-bucket dedup predicate in the
+    ON clause, so an outer variant would emit one spurious
+    null-extended row per non-first-bucket exploded copy.  (For outer
+    range semantics against a point side, use bucketed_range_join, which
+    explodes only one side and documents the outer contract.)
 
     Each half-open interval [lo, hi) explodes into its covering buckets;
     the join is an equi-join on bucket with the exact overlap predicate
@@ -111,4 +117,4 @@ def bucketed_interval_join(
         & (eb[b_lo] < ea[a_hi])
         & (ea["_abk"] == F.greatest(F.expr(f"{a_lo} DIV {w}"), F.expr(f"{b_lo} DIV {w}")))
     )
-    return ea.join(eb, cond, how).drop("_abk", "_bbk")
+    return ea.join(eb, cond, "inner").drop("_abk", "_bbk")

@@ -301,20 +301,36 @@ def a14_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       list_sort(list(o_orderkey))[1:5] AS first_orders
+       array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first_orders
 FROM orders
 GROUP BY o_custkey
 """,
     tags=("A15", "arrays"),
 )
 def a15_grouped_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped ARRAY output (collect -> sort -> slice): each customer's
-    first five order keys as an ordered array column — the nested-result
-    shape feature stores and API layers consume directly instead of
-    re-grouping rows.  sort_array pins element order, so the array value
-    is deterministic under any partitioning (collect_list alone is not —
-    the classic silent-flake).  Scale: one partial-agg exchange; the
-    slice caps per-group payload so a hot key cannot balloon a row."""
+    """Grouped ARRAY aggregation (collect -> sort -> slice): each
+    customer's first five order keys — the nested-result shape feature
+    stores and API layers consume directly instead of re-grouping rows.
+    sort_array pins element order, so the value is deterministic under
+    any partitioning (collect_list alone is not — the classic
+    silent-flake).  The driver-facing result serializes the array with
+    array_join (the driver's canonicalizer cannot hash raw ARRAY
+    columns — CORRECTNESS_r04); the array-native form stays covered by
+    tests/test_round5_regressions.py::test_a15_array_native_twin.
+    Scale: one partial-agg exchange; the slice caps per-group payload so
+    a hot key cannot balloon a row."""
+    return _a15_array_native(spark, sf_dir).select(
+        "o_custkey",
+        "n_orders",
+        F.array_join(F.col("first_orders").cast("array<string>"), ",").alias(
+            "first_orders"
+        ),
+    )
+
+
+def _a15_array_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-native twin of a15 (local tests only — raw ARRAY output is
+    not driver-hashable)."""
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
         F.count("*").cast("long").alias("n_orders"),

@@ -130,7 +130,11 @@ def _pct_oracle() -> str:
         )
         rows.append(
             f"SELECT {t} AS epoch, (SELECT n_mis FROM e{t}) AS n_mis,"
-            f" {w[0]} AS w0, {w[1]} AS w1, {w[2]} AS w2, {w[3]} AS w3"
+            # CAST: SUM of BIGINT is HUGEINT in DuckDB, which pandas
+            # materializes as float64 — the driver's value hash would
+            # then split from Spark's int64 (the r04 SKE3 failure class)
+            f" CAST({w[0]} AS BIGINT) AS w0, CAST({w[1]} AS BIGINT) AS w1,"
+            f" CAST({w[2]} AS BIGINT) AS w2, CAST({w[3]} AS BIGINT) AS w3"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
 

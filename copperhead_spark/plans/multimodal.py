@@ -283,9 +283,9 @@ WITH px AS (
 SELECT doc_id,
        CAST({_RS_TW} AS BIGINT) AS out_w,
        CAST({_RS_TH} AS BIGINT) AS out_h,
-       list_transform(range(0, {_RS_TW * _RS_TH}), o ->
+       array_to_string(list_transform(range(0, {_RS_TW * _RS_TH}), o ->
          px[((o // {_RS_TW}) * {_RS_SH // _RS_TH}) * {_RS_SW}
-            + ((o % {_RS_TW}) * {_RS_SW // _RS_TW}) + 1]) AS pixels,
+            + ((o % {_RS_TW}) * {_RS_SW // _RS_TW}) + 1]), ',') AS pixels,
        CAST(list_aggregate(list_transform(range(0, {_RS_TW * _RS_TH}), o ->
          px[((o // {_RS_TW}) * {_RS_SH // _RS_TH}) * {_RS_SW}
             + ((o % {_RS_TW}) * {_RS_SW // _RS_TW}) + 1]), 'sum') AS BIGINT)
@@ -303,7 +303,10 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression for a Pillow/opencv call inside the same mapInPandas
     decode contract (operators/multimodal.decode_media); schema,
     batching, and row shape — the Spark-side plumbing — are what this
-    query pins.  Map-only, zero shuffle."""
+    query pins.  Map-only, zero shuffle.  The resized grid crosses the
+    driver gate comma-serialized: raw ARRAY output columns are not
+    driver-hashable (CORRECTNESS_r04 lesson, caught here by the
+    hardened local gate before the driver saw it)."""
     from copperhead_spark.operators.barrier import project_once
 
     docs = table(spark, sf_dir, "documents")
@@ -329,7 +332,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"CAST({_RS_TW} AS BIGINT) AS out_w",
         f"CAST({_RS_TH} AS BIGINT) AS out_h",
-        "pixels",
+        "array_join(CAST(pixels AS ARRAY<STRING>), ',') AS pixels",
         "CAST(aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT)"
         " AS pixel_sum",
     )
@@ -389,7 +392,7 @@ SELECT doc_id,
        CAST(4 AS BIGINT) AS height,
        CAST(1 AS BIGINT) AS n_frames,
        CAST(list_aggregate(list_transform(range(1, 33),
-            i -> ascii(substring(rpad(substring(text, 1, 32), 32, ' '), i, 1))),
+            i -> 32 + ascii(substring(rpad(substring(text, 1, 32), 32, ' '), i, 1)) % 95),
             'sum') AS BIGINT) AS pixel_sum
 FROM documents
 """,
@@ -408,15 +411,26 @@ def mm_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample arithmetic) is value-pinned.  This closes the loop the
     seam tests open: the pluggable-decoder contract carries a REAL
     decoder under the driver's correctness gate, not only under local
-    tests.""".format(header="P5\\n8 4\\n255\\n")
+    tests.
+
+    Each raster sample is clamped to the printable single-byte range
+    (32 + codepoint % 95) on BOTH engines, so parity does not depend on
+    the corpus being pure ASCII (ADVICE r4 #3: Spark's string->binary
+    cast is UTF-8, multi-byte past codepoint 127, which would break the
+    byte_len=43 pin for a non-bug on a corpus change).""".format(
+        header="P5\\n8 4\\n255\\n"
+    )
     from copperhead_spark.operators.multimodal import decode_media, ppm_decode
 
     docs = table(spark, sf_dir, "documents")
+    raster = (
+        "concat_ws('', transform(sequence(1, 32), "
+        "i -> chr(32 + pmod(ascii(substring("
+        "rpad(substring(text, 1, 32), 32, ' '), i, 1)), 95))))"
+    )
     payloads = docs.select(
         "doc_id",
-        F.concat(
-            F.lit("P5\n8 4\n255\n"), F.rpad(F.substring("text", 1, 32), 32, " ")
-        )
+        F.concat(F.lit("P5\n8 4\n255\n"), F.expr(raster))
         .cast("binary")
         .alias("payload"),
     )

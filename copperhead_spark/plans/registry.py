@@ -155,26 +155,100 @@ _DRIVER_WINDOW = (
     "pipeline_hmm_histogram",
 )
 
+# Snapshot (start of round 5) of the 50 queries that had never been
+# driver-checked, in their round-4 emit order.  Pinning the drain order
+# here means queries registered LATER (new operators) queue behind these
+# and cannot displace them from the r05/r06 windows — the drain finishes
+# on schedule regardless of module import order.
+_DRAIN_ORDER = (
+    "s13_zorder_clustered_scan",
+    "s14_jsonlines_roundtrip",
+    "s15_orc_roundtrip",
+    "s16_csv_badrecords_scan",
+    "mm_media_metadata",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_phash_dedup",
+    "mm_audio_energy_windows",
+    "mm_image_resize",
+    "mm_phash_clusters",
+    "mm_ppm_real_decode",
+    "udaf_grouped_median",
+    "sk1_salted_skew_agg",
+    "bk1_bucketed_join_agg",
+    "o4_presentation_sort",
+    "fin2_group_templates",
+    "fin3_datacard_yields",
+    "fin1_chi2_model_selection",
+    "sk2_salted_skew_join",
+    "pack_sequences",
+    "sample_weighted_reservoir",
+    "sample_domain_mixture",
+    "corpus_snapshot_diff",
+    "sample_balanced_downsample",
+    "retrieval_rrf_fusion",
+    "emb_label_centroids",
+    "text_bigram_lm_score",
+    "sessionize_events",
+    "session_funnel",
+    "events_spike_detection",
+    "events_retention_cohorts",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_degree_histogram",
+    "graph_kcore_members",
+    "graph_label_propagation",
+    "graph_clustering_coefficient",
+    "text_tfidf_blocked_pairs",
+    "text_bpe_pair_counts",
+    "dedup_incremental_index",
+    "market_basket_rules",
+    "text_bpe_train_merges",
+    "linkage_fuzzy_name_pairs",
+    "pipeline_entity_resolution",
+    "text_bpe_encode",
+    "text_bpe_encode_expr8",
+    "pipeline_tokenizer_train_encode",
+    "text_feature_hashing",
+    "ml_perceptron_train",
+)
 
-def _driver_checked_names() -> set[str]:
-    """Names that already have a row in ANY driver correctness report
-    (CORRECTNESS_r*.json at the repo root).  Used to auto-rotate the
-    driver's 50-query window: the gate reads the FIRST 50 registered
-    queries each round, so never-checked queries must lead."""
+
+def _row_green(row: dict) -> bool:
+    """A driver correctness row counts as green iff it errored nowhere and
+    its strongest recorded check passed: hash for full-oracle queries,
+    rows-only for oracle-less ones (hash_match is null there)."""
+    if row.get("err"):
+        return False
+    if row.get("hash_match") is not None:
+        return bool(row["hash_match"])
+    return bool(row.get("rows_match"))
+
+
+def _driver_status() -> dict[str, bool]:
+    """name -> latest driver verdict (True=green) from CORRECTNESS_r*.json
+    at the repo root; later rounds overwrite earlier ones.  Used to
+    auto-rotate the driver's 50-query window: the gate reads the FIRST 50
+    registered queries each round, so red retries and never-checked
+    queries must lead.  Round 4 taught the hard way that "has any row" is
+    not "verified": a red row (e.g. approx_aggregates, red since r02)
+    would never re-enter the window under key-presence rotation."""
     import glob
     import json
 
     root = __file__
     for _ in range(3):  # plans/ -> copperhead_spark/ -> repo root
         root = __import__("os").path.dirname(root)
-    seen: set[str] = set()
+    status: dict[str, bool] = {}
+    # lexicographic sort orders r01..r99 correctly; later files win
     for path in sorted(glob.glob(f"{root}/CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                for name, row in json.load(fh).items():
+                    status[name] = _row_green(row)
         except (OSError, ValueError):
             continue
-    return seen
+    return status
 
 
 def all_queries() -> dict[str, Query]:
@@ -195,17 +269,21 @@ def all_queries() -> dict[str, Query]:
             if e.name and e.name.startswith("copperhead_spark"):
                 continue
             raise
-    priority: list[str] = [n for n in _DRIVER_WINDOW if n in _REGISTRY]
+    priority: list[str] = [
+        n for n in _DRIVER_WINDOW + _DRAIN_ORDER if n in _REGISTRY
+    ]
     priority += [n for n in _REGISTRY if n not in set(priority)]
-    checked = _driver_checked_names()
-    # three tiers, stable within each: (1) never-checked WITH an oracle
-    # (full value verification), (2) never-checked rows-only (weaker
-    # check, so they take slots only once tier 1 drains), (3) already
-    # driver-verified queries.
+    status = _driver_status()
+    # four tiers, stable within each: (0) checked but latest driver row
+    # RED — retries lead so a red never lingers more than one round,
+    # (1) never-checked WITH an oracle (full value verification),
+    # (2) never-checked rows-only (weaker check, so they take slots only
+    # once tier 1 drains), (3) latest-green verified queries.
     ordered: dict[str, Query] = {}
     for tier in (
-        lambda n: n not in checked and _REGISTRY[n].oracle is not None,
-        lambda n: n not in checked,
+        lambda n: n in status and not status[n],
+        lambda n: n not in status and _REGISTRY[n].oracle is not None,
+        lambda n: n not in status,
         lambda n: True,
     ):
         for name in priority:

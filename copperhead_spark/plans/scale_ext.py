@@ -358,7 +358,11 @@ def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for label, used_bins, winner, finite in rows:
         a = anchor_by[label]
-        min_ndf = min(r.chi2_ndf for r in finite)
+        # empty `finite` (all 6 families non-finite on some future
+        # domain/sf) must surface as failing pass-flags against the
+        # oracle's n_finite_families pin, not a driver-side ValueError
+        # (ADVICE r4 #4)
+        min_ndf = min((r.chi2_ndf for r in finite), default=float("inf"))
         out.append(
             (
                 label,
@@ -368,7 +372,7 @@ def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 len(finite),
                 int(winner.ndf),
                 int(winner.model in _FIN1_POLY_WINNERS),
-                int(winner.chi2_ndf <= min_ndf),
+                int(bool(finite) and winner.chi2_ndf <= min_ndf),
                 int(winner.chi2_ndf < _FIN1_CHI2_NDF_BOUND),
             )
         )

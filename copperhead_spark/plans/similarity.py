@@ -548,7 +548,8 @@ c0 AS (
   FROM (VALUES {c0_rows}) v(cid, cent)
 ),
 {",".join(its)}
-SELECT CAST(cid AS INTEGER) AS cid, cent AS centroid FROM {prev}
+SELECT CAST(cid AS INTEGER) AS cid, array_to_string(cent, ',') AS centroid
+FROM {prev}
 """
 
 
@@ -563,13 +564,15 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     division anywhere, so the result is exact at any sum magnitude),
     which lets the DuckDB oracle replay all {_KM_ITERS} iterations as
     unrolled CTEs and pin every trained centroid component bit-exactly.
-    Also mirrored bit-exactly in numpy (tests/test_operators.py)."""
+    Also mirrored bit-exactly in numpy (tests/test_operators.py).
+    Centroids cross the driver gate serialized (comma-joined) — raw
+    ARRAY output columns are not driver-hashable (CORRECTNESS_r04)."""
     from copperhead_spark.operators.kmeans import kmeans_lloyd
 
     emb = table(spark, sf_dir, "embeddings")
     cents = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
-    rows = [(cid, cent) for cid, cent in enumerate(cents)]
-    return spark.createDataFrame(rows, "cid int, centroid array<bigint>")
+    rows = [(cid, ",".join(str(int(v)) for v in cent)) for cid, cent in enumerate(cents)]
+    return spark.createDataFrame(rows, "cid int, centroid string")
 
 
 _SEM_T = 0.35

@@ -282,7 +282,7 @@ q AS (
 )
 SELECT CAST(qn AS DOUBLE) / qd AS q,
        MIN((bin + 1) * {_BQ_WIDTH}) AS est_upper,
-       MIN(n) AS n
+       CAST(MIN(n) AS BIGINT) AS n
 FROM q
 WHERE cum >= (qn * n + qd - 1) // qd
 GROUP BY qn, qd

@@ -38,8 +38,8 @@ _PACK_STRIDE = 1_000_000  # pack_id = shard * stride + seq-within-shard
     "pack_sequences",
     oracle=f"""
 SELECT doc_id, n_tokens, shard,
-       shard * {_PACK_STRIDE} + (off // {_CTX}) AS pack_id,
-       off % {_CTX} AS offset_in_pack
+       CAST(shard * {_PACK_STRIDE} + (off // {_CTX}) AS BIGINT) AS pack_id,
+       CAST(off % {_CTX} AS BIGINT) AS offset_in_pack
 FROM (
   SELECT doc_id, n_tokens, shard,
          SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS off

@@ -4,9 +4,10 @@ query against its DuckDB oracle at the driver's scale factor (sf0.01 by
 default — note tests/ default to sf0.001, which misses sf-dependent
 drift) and report failures.
 
-Run: python tools/preflight.py [sf_dir] [start[:end]]
+Run: python tools/preflight.py [sf_dir] [start[:end] | name[,name...]]
   python tools/preflight.py                      # all queries, sf0.01
   python tools/preflight.py /root/testdata/sf0.01 0:50   # the driver window
+  python tools/preflight.py /root/testdata/sf0.01 q1,q2  # specific queries
 """
 
 from __future__ import annotations
@@ -23,15 +24,27 @@ def main() -> int:
     from copperhead_spark.testing import make_duckdb, run_query_vs_oracle
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    lo, hi = 0, None
+    lo, hi, names = 0, None, None
     if len(sys.argv) > 2:
-        part = sys.argv[2].split(":")
-        lo = int(part[0] or 0)
-        hi = int(part[1]) if len(part) > 1 and part[1] else None
+        sel = sys.argv[2]
+        if sel and not sel.replace(":", "").isdigit():
+            names = sel.split(",")
+        else:
+            part = sel.split(":")
+            lo = int(part[0] or 0)
+            hi = int(part[1]) if len(part) > 1 and part[1] else None
 
     spark = get_spark(app_name="copperhead-preflight")
     duck = make_duckdb(sf_dir)
-    qs = list(all_queries().items())[lo:hi]
+    registry = all_queries()
+    if names is not None:
+        missing = [n for n in names if n not in registry]
+        if missing:
+            print(f"unknown queries: {missing}")
+            return 1
+        qs = [(n, registry[n]) for n in names]
+    else:
+        qs = list(registry.items())[lo:hi]
     bad: list[str] = []
     for i, (name, q) in enumerate(qs):
         try:
