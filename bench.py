@@ -232,28 +232,92 @@ def main() -> None:
                 .write.mode("overwrite")
                 .parquet(f"{tmp}/dedup10x/documents.parquet")
             )
+            dup10 = {}
             for qn in ("dedup_minhash_signatures", "dedup_minhash_lsh_pairs"):
                 one = _time_query(spark, queries[qn], sf_dir)
                 ten = _time_query(spark, queries[qn], f"{tmp}/dedup10x")
+                dup10[qn] = ten
                 soak[f"{qn}_10x_docs"] = ten
                 soak[f"{qn}_scaling_vs_1x"] = round(ten / (10 * one), 3)
+
+            # ---- clean-corpus counterpart: same 10x doc count, but each
+            # replica rewrites the 9 most frequent letters with a
+            # rep-rotated translate, so cross-replica 5-gram Jaccard ~ 0
+            # (rep 0 keeps the original text).  This is the common 100 TB
+            # shape — almost no true duplicates — and pins the claim that
+            # LSH pair cost tracks TRUE duplicate density, not corpus
+            # size: the banding/join (pairs) stage should be near-free
+            # here while signatures dominate.
+            (
+                docs1.selectExpr("explode(sequence(0, 9)) AS rep", "doc_id", "text")
+                .selectExpr(
+                    "doc_id * 10 + rep AS doc_id",
+                    "translate(text, 'etaoinshr',"
+                    " substring(repeat('etaoinshr', 2), rep + 1, 9)) AS text",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/dedup10x_clean/documents.parquet")
+            )
+            clean10 = {}
+            for qn in ("dedup_minhash_signatures", "dedup_minhash_lsh_pairs"):
+                clean10[qn] = _time_query(spark, queries[qn], f"{tmp}/dedup10x_clean")
+            soak["dedup_minhash_signatures_clean_10x"] = clean10[
+                "dedup_minhash_signatures"
+            ]
+            soak["dedup_minhash_lsh_pairs_clean_10x"] = clean10[
+                "dedup_minhash_lsh_pairs"
+            ]
+            # pairs-stage isolation: lsh_pairs includes the signature
+            # computation, so subtract the signature-only timing
+            ps_clean = max(
+                clean10["dedup_minhash_lsh_pairs"]
+                - clean10["dedup_minhash_signatures"],
+                0.0,
+            )
+            ps_dup = max(
+                dup10["dedup_minhash_lsh_pairs"] - dup10["dedup_minhash_signatures"],
+                0.0,
+            )
+            soak["pairs_stage_clean_est"] = round(ps_clean, 4)
+            soak["pairs_stage_dup_est"] = round(ps_dup, 4)
+            if ps_dup > 0:
+                soak["pairs_stage_clean_vs_dup"] = round(ps_clean / ps_dup, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Key order matters: the external harness keeps only the TAIL of
+    # stdout, so the per-query dicts go first and the summary scalars
+    # (metric/value/sf/load) go LAST — a tail-truncated capture still
+    # retains the total, the young pass, the soak, and the load record.
+    # The complete record is also written to BENCH_LOCAL.json so the
+    # full history survives in-repo regardless of driver capture.
     out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
         "queries": timings,
         "queries_young": young,
         "soak": soak,
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
         "sf": sf,
         "load_avg": {
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
         },
+        # 1-minute load > 2 at start means timings are contaminated by
+        # background work (the r04 a1_count_per_group watch item): treat
+        # round-over-round deltas from this run as suspect
+        "load_warning": load_start[0] > 2.0,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
+    print(line)
 
 
 if __name__ == "__main__":

@@ -495,3 +495,129 @@ def s16_csv_badrecords_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_bad"),
         F.sum(F.coalesce(F.col("o_orderkey"), F.lit(0))).alias("good_key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# composed lakehouse ingest: streaming foreachBatch MERGE + schema
+# evolution in one sink (S11 + S12 + ST8 composed — the failure mode a
+# 100 TB ingest hits monthly: the feed adds a column mid-history while
+# upserting into a standing table).
+# ---------------------------------------------------------------------------
+
+_SEM_KB = 8  # sink partition buckets (kb = o_orderkey % _SEM_KB)
+
+
+@register(
+    "s17_evolving_stream_merge",
+    oracle=f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS pri
+  FROM orders
+  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN pri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved,
+       {exact_sum_sql("price")} AS total
+FROM merged
+GROUP BY o_orderstatus
+""",
+    tags=("sources", "streaming", "S9"),
+)
+def s17_evolving_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two REAL Structured Streaming ingests (availableNow file streams)
+    land in one parquet sink through a shared foreachBatch MERGE:
+
+    * generation 1 streams the even order keys with the ORIGINAL schema
+      (no o_orderpriority column) — merge into an empty sink = insert;
+    * generation 2 streams the key%3 slice with an EVOLVED schema (adds
+      o_orderpriority, uplifts price 1.1x) — matched keys update,
+      unmatched insert, and every rewritten file carries the new column.
+
+    The final read uses mergeSchema, so generation-1 survivors surface
+    the added column as NULL — the oracle recomputes the merged table
+    (update-beats-base, insert-appends, NULL priority exactly for
+    never-updated rows) straight from `orders`, value-checking the whole
+    compose: schema-evolving scan (S11) + MERGE semantics (S12) +
+    idempotent micro-batch sink (ST8).
+
+    Scale/safety: the sink partitions on a key bucket and each
+    micro-batch rewrites ONLY the buckets it touches (dynamic partition
+    overwrite); the merge result is localCheckpoint-materialized BEFORE
+    the overwrite so the rewrite never scans the files it is replacing —
+    the safe delete-before-write the reference does with a temp-dir swap
+    (/root/reference/python/io.py:40-52).  The same merge closure serves
+    both streams and any micro-batch split (file-source batching is a
+    runtime choice), so replays and splits stay idempotent: exactly the
+    ST8 contract, now under schema evolution."""
+    import shutil
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    stage1 = scratch_dir("sem_g1", sf_dir)
+    stage2 = scratch_dir("sem_g2", sf_dir)
+    sink = scratch_dir("sem_sink", sf_dir)
+    for p in (stage1, stage2, sink):
+        shutil.rmtree(p, ignore_errors=True)
+
+    gen1 = orders.filter("o_orderkey % 2 = 0").drop("o_orderpriority")
+    gen2 = orders.filter("o_orderkey % 3 = 0").selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice",
+        "o_orderpriority",
+    )
+    gen1.write.parquet(stage1)
+    gen2.write.parquet(stage2)
+
+    sink_cols = ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        up = batch_df.withColumn("kb", F.pmod("o_orderkey", F.lit(_SEM_KB)))
+        for c in sink_cols:  # align an old-schema batch to the sink schema
+            if c not in up.columns:
+                up = up.withColumn(c, F.lit(None).cast("string"))
+        up = up.select(*sink_cols, "kb")
+        if os.path.exists(sink):
+            cur = sess.read.option("mergeSchema", "true").parquet(sink)
+            for c in sink_cols:
+                if c not in cur.columns:
+                    cur = cur.withColumn(c, F.lit(None).cast("string"))
+            touched = up.select("kb").distinct()
+            keep = (
+                cur.join(F.broadcast(touched), "kb", "leftsemi")
+                .join(up.select("o_orderkey"), "o_orderkey", "left_anti")
+                .select(*sink_cols, "kb")
+            )
+            out = keep.unionByName(up)
+        else:
+            out = up
+        # materialize BEFORE overwriting the partitions being read
+        out.localCheckpoint(eager=True).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("kb").parquet(sink)
+
+    for stage, schema in ((stage1, gen1.schema), (stage2, gen2.schema)):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{stage}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+
+    back = spark.read.option("mergeSchema", "true").parquet(sink)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias("n_evolved"),
+        exact_sum(F.col("o_totalprice")).alias("total"),
+    )

@@ -122,5 +122,7 @@ def test_resize_plan_matches_numpy_on_real_pixels(spark, tmp_path):
         expect = grid[::2, ::2].reshape(-1).astype(np.int64)
         r = out[i]
         assert (r.out_w, r.out_h) == (4, 2)
-        assert list(r.pixels) == list(expect), i
+        # pixels cross the driver gate comma-serialized (raw ARRAY output
+        # columns are not driver-hashable)
+        assert r.pixels == ",".join(str(v) for v in expect), i
         assert r.pixel_sum == int(expect.sum())
