@@ -241,19 +241,26 @@ def main() -> None:
                 soak[f"{qn}_scaling_vs_1x"] = round(ten / (10 * one), 3)
 
             # ---- clean-corpus counterpart: same 10x doc count, but each
-            # replica rewrites the 9 most frequent letters with a
-            # rep-rotated translate, so cross-replica 5-gram Jaccard ~ 0
-            # (rep 0 keeps the original text).  This is the common 100 TB
-            # shape — almost no true duplicates — and pins the claim that
-            # LSH pair cost tracks TRUE duplicate density, not corpus
-            # size: the banding/join (pairs) stage should be near-free
-            # here while signatures dominate.
+            # replica Caesar-rotates the FULL 26-letter alphabet by rep
+            # (rep 0 keeps the original text), a per-replica bijection:
+            # within a replica all pairwise Jaccards are EXACTLY the
+            # base corpus's (shingle sets map 1:1), while across
+            # replicas every letter-bearing 5-gram changes, driving
+            # cross-replica Jaccard ~ 0.  (A 9-letter rotation was not
+            # enough: shingles with none of those letters survived
+            # verbatim and cross-replica band collisions kept ~70% of
+            # the pair volume.)  This is the common 100 TB shape —
+            # almost no true duplicates — and pins the claim that LSH
+            # pair cost tracks TRUE duplicate density, not corpus size:
+            # the cross-replica pair count recorded below should be ~0
+            # here vs millions on the duplicate-heavy corpus.
+            _AL = "abcdefghijklmnopqrstuvwxyz"
             (
                 docs1.selectExpr("explode(sequence(0, 9)) AS rep", "doc_id", "text")
                 .selectExpr(
                     "doc_id * 10 + rep AS doc_id",
-                    "translate(text, 'etaoinshr',"
-                    " substring(repeat('etaoinshr', 2), rep + 1, 9)) AS text",
+                    f"translate(text, '{_AL}',"
+                    f" substring(repeat('{_AL}', 2), rep + 1, 26)) AS text",
                 )
                 .write.mode("overwrite")
                 .parquet(f"{tmp}/dedup10x_clean/documents.parquet")
@@ -282,6 +289,32 @@ def main() -> None:
             soak["pairs_stage_dup_est"] = round(ps_dup, 4)
             if ps_dup > 0:
                 soak["pairs_stage_clean_vs_dup"] = round(ps_clean / ps_dup, 3)
+            # pair VOLUME is the scale-relevant quantity (at bench scale
+            # the pairs-stage time has a duplicate-independent floor:
+            # the banding shuffle is linear in docs).  The density claim
+            # is pinned by the CROSS-replica pair count — the volume the
+            # banding spends on candidates that exist only because of
+            # true duplication: ~0 on the clean corpus (measured: 1 pair
+            # at sf0.1) vs millions on the duplicate-heavy one.  Raw
+            # totals are also recorded, but same-replica volume is
+            # lexicon-luck-sensitive at this tiny synthetic vocabulary
+            # (whichever shingle draws the minimum hash may sit in every
+            # doc), so cross-rep is the stable scale signal.
+            qp = queries["dedup_minhash_lsh_pairs"]
+            soak["lsh_pairs_n_base"] = qp.builder(spark, sf_dir).count()
+            for lbl, d in (("dup10x", "dedup10x"), ("clean10x", "dedup10x_clean")):
+                br = (
+                    qp.builder(spark, f"{tmp}/{d}")
+                    .selectExpr(
+                        "CAST(doc1 % 10 = doc2 % 10 AS INT) AS same_rep"
+                    )
+                    .groupBy("same_rep")
+                    .count()
+                    .collect()
+                )
+                by = {r["same_rep"]: r["count"] for r in br}
+                soak[f"lsh_pairs_n_{lbl}"] = by.get(0, 0) + by.get(1, 0)
+                soak[f"lsh_pairs_n_{lbl}_cross_rep"] = by.get(0, 0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

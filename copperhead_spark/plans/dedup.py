@@ -774,3 +774,80 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(hit).cast("double") / F.sum("is_truth")).alias("recall"),
         (F.sum(hit).cast("double") / F.sum("is_cand")).alias("precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy dedup END-TO-END: the whole near-dup pipeline (minhash ->
+# banded LSH -> connected components -> representative selection ->
+# kept-corpus accounting) as ONE plan with ONE full-value oracle.
+# Each stage is individually oracle-checked above; this query pins the
+# COMPOSITION — the actual deliverable of a dedup pass: per-domain
+# before/after corpus statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_fuzzy_dedup_e2e",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_LSH_ORACLE}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+cc AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+j AS (
+  SELECT cc.component, cc.doc_id, d.lang, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY cc.component
+           ORDER BY d.n_chars DESC, cc.doc_id ASC
+         ) AS rn
+  FROM cc JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM j
+GROUP BY lang
+""",
+    tags=("dedup", "pipeline"),
+)
+def pipeline_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate removal END-TO-END: minhash signatures -> banded
+    LSH candidate pairs -> hash-min connected components -> longest-doc
+    representative per cluster -> per-language kept-corpus accounting
+    (docs in/kept/removed, surviving characters).  One plan, one oracle:
+    a regression anywhere in the four-stage compose (banding recall,
+    propagation, tie-breaks, attribution) shifts an integer in this
+    table.
+
+    Scale: the only stages that touch pair space are banded (bucket-mate
+    joins only); CC is O(diameter) checkpointed rounds over the pair
+    list — tiny next to the corpus; the representative window partitions
+    by component (bounded cluster sizes); the final rollup is one
+    partial-agg exchange over (lang).  This is the exact operator chain
+    a 100 TB curation run executes between 'raw crawl' and 'training
+    mix', with the audit numbers it must publish."""
+    cc = dedup_connected_components(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    joined = cc.join(docs, "doc_id")
+    wr = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    flagged = joined.withColumn("rn", F.row_number().over(wr))
+    return flagged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rn") != 1).cast("long")).alias("n_removed"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )

@@ -264,3 +264,192 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(rrf_score AS BIGINT) AS rrf_score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG corpus preparation: sliding-window chunking + deterministic chunk
+# embedding + query top-k — the retrieval-augmented-generation ingest
+# path (chunk the corpus, embed each chunk, serve nearest chunks).
+# Chunk/embed are map-only over the document scan (zero shuffle at any
+# corpus size); the final top-k compiles to TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_CH_C = 64  # chunk size (tokens)
+_CH_S = 48  # stride (tokens) -> 16-token overlap between chunks
+_CH_P = 1_000_000_007  # chunk-hash modulus (matches rolling fingerprint)
+
+
+def _chunk_cte_duck() -> str:
+    """DuckDB CTE producing (doc_id, th, chunk_idx, start): token hashes
+    materialized once, chunk starts every _CH_S tokens while < n."""
+    from copperhead_spark.functions.text import token_hashes_duck
+
+    return f"""
+t AS (SELECT doc_id, {token_hashes_duck()} AS th FROM documents),
+ch AS (
+  SELECT doc_id, th,
+         unnest(range(0, (length(th) + {_CH_S} - 1) // {_CH_S})) AS chunk_idx
+  FROM t
+)"""
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+WITH {_chunk_cte_duck()}
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {_CH_S} AS BIGINT) AS chunk_start,
+       CAST(LEAST({_CH_C}, length(th) - chunk_idx * {_CH_S}) AS BIGINT)
+         AS n_chunk_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           th[chunk_idx * {_CH_S} + 1 : chunk_idx * {_CH_S} + {_CH_C}]),
+         (acc, h) -> (acc * 31 + h) % {_CH_P}) AS chunk_hash
+FROM ch
+""",
+    tags=("text", "retrieval", "rag"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({_CH_C}-token chunks, stride
+    {_CH_S} = {_CH_C - _CH_S}-token overlap): the RAG/embedding ingest
+    primitive.  Each chunk carries its token span and an order-sensitive
+    polynomial hash of its token-hash sequence, so chunk content is
+    value-pinned without shipping chunk text.  Built array-native: token
+    hashes once per document (O(len)), chunk starts from a sequence
+    explode, per-chunk fold over an array slice — map-only, the corpus
+    is never shuffled, and the explode factor (~n_tokens/{_CH_S}) is the
+    output's inherent size, not plan overhead."""
+    from copperhead_spark.functions.text import token_hashes_spark
+    from copperhead_spark.operators.barrier import project_once
+
+    docs = table(spark, sf_dir, "documents")
+    toks = project_once(
+        docs, "doc_id", f"{token_hashes_spark()} AS th"
+    )
+    chunks = toks.selectExpr(
+        "doc_id",
+        "th",
+        f"posexplode(sequence(0, CAST(ceil(size(th) / {_CH_S}.0) AS INT) - 1))"
+        " AS (chunk_idx, start_k)",
+    )
+    return chunks.selectExpr(
+        "doc_id",
+        "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+        f"CAST(chunk_idx * {_CH_S} AS BIGINT) AS chunk_start",
+        f"CAST(LEAST({_CH_C}, size(th) - chunk_idx * {_CH_S}) AS BIGINT)"
+        " AS n_chunk_tokens",
+        f"aggregate(slice(th, chunk_idx * {_CH_S} + 1, {_CH_C}),"
+        f" CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % {_CH_P})"
+        " AS chunk_hash",
+    )
+
+
+# deterministic 8-dim integer chunk embedding: dim j of a chunk is the
+# sum over its token hashes h of ((h * A_j + B_j) mod M31) mod 1009 —
+# pure integer arithmetic, so Spark, DuckDB, and the Python-side query
+# vector agree bit-for-bit (the same portability rule as minhash).
+_EMB_D = 8
+_EMB_M = 2_147_483_647
+_EMB_Q = 1009
+_EMB_AB = [(7919 * j + 104_729, 1_000_003 * j + 613) for j in range(_EMB_D)]
+_RAG_K = 20
+_RAG_QUERY = "training data quality and dedup for language model corpus"
+
+
+def _tok_hash_py(w: str) -> int:
+    from copperhead_spark.functions.text import TOKEN_P
+
+    acc = 0
+    for c in w:
+        acc = (acc * 31 + ord(c)) % TOKEN_P
+    return acc
+
+
+def _query_vec() -> list[int]:
+    toks = [_tok_hash_py(w) for w in _RAG_QUERY.split(" ")]
+    return [
+        sum(((h * a + b) % _EMB_M) % _EMB_Q for h in toks)
+        for a, b in _EMB_AB
+    ]
+
+
+def _rag_oracle() -> str:
+    vq = _query_vec()
+    dims_duck = ", ".join(
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), chunk), "
+        f"(acc, h) -> acc + ((h * {a} + {b}) % {_EMB_M}) % {_EMB_Q}) AS v{j}"
+        for j, (a, b) in enumerate(_EMB_AB)
+    )
+    dot = " + ".join(f"CAST({vq[j]} AS BIGINT) * v{j}" for j in range(_EMB_D))
+    return f"""
+WITH {_chunk_cte_duck()},
+emb AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, {dims_duck}
+  FROM (
+    SELECT doc_id, chunk_idx,
+           th[chunk_idx * {_CH_S} + 1 : chunk_idx * {_CH_S} + {_CH_C}] AS chunk
+    FROM ch
+  )
+)
+SELECT doc_id, chunk_idx, CAST({dot} AS BIGINT) AS dot
+FROM emb
+ORDER BY dot DESC, doc_id, chunk_idx
+LIMIT {_RAG_K}
+"""
+
+
+@register(
+    "pipeline_rag_chunk_embed_topk",
+    oracle=_rag_oracle(),
+    tags=("retrieval", "rag", "pipeline"),
+)
+def pipeline_rag_chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG serving path END-TO-END in one plan: chunk the corpus
+    (sliding {_CH_C}/{_CH_S} windows) -> embed every chunk (deterministic
+    {_EMB_D}-dim integer embedding) -> rank against a query vector by
+    exact integer dot product -> global top-{_RAG_K}.  The query vector
+    is computed driver-side from the SAME integer formula (literal
+    constants in the plan — no join needed for a single query).
+
+    Integer similarity makes the ranking bit-reproducible across
+    engines; ties break on (doc_id, chunk_idx).  Scale: chunk+embed are
+    map-only expression work on the corpus scan; ORDER BY+LIMIT compiles
+    to TakeOrderedAndProject (per-partition heaps, driver merge of
+    {_RAG_K} rows/partition) — nothing resembling a global sort, and the
+    only data crossing the driver is the top-k.  The production-scale
+    index variant of the same shape (IVF cells, PQ codes) is
+    pipeline_ann_query_e2e; this query pins the text->chunk->embed front
+    half that feeds it."""
+    from copperhead_spark.functions.text import token_hashes_spark
+    from copperhead_spark.operators.barrier import project_once
+
+    vq = _query_vec()
+    docs = table(spark, sf_dir, "documents")
+    toks = project_once(docs, "doc_id", f"{token_hashes_spark()} AS th")
+    exploded = toks.selectExpr(
+        "doc_id",
+        "th",
+        f"explode(sequence(0, CAST(ceil(size(th) / {_CH_S}.0) AS INT) - 1))"
+        " AS chunk_idx",
+    )
+    chunks = project_once(
+        exploded,
+        "doc_id",
+        "chunk_idx",
+        f"slice(th, chunk_idx * {_CH_S} + 1, {_CH_C}) AS chunk",
+    )
+    dims = [
+        f"aggregate(chunk, CAST(0 AS BIGINT),"
+        f" (acc, h) -> acc + ((h * {a} + {b}) % {_EMB_M}) % {_EMB_Q}) AS v{j}"
+        for j, (a, b) in enumerate(_EMB_AB)
+    ]
+    emb = chunks.selectExpr(
+        "doc_id", "CAST(chunk_idx AS BIGINT) AS chunk_idx", *dims
+    )
+    dot = " + ".join(f"CAST({vq[j]} AS BIGINT) * v{j}" for j in range(_EMB_D))
+    return (
+        emb.selectExpr("doc_id", "chunk_idx", f"CAST({dot} AS BIGINT) AS dot")
+        .orderBy(F.col("dot").desc(), "doc_id", "chunk_idx")
+        .limit(_RAG_K)
+    )

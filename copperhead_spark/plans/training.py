@@ -406,3 +406,68 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_kept"),
         F.sum("vec_id").cast("long").alias("kept_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled domain mixture (the multilingual/mixture sampling
+# rule: p_i ∝ n_i^alpha with alpha = 0.5, flattening the domain
+# distribution toward the tail).  Float sqrt is IEEE-correctly-rounded
+# and therefore engine-portable for a SINGLE value, but SUMMING floats
+# is order-dependent — so each domain's sqrt is fixed-pointed to e6
+# FIRST and the normalization runs in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+WITH d AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+           AS sqrt_e6
+  FROM documents GROUP BY lang
+),
+t AS (SELECT CAST(SUM(sqrt_e6) AS BIGINT) AS tot,
+             CAST(SUM(n_docs) AS BIGINT) AS n_total FROM d)
+SELECT lang, n_docs,
+       CAST((1000000 * sqrt_e6) // tot AS BIGINT) AS weight_e6,
+       CAST((n_total * sqrt_e6) // tot AS BIGINT) AS target_docs
+FROM d CROSS JOIN t
+""",
+    tags=("training", "sampling"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling weights per language domain (alpha = 0.5):
+    weight_i = sqrt(n_i) / sum_j sqrt(n_j), emitted in e6 fixed point,
+    plus the resulting per-domain target document count at unchanged
+    corpus size.  This is the standard low-resource-upsampling rule for
+    multilingual pretraining mixes.  Exactness: sqrt(bigint) is one
+    correctly-rounded libm call (portable); each domain's sqrt is
+    floored to integer e6 BEFORE any summation, so the normalizing total
+    and the divisions are pure integer arithmetic — no float-summation
+    order dependence on either engine.  Scale: one partial-agg exchange
+    over domains, then unpartitioned window sums over the AGGREGATED
+    table only (dozens of domain rows in one partition — a plain
+    expression, not a join; the corpus itself is never windowed)."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+    ).selectExpr(
+        "lang",
+        "n_docs",
+        "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"
+        " AS sqrt_e6",
+    )
+    d = d.selectExpr(
+        "lang",
+        "n_docs",
+        "sqrt_e6",
+        "SUM(sqrt_e6) OVER () AS tot",
+        "SUM(n_docs) OVER () AS n_total",
+    )
+    return d.selectExpr(
+        "lang",
+        "n_docs",
+        "CAST(1000000 * sqrt_e6 DIV tot AS BIGINT) AS weight_e6",
+        "CAST(n_total * sqrt_e6 DIV tot AS BIGINT) AS target_docs",
+    )

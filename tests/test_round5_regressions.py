@@ -174,3 +174,28 @@ def test_ppm_real_decode_raster_survives_non_ascii(spark):
     text = "café € and some padding to reach 32+ chars"
     padded = (text[:32] + " " * 32)[:32]
     assert row.pixel_sum == sum(32 + ord(c) % 95 for c in padded)
+
+
+# --- round-5 new-query helpers (pure Python; Spark parity is covered by
+# test_oracle_parity over the registry) -----------------------------------
+
+
+def test_rag_query_vector_pinned():
+    """The RAG query vector is a plan literal on BOTH engines — pin its
+    exact values so an accidental constant change (hash coeffs, query
+    string, modulus) is caught here rather than as a cross-engine
+    mystery."""
+    from copperhead_spark.plans.retrieval import _query_vec
+
+    assert _query_vec() == [5976, 3809, 4355, 6224, 2734, 4603, 4835, 6009]
+
+
+def test_chunk_count_formula_agrees():
+    """ceil(n / stride) on Spark == (n + stride - 1) // stride on DuckDB
+    for every token count a document can have."""
+    import math
+
+    from copperhead_spark.plans.retrieval import _CH_S
+
+    for n in range(1, 500):
+        assert math.ceil(n / _CH_S) == (n + _CH_S - 1) // _CH_S

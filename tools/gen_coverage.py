@@ -184,6 +184,24 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "token 8-gram containment vs broadcast benchmark set; corpus never shuffled"),
     ("CUR1", "Corpus curation e2e (quality -> CC dedup -> split)",
      ["pipeline_corpus_curation"], "composition of oracle-checked stages, one oracle"),
+    # round-5 additions
+    ("S17", "Schema-evolving streaming MERGE sink (S11+S12+ST8 composed)",
+     ["s17_evolving_stream_merge"],
+     "two availableNow streams, shared foreachBatch MERGE, second stream adds a column; "
+     "mergeSchema read-back value-checked; bucket-partitioned dynamic overwrite, "
+     "localCheckpoint before rewrite (safe delete-before-write)"),
+    ("T18", "Sliding-window document chunking (RAG ingest)", ["text_chunk_overlap"],
+     "64-token chunks, stride 48; map-only array slices; order-sensitive chunk hash pins content"),
+    ("T19", "Temperature-scaled mixture weights (n^alpha, alpha=0.5)",
+     ["sample_temperature_mixture"],
+     "per-domain sqrt fixed-pointed to e6 BEFORE summation -> integer normalization "
+     "(no float-sum order dependence); complements T14's mass-based keep filter"),
+    ("IR3", "RAG chunk -> embed -> top-k e2e", ["pipeline_rag_chunk_embed_topk"],
+     "deterministic integer chunk embedding, exact integer dot ranking, "
+     "TakeOrderedAndProject top-k; front half of the ANN serving path (SIM family)"),
+    ("D11", "Fuzzy dedup e2e (minhash -> LSH -> CC -> representatives -> audit)",
+     ["pipeline_fuzzy_dedup_e2e"],
+     "four oracle-checked stages composed under ONE oracle; per-language kept-corpus accounting"),
     ("MM1", "Multimodal binary columns + metadata", ["mm_media_metadata"], ""),
     ("MM2", "Media decode via mapInPandas", ["mm_decode_features"], "operators/multimodal.py (pluggable decoder)"),
     ("MM3", "Frame sampling expansion (UDTF-shaped)", ["mm_frame_sample"], "map-side Generate; bounded row multiplier"),
