@@ -315,6 +315,84 @@ def main() -> None:
                 by = {r["same_rep"]: r["count"] for r in br}
                 soak[f"lsh_pairs_n_{lbl}"] = by.get(0, 0) + by.get(1, 0)
                 soak[f"lsh_pairs_n_{lbl}_cross_rep"] = by.get(0, 0)
+
+            # ---- graph 10x soak: pagerank on 10 disconnected offset
+            # copies of the bipartite graph.  Pass condition:
+            # near-linear in edges — each iteration's frontier join must
+            # stay SHUFFLE_HASH against the edge list's (checkpointed)
+            # src partitioning at any multiple; super-linear growth
+            # would mean the loop re-shuffles or broadcasts the edge
+            # side, exactly the failure a 1000-executor graph hits.
+            from copperhead_spark.plans.graph import (
+                _ITERS,
+                _edges_deg,
+                pagerank_iterations,
+            )
+
+            def _pr_time(e, d) -> float:
+                _gc.collect()
+                spark._jvm.System.gc()
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    pagerank_iterations(e, d, _ITERS).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                return round(best, 4)
+
+            ed, deg = _edges_deg(spark, sf_dir)
+            t1g = _pr_time(ed, deg)
+            ed10 = (
+                ed.select("src", "dst")
+                .selectExpr("explode(sequence(0, 9)) AS rep", "src", "dst")
+                .selectExpr(
+                    "src + rep * 100000000 AS src",
+                    "dst + rep * 100000000 AS dst",
+                )
+                .selectExpr(
+                    "src",
+                    "dst",
+                    "COUNT(*) OVER (PARTITION BY src) AS deg",
+                )
+                .localCheckpoint()
+            )
+            deg10 = ed10.select("src", "deg").distinct().localCheckpoint()
+            t10g = _pr_time(ed10, deg10)
+            soak["graph_pagerank_10x_edges"] = t10g
+            soak["graph_pagerank_scaling_vs_1x"] = round(t10g / (10 * t1g), 3)
+
+            # ---- ANN 10x soak: the full vector-store e2e (kmeans index
+            # build -> IVF+PQ probe -> ADC -> exact rerank -> recall
+            # gate) on 10x the embedding corpus (each replica slightly
+            # perturbed so vectors are distinct).  Build is linear in
+            # corpus; the probe reads only the probed cells' codes —
+            # the ratio pins that the whole chain stays ~linear per
+            # vector instead of degrading toward the n^2 brute-force.
+            emb1 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            (
+                emb1.selectExpr(
+                    "explode(sequence(0, 9)) AS rep",
+                    "vec_id",
+                    "embedding",
+                    "label",
+                )
+                .selectExpr(
+                    "vec_id * 10 + rep AS vec_id",
+                    "transform(embedding,"
+                    " x -> CAST(x + rep * 0.0009765625 AS FLOAT)) AS embedding",
+                    "label",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/ann10x/embeddings.parquet")
+            )
+            qa = queries["pipeline_ann_query_e2e"]
+            t1a = _time_query(spark, qa, sf_dir)
+            t10a = _time_query(spark, qa, f"{tmp}/ann10x")
+            soak["pipeline_ann_query_e2e_10x_vecs"] = t10a
+            soak["pipeline_ann_query_e2e_scaling_vs_1x"] = round(
+                t10a / (10 * t1a), 3
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
