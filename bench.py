@@ -27,6 +27,7 @@ import json
 import os
 import re
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -183,15 +184,31 @@ def main() -> None:
         )
 
         # ---- young-session counterpart pass --------------------------
-        # every headline query re-timed on a freshly restarted
-        # SparkContext so no query inherits the 28-query session history.
+        # every headline query re-timed in a FRESH INTERPRETER PROCESS
+        # (own JVM) so no query inherits the 30-query session history.
         # queries[name] / queries_young[name] >> 1 with an unchanged plan
         # == session aging, not a regression (the r03 bm25 question).
+        # r04 methodology restarted only the SparkContext; py4j keeps the
+        # JVM alive across stop()/getOrCreate(), so those "young" numbers
+        # still carried JIT-code-cache + heap history (measured on
+        # a1_count_per_group: 1.11s true-fresh vs 1.19s context-restart
+        # after 10 heavy queries vs 1.44s after the full aged pass — the
+        # r04 watch item was this artifact, not a plan change).  The
+        # parent context is stopped first so the child JVMs don't compete
+        # with an idle 48g heap.
+        spark.stop()
         for i in range(0, len(names), _YOUNG_BATCH):
-            spark.stop()
-            spark = get_spark(app_name="copperhead-bench-young")
-            for name in names[i : i + _YOUNG_BATCH]:
-                young[name] = _time_query(spark, queries[name], sf_dir)
+            batch = names[i : i + _YOUNG_BATCH]
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--young-batch",
+                 sf_dir, ",".join(batch)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            if proc.returncode != 0:
+                print(proc.stdout + proc.stderr, file=sys.stderr)
+                raise RuntimeError(f"young batch {batch[0]}.. failed")
+            young.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+        spark = get_spark(app_name="copperhead-bench")
 
         # ---- 10x soak ------------------------------------------------
         # jagged pipeline at 10x the headline event count (100M-row scale
@@ -420,9 +437,13 @@ def main() -> None:
         "load_warning": load_start[0] > 2.0,
     }
     line = json.dumps(out)
+    # sf-suffixed filename: a smoke run at sf0.001 must not clobber the
+    # committed sf0.1 round record (that exact clobber happened once);
+    # BENCH_LOCAL.json stays the canonical name for the driver's sf.
+    fname = "BENCH_LOCAL.json" if sf >= 0.1 else f"BENCH_LOCAL_sf{sf}.json"
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
             "w",
         ) as fh:
             fh.write(line + "\n")
@@ -431,5 +452,23 @@ def main() -> None:
     print(line)
 
 
+def _young_batch_main(sf_dir: str, names: list[str]) -> None:
+    """Child-process entry for the young pass: time the given queries in
+    a brand-new JVM and print one JSON line {name: sec}.  The first
+    query runs once untimed so the batch pays JVM + Spark-internal JIT
+    startup before any measurement (mirrors main()'s warmup)."""
+    spark = get_spark(app_name="copperhead-bench-young")
+    queries = all_queries()
+    queries[names[0]].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out = {n: _time_query(spark, queries[n], sf_dir) for n in names}
+    spark.stop()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--young-batch":
+        _young_batch_main(sys.argv[2], sys.argv[3].split(","))
+    else:
+        main()
