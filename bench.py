@@ -78,6 +78,10 @@ HEADLINE = [
     # recall gate), tokenizer lifecycle E2E (train -> kernel encode)
     "pipeline_ann_query_e2e",
     "pipeline_tokenizer_train_encode",
+    # round-5 additions: corpus-scaled keyword extraction (tokenize-once
+    # TF-IDF), frontier-expansion BFS on the shared edge cache
+    "text_tfidf_topterms",
+    "graph_bfs_distances",
 ]
 
 # fresh-context batch width for the young pass: small enough that no

@@ -5,7 +5,7 @@ approximate aggregates used at 100 TB scale."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import register_views, table
@@ -495,4 +495,119 @@ SELECT s.m AS month_start,
        COALESCE(mo.total, CAST(0.0 AS DOUBLE)) AS month_total
 FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
 """.format(exact=exact_sum_sql("o_totalprice"))
+    )
+
+
+@register(
+    "a19_rollup_hierarchy",
+    oracle=f"""
+SELECT COALESCE(r_name, '<all>') AS region,
+       COALESCE(n_name, '<all>') AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {exact_sum_sql("o_totalprice")} AS revenue
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("A6", "rollup"),
+)
+def a19_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along the region > nation hierarchy: grand total, per-region
+    subtotal, per-nation detail from ONE shuffle (Spark expands grouping
+    sets map-side, so the fact table is scanned and partially aggregated
+    once — the reference recomputes each rollup level as a separate
+    groupby pass, plotting.py summation loops).  nation+region are
+    broadcast dims; the only exchange is the customer equi-join and the
+    grouping-set aggregate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "a20_filtered_aggregates",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       {exact_sum_sql("CASE WHEN l_quantity > 25 THEN l_extendedprice END")} AS bulk_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("A6", "filter-agg"),
+)
+def a20_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: several differently-predicated aggregates
+    out of one scan + one exchange (the reference's per-region yield
+    variants each re-filter the full table).  Spark's conditional-agg
+    form (count(when...), sum(when...)) compiles to the same partial
+    aggregate as SQL FILTER — no extra pass per predicate."""
+    li = table(spark, sf_dir, "lineitem")
+    bulk = F.col("l_quantity") > 25
+    disc = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(bulk, 1)).alias("n_bulk"),
+        F.count(F.when(disc, 1)).alias("n_discounted"),
+        exact_sum(F.when(bulk, F.col("l_extendedprice"))).alias("bulk_price"),
+    )
+
+
+@register(
+    "j18_lateral_topk_per_nation",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal, CAST(t.rk AS BIGINT) AS rank
+FROM nation n
+CROSS JOIN LATERAL (
+  SELECT c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 2
+) t
+""",
+    tags=("J18", "lateral"),
+)
+def j18_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k (top-2 customers by balance per nation).
+    The lateral form re-executes the subquery per outer row — fine on a
+    25-row dim, quadratic poison against a big outer.  The Spark plan is
+    the scale-correct de-correlation: ONE window rank over the fact side
+    partitioned by the join key, then a broadcast join back to the dim —
+    identical semantics, one shuffle regardless of outer cardinality."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    top = (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rank")
+    )
+    return top.join(F.broadcast(n), top.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_custkey", "c_acctbal", "rank"
     )

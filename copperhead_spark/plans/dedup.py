@@ -851,3 +851,106 @@ def pipeline_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (MOSS-style selected fingerprints)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # gram-hashes per winnow window
+_WINNOW_CAP = 500  # bound the exploded per-fingerprint output
+_WINNOW_PAIR_CAP = 1000
+_WINNOW_MIN_SHARED = 50
+
+_WINNOW_SEL_DUCK = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len(g) - {_WINNOW_W - 1}, 1) + 1),"
+    f" i -> list_min(g[i:i+{_WINNOW_W - 1}])))"
+)
+_WINNOW_SEL_SPARK = (
+    f"array_distinct(transform("
+    f"sequence(1, greatest(size(g) - {_WINNOW_W - 1}, 1)),"
+    f" i -> array_min(slice(g, i, {_WINNOW_W}))))"
+)
+
+
+def _winnow_grams_spark(docs: DataFrame, cap: int) -> DataFrame:
+    return docs.filter(
+        (F.col("doc_id") < cap) & (F.length("text") >= 5)
+    ).selectExpr("doc_id", f"{shingle_hashes_spark()} AS g")
+
+
+def _winnow_grams_duck(cap: int) -> str:
+    return (
+        f"SELECT doc_id, {shingle_hashes_duck()} AS g FROM documents"
+        f" WHERE doc_id < {cap} AND length(text) >= 5"
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+WITH grams AS ({_winnow_grams_duck(_WINNOW_CAP)})
+SELECT doc_id, unnest({_WINNOW_SEL_DUCK}) AS fingerprint
+FROM grams WHERE len(g) > 0
+""",
+    tags=("dedup", "winnowing"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local-document-fingerprint scheme): hash every 5-char shingle, slide
+    a {_WINNOW_W}-gram window, keep each window's minimum hash
+    (leftmost-min variant — deterministic on both engines).  Guarantees
+    any shared substring of length >= {_WINNOW_W} + 4 yields a shared
+    fingerprint, while storing ~2/(w+1) of the gram stream.  Pure
+    per-row array expressions — zero shuffle, linear in corpus size; the
+    selected-fingerprint stream is what a 100 TB plagiarism/near-dup
+    index actually materializes."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        _winnow_grams_spark(docs, _WINNOW_CAP)
+        .filter(F.size("g") > 0)
+        .selectExpr("doc_id", f"explode({_WINNOW_SEL_SPARK}) AS fingerprint")
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+WITH grams AS ({_winnow_grams_duck(_WINNOW_PAIR_CAP)}),
+fp AS (
+  SELECT doc_id, unnest({_WINNOW_SEL_DUCK}) AS fingerprint
+  FROM grams WHERE len(g) > 0
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+""",
+    tags=("dedup", "winnowing"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= {_WINNOW_MIN_SHARED} winnowed
+    fingerprints — the MOSS match step.  The pair space is the
+    fingerprint-bucket join (only docs sharing a selected fingerprint
+    meet), the same banded-blocking shape as LSH: pair cost tracks true
+    overlap density, never corpus^2.  Fingerprints are already distinct
+    per doc, so the shared count is exact substring-overlap evidence."""
+    docs = table(spark, sf_dir, "documents")
+    fp = (
+        _winnow_grams_spark(docs, _WINNOW_PAIR_CAP)
+        .filter(F.size("g") > 0)
+        .selectExpr("doc_id", f"explode({_WINNOW_SEL_SPARK}) AS fingerprint")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )

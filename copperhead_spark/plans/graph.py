@@ -653,3 +653,70 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS distances (frontier expansion, bounded rounds)
+# ---------------------------------------------------------------------------
+
+_BFS_SEEDS = (1, 2, 3, 4, 5)  # customer node ids (custkeys start at 1)
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    seeds = ", ".join(f"({s}, 0)" for s in _BFS_SEEDS)
+    its = []
+    prev = "d0"
+    for i in range(1, _BFS_ROUNDS + 1):
+        its.append(
+            f"""d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {i} AS dist
+    FROM edges e JOIN {prev} p ON e.src = p.node AND p.dist = {i - 1}
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+d0 AS (SELECT * FROM (VALUES {seeds}) t(node, dist)),
+{",".join(its)}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
+"""
+
+
+@register("graph_bfs_distances", oracle=_bfs_oracle(), tags=("graph", "iterative"))
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from a seed set, {_BFS_ROUNDS}
+    frontier rounds (graph/reachability primitive the pagerank/LPA family
+    lacked).  Per round, ONLY the newly-reached frontier joins the edge
+    list (SHUFFLE_HASH on the frontier side, same discipline as
+    pagerank_iterations: the 100 TB edge list never broadcasts and keeps
+    its cached src partitioning); visited nodes are removed by a
+    broadcast-able anti-join against the (|reached|-sized) distance
+    table.  Frontier-only expansion makes each round's cost proportional
+    to the frontier boundary, not the graph."""
+    ed, _deg = _edges_deg(spark, sf_dir)
+    seeds = [(int(s), 0) for s in _BFS_SEEDS]
+    dist = spark.createDataFrame(seeds, "node BIGINT, dist BIGINT")
+    frontier = dist
+    for r in range(1, _BFS_ROUNDS + 1):
+        reached = (
+            ed.join(frontier.hint("shuffle_hash"), ed.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(r).cast("long").alias("dist")
+        )
+        # checkpoint the (small) per-round frontier: round r+1's plan
+        # would otherwise re-derive every prior round's expansion
+        frontier = new.localCheckpoint()
+        dist = dist.unionByName(frontier)
+    return dist

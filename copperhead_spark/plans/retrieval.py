@@ -453,3 +453,64 @@ def pipeline_rag_chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("dot").desc(), "doc_id", "chunk_idx")
         .limit(_RAG_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (keyword extraction)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPN = 3
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(tf * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)
+              AS BIGINT) / 1e9 AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rn FROM scored
+) WHERE rn <= %(topn)s
+""" % {"topn": _TFIDF_TOPN}
+
+
+@register("text_tfidf_topterms", oracle=_TFIDF_ORACLE, tags=("retrieval", "text"))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-{_TFIDF_TOPN} terms by
+    tf * ln(N/df).  Corpus is tokenized ONCE; (doc, term) counts and the
+    vocab-sized df table are both partial-agg shuffles; the df join is a
+    hash join on term (at 100 TB the vocab side is still ~millions of
+    rows — joinable, never collected); final ranking is a per-doc window.
+    LN wobble is absorbed by 1e-9 fixed-point rounding (same discipline
+    as BM25 above); ties break on term text."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.selectExpr(
+        "doc_id", "explode(filter(split(text, ' '), w -> w != '')) AS term"
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.expr(
+            f"CAST(ROUND(tf * LN(CAST({n_docs} AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)"
+            " AS BIGINT) / 1e9"
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOPN)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rank"))
+    )

@@ -1374,3 +1374,171 @@ def pipeline_ann_query_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation: rank with a prefix of the embedding, measure what
+# the truncation loses against the full-dimension ranking
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16  # ranking prefix (of 64)
+
+
+def _dot_prefix_spark(a: str, b: str, dim: int) -> str:
+    return (
+        f"aggregate(zip_with(slice({a}, 1, {dim}), slice({b}, 1, {dim}),"
+        f" (x, y) -> {_MICRO_S.format(e='x')} * {_MICRO_S.format(e='y')}),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_prefix_duck(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), i -> "
+        f"{_MICRO_S.format(e=a + '[i]')} * {_MICRO_S.format(e=b + '[i]')}), 'sum')"
+    )
+
+
+_MRL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_NQ}
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS ce FROM embeddings WHERE vec_id >= {_NQ}
+),
+scored AS (
+  SELECT query_id, cand_id,
+         CAST({_dot_prefix_duck("qe", "ce", _MRL_DIM)} AS DOUBLE)
+           / (SQRT(CAST({_dot_prefix_duck("qe", "qe", _MRL_DIM)} AS DOUBLE))
+            * SQRT(CAST({_dot_prefix_duck("ce", "ce", _MRL_DIM)} AS DOUBLE))) AS cos16,
+         CAST({_dot_duck("qe", "ce")} AS DOUBLE)
+           / (SQRT(CAST({_dot_duck("qe", "qe")} AS DOUBLE))
+            * SQRT(CAST({_dot_duck("ce", "ce")} AS DOUBLE))) AS cos64
+  FROM q, c
+),
+ranked AS (
+  SELECT query_id, cand_id, cos16,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos16 DESC, cand_id ASC) AS r16,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos64 DESC, cand_id ASC) AS r64
+  FROM scored
+)
+SELECT query_id, CAST(r16 AS BIGINT) AS rank, cand_id, cos16,
+       CAST(CASE WHEN r64 <= {_TOPK} THEN 1 ELSE 0 END AS BIGINT) AS in_full_topk
+FROM ranked WHERE r16 <= {_TOPK}
+"""
+
+
+@register("emb_matryoshka_topk", oracle=_MRL_ORACLE, tags=("similarity",))
+def emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix ranking: score with only the first
+    {_MRL_DIM} of 64 dimensions (4x less compute and memory bandwidth at
+    the coarse stage), and flag which prefix-ranked top-{_TOPK} survive
+    in the full-dimension top-{_TOPK} — the truncation-quality audit a
+    prefix-trained (MRL) embedding deployment runs before cutting index
+    cost.  slice() keeps parquet reads identical; at scale the prefix
+    would be a narrower column.  Both cosines are micro-int exact, so
+    ranks are engine-deterministic."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NQ).selectExpr("vec_id AS query_id", "embedding AS qe")
+    c = emb.filter(F.col("vec_id") >= _NQ).selectExpr("vec_id AS cand_id", "embedding AS ce")
+    scored = c.crossJoin(F.broadcast(q)).selectExpr(
+        "query_id",
+        "cand_id",
+        f"CAST({_dot_prefix_spark('qe', 'ce', _MRL_DIM)} AS DOUBLE)"
+        f" / (SQRT(CAST({_dot_prefix_spark('qe', 'qe', _MRL_DIM)} AS DOUBLE))"
+        f" * SQRT(CAST({_dot_prefix_spark('ce', 'ce', _MRL_DIM)} AS DOUBLE))) AS cos16",
+        f"CAST({_dot_spark('qe', 'ce')} AS DOUBLE)"
+        f" / (SQRT(CAST({_dot_spark('qe', 'qe')} AS DOUBLE))"
+        f" * SQRT(CAST({_dot_spark('ce', 'ce')} AS DOUBLE))) AS cos64",
+    )
+    w16 = Window.partitionBy("query_id").orderBy(F.col("cos16").desc(), F.col("cand_id").asc())
+    w64 = Window.partitionBy("query_id").orderBy(F.col("cos64").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("r16", F.row_number().over(w16))
+        .withColumn("r64", F.row_number().over(w64))
+        .filter(F.col("r16") <= _TOPK)
+        .select(
+            "query_id",
+            F.col("r16").cast("long").alias("rank"),
+            "cand_id",
+            "cos16",
+            F.when(F.col("r64") <= _TOPK, 1).otherwise(0).cast("long").alias("in_full_topk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF ingest: assign a NEW vector batch to the standing
+# centroids without touching (or retraining on) the standing index
+# ---------------------------------------------------------------------------
+
+_INC_OFFSET = 1_000_000
+# exact in binary, so the perturbed doubles (and their micro-int
+# quantization) are bit-identical across engines
+_INC_EPS = "0.0009765625"
+
+
+def _ivf_inc_oracle() -> str:
+    cents = _ivf_centroids()
+    return f"""
+WITH standing AS (
+  SELECT {_ivf_assign_duck(cents)} AS cid
+  FROM embeddings WHERE vec_id >= {_NQ}
+),
+batch AS (
+  SELECT vec_id + {_INC_OFFSET} AS new_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + {_INC_EPS}) AS embedding
+  FROM embeddings WHERE vec_id % 7 = 3
+),
+added AS (SELECT {_ivf_assign_duck(cents)} AS cid, new_id FROM batch),
+s AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_standing FROM standing GROUP BY cid),
+a AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_added, MAX(new_id) AS max_new_id
+      FROM added GROUP BY cid)
+SELECT COALESCE(s.cid, a.cid) AS cid,
+       COALESCE(n_standing, 0) AS n_standing,
+       COALESCE(n_added, 0) AS n_added,
+       COALESCE(n_standing, 0) + COALESCE(n_added, 0) AS n_total,
+       COALESCE(max_new_id, -1) AS max_new_id
+FROM s FULL OUTER JOIN a ON s.cid = a.cid
+"""
+
+
+@register("sim_ivf_incremental_add", oracle=_ivf_inc_oracle(), tags=("similarity",))
+def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-index ingest: a new batch (deterministically
+    perturbed replicas of every 7th vector) is assigned to the STANDING
+    centroids map-only — no retraining, no rescan of indexed vectors
+    beyond the per-cell count rollup the index metadata already holds.
+    This is the streaming-ingest half of a vector store: at 100 TB the
+    standing side is a parquet cell-count table and the batch-side
+    assignment is embarrassingly parallel, so ingest cost is linear in
+    the batch, independent of index size.  Output is per-cell standing /
+    added / total counts (integer-exact centroid argmax, so cell
+    assignment can never drift between engines)."""
+    cents = _ivf_centroids()
+    emb = table(spark, sf_dir, "embeddings")
+    standing = (
+        emb.filter(F.col("vec_id") >= _NQ)
+        .selectExpr(f"{_ivf_assign_spark(cents)} AS cid")
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_standing"))
+    )
+    batch = emb.filter(F.col("vec_id") % 7 == 3).selectExpr(
+        f"vec_id + {_INC_OFFSET} AS new_id",
+        f"transform(embedding, x -> CAST(x AS DOUBLE) + {_INC_EPS}) AS embedding",
+    )
+    added = (
+        batch.selectExpr(f"{_ivf_assign_spark(cents)} AS cid", "new_id")
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_added"), F.max("new_id").alias("max_new_id"))
+    )
+    return (
+        standing.join(added, "cid", "full_outer")
+        .select(
+            "cid",
+            F.coalesce("n_standing", F.lit(0)).alias("n_standing"),
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+            (F.coalesce("n_standing", F.lit(0)) + F.coalesce("n_added", F.lit(0))).alias("n_total"),
+            F.coalesce("max_new_id", F.lit(-1)).alias("max_new_id"),
+        )
+    )

@@ -416,3 +416,74 @@ def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.select(F.lit(1).alias("page"), "o_orderkey", "o_totalprice").unionByName(
         p2.select(F.lit(2).alias("page"), "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "w8_percent_rank_cume_dist",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(ROUND(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+       CAST(ROUND(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_dist_ppm,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+    tags=("W1", "distribution-rank"),
+)
+def w8_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks (percent_rank / cume_dist / dense_rank) within
+    a segment: the normalized-position statistics quality-score
+    percentile filtering needs.  Ranks are emitted in ppm (round to
+    int64) so the cross-engine compare is exact despite the float
+    division both engines perform.  Partition key is low-cardinality but
+    bounded (segments); at 100 TB the same window over a salted
+    composite key keeps partitions executor-sized."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    ppm = lambda col: F.round(col * 1_000_000).cast("long")  # noqa: E731
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        ppm(F.percent_rank().over(w)).alias("pct_rank_ppm"),
+        ppm(F.cume_dist().over(w)).alias("cume_dist_ppm"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+@register(
+    "w9_frame_first_last_nth",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS prev_key,
+       LAST_VALUE(o_orderkey) OVER w AS next_key,
+       NTH_VALUE(o_orderkey, 2) OVER w AS mid_key
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+)
+""",
+    tags=("W2", "frame"),
+)
+def w9_frame_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame navigation (first/last/nth over a sliding
+    3-row frame): the neighbor-context pattern (previous/next order per
+    customer) without self-joins.  The frame is evaluated in one pass
+    over each sorted partition — the reference does this with pandas
+    shift() per group (stage2 fit windows); here it is one hash exchange
+    + per-partition sort, no Python."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-1, 1)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("prev_key"),
+        F.last("o_orderkey").over(w).alias("next_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("mid_key"),
+    )

@@ -28,6 +28,10 @@ BNLJ_BASELINES = {
     # the quantized sweep is deliberately all-pairs: it IS the cheap
     # shortlist generator; cluster pruning comes from sim_ivf_topk
     "sim_quantized_topk": "sim_ivf_topk",
+    # truncation-quality audit: exact prefix-vs-full ranking over the
+    # 5-query probe sample is all-pairs by design; the deployed prefix
+    # ranking runs inside probed IVF cells
+    "emb_matryoshka_topk": "sim_ivf_topk",
 }
 
 
@@ -139,3 +143,28 @@ def test_graph_frontier_joins_never_broadcast_edges(spark, sf_dir):
         assert "BroadcastExchange" not in plan, (
             f"{name}: unexpected broadcast inside the iteration core"
         )
+
+
+def test_bfs_expansion_join_never_broadcasts_edges(spark, sf_dir):
+    """graph_bfs_distances checkpoints each round, so the final plan
+    hides the per-round joins — assert the discipline on ONE round's
+    expansion plan directly: the frontier->edges join must be
+    SHUFFLE_HASH (edge list never broadcast, never sorted); only the
+    anti-join against the small distance table may broadcast."""
+    import pyspark.sql.functions as F
+
+    from copperhead_spark.plans import graph as g
+
+    ed, _deg = g._edges_deg(spark, sf_dir)
+    frontier = spark.createDataFrame(
+        [(s, 0) for s in g._BFS_SEEDS], "node BIGINT, dist BIGINT"
+    )
+    reached = (
+        ed.join(frontier.hint("shuffle_hash"), ed.src == frontier.node)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    reached.collect()
+    plan = reached._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastExchange" not in plan, plan[:2000]

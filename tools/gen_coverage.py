@@ -281,6 +281,17 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("S14", "JSON-lines sink + explicit-schema scan", ["s14_jsonlines_roundtrip"], "no inference pass; from_json props parse; doubles round-trip bit-exactly"),
     ("S15", "ORC interchange roundtrip", ["s15_orc_roundtrip"], "native vectorized ORC reader; same pruning/pushdown treatment as parquet"),
     ("S16", "Malformed-record-tolerant CSV scan (PERMISSIVE)", ["s16_csv_badrecords_scan"], "_corrupt_record capture; poison rows cannot kill a 100 TB ingest stage"),
+    # round-5 extensions
+    ("R10", "ROLLUP hierarchy subtotals", ["a19_rollup_hierarchy"], "grand total + per-region + per-nation from ONE grouping-sets shuffle"),
+    ("R11", "FILTER-clause (predicated) aggregates", ["a20_filtered_aggregates"], "N differently-predicated aggregates out of one scan + one exchange"),
+    ("R12b", "Correlated LATERAL top-k per key", ["j18_lateral_topk_per_nation"], "oracle runs true LATERAL; Spark plan is the de-correlated window rank — one shuffle regardless of outer cardinality"),
+    ("W8", "Distribution ranks (percent_rank / cume_dist)", ["w8_percent_rank_cume_dist"], "ppm-quantized for exact cross-engine compare"),
+    ("W9", "Explicit ROWS-frame navigation (first/last/nth_value)", ["w9_frame_first_last_nth"], "neighbor context without self-joins; one pass per sorted partition"),
+    ("D12", "Winnowing fingerprints (MOSS)", ["text_winnowing_fingerprints", "dedup_winnowing_pairs"], "window-min selected k-gram hashes; pair space = fingerprint-bucket join, pair cost tracks true overlap density"),
+    ("SIM8", "Matryoshka prefix-ranking audit", ["emb_matryoshka_topk"], "prefix-dim top-k vs full-dim top-k survival flags; micro-int exact on both widths"),
+    ("SIM9", "Incremental vector-index ingest", ["sim_ivf_incremental_add"], "new batch assigned map-only to standing centroids; ingest cost linear in batch, independent of index size"),
+    ("GR7", "Multi-source BFS hop distances", ["graph_bfs_distances"], "frontier-only SHUFFLE_HASH expansion + anti-join dedup; per-round cost tracks the frontier boundary, not the graph"),
+    ("RET3", "TF-IDF keyword extraction (top terms per doc)", ["text_tfidf_topterms"], "tokenize once; vocab-sized df hash join; LN through 1e-9 fixed point"),
 ]
 
 
