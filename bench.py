@@ -431,6 +431,13 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "sf": sf,
+        # r05+: young batches run in fresh interpreter processes (own
+        # JVM), so young numbers now include true session-startup costs
+        # (C2 JIT warm-in, Python import of arrow/pandas in UDF queries,
+        # shared-cache builds) that r04's context-restart young pass
+        # inherited for free from the aged JVM.  Compare young-to-young
+        # only within the same isolation mode.
+        "young_isolation": "process",
         "load_avg": {
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
