@@ -177,3 +177,72 @@ def ml_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "epoch int, n_mis long, w0 long, w1 long, w2 long, w3 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# closed-form OLS (normal equations from exact fixed-point sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_ols_fit",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy_c,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy_c
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy_c AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy_c AS DOUBLE))
+       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0) AS slope,
+       (CAST(sy_c AS DOUBLE) / 100.0
+        - ((CAST(n AS DOUBLE) * CAST(sxy_c AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy_c AS DOUBLE))
+           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM s
+""",
+    tags=("ml", "regression"),
+)
+def ml_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least squares (price ~ quantity per return flag) via
+    the normal equations over EXACT integer moment sums: Sx, Sy, Sxx,
+    Sxy accumulate as fixed-point BIGINTs (order-independent, partial-agg
+    friendly — the one shuffle is the tiny per-group moment rollup), and
+    only the final slope/intercept division happens in float, an
+    identical IEEE expression on both engines.  This is the
+    train-on-100TB shape for any GLM solvable by sufficient statistics:
+    moments are a map-side-combinable aggregate, the solve is O(groups)
+    driver math.  DuckDB's BIGINT SUM widens to HUGEINT, so every sum is
+    CAST back before the float stage (the r04 dtype lesson)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y_c).alias("sy_c"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y_c).alias("sxy_c"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy_c").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy_c").cast("double")
+    slope = (nd * sxyd - sxd * syd) / ((nd * sxxd - sxd * sxd) * F.lit(100.0))
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((syd / F.lit(100.0) - slope * sxd) / nd).alias("intercept"),
+    )

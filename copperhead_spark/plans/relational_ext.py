@@ -471,3 +471,98 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w).cast("date").alias("valid_to"),
         F.lead("valid_from").over(w).isNull().cast("long").alias("is_current"),
     )
+
+
+_SCD2_DIM_SQL = """
+WITH changes AS (
+  SELECT o_custkey, o_orderdate AS valid_from, o_orderstatus AS status,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+daily AS (SELECT o_custkey, valid_from, status FROM changes WHERE rn = 1),
+dedup AS (
+  SELECT * FROM (
+    SELECT o_custkey, valid_from, status,
+           LAG(status) OVER w AS prev_status
+    FROM daily
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+  ) WHERE prev_status IS NULL OR status <> prev_status
+),
+dim AS (
+  SELECT o_custkey AS d_custkey, status, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
+           AS valid_to
+  FROM dedup
+)
+"""
+
+
+@register(
+    "j19_scd2_temporal_join",
+    oracle=f"""
+{_SCD2_DIM_SQL}
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       d.status AS status_at_order,
+       CAST((d.valid_to IS NULL) AS BIGINT) AS from_current_version
+FROM orders o
+JOIN dim d
+  ON d.d_custkey = o.o_custkey
+ AND d.valid_from <= o.o_orderdate
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+""",
+    tags=("J19", "SCD2", "temporal"),
+)
+def j19_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of validity) enrichment against the SCD2
+    dimension scd2_dimension_build produces: each fact row picks the
+    dimension version whose [valid_from, valid_to) interval covers its
+    date.  Because the versions share a HIGH-CARDINALITY equi key
+    (custkey) and each key holds a handful of versions, the scale-correct
+    plan is a plain hash equi-join on the key with the validity range as
+    a post-join filter — no interval-bucket expansion needed (that
+    machinery, j17, is for range joins WITHOUT an equi key).  Intervals
+    are non-overlapping by construction, so the join is 1:1 and the
+    output has exactly one row per fact."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("valid_from")
+    dim = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").alias("valid_from"),
+            F.col("o_orderstatus").alias("status"),
+            F.row_number().over(wd).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("prev_status", F.lag("status").over(w))
+        .filter(F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status")))
+        .select(
+            F.col("o_custkey").alias("d_custkey"),
+            "status",
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+        )
+    )
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        o.join(
+            dim,
+            (dim.d_custkey == o.o_custkey)
+            & (dim.valid_from <= o.o_orderdate)
+            & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to)),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("status").alias("status_at_order"),
+            F.col("valid_to").isNull().cast("long").alias("from_current_version"),
+        )
+    )

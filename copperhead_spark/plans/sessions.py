@@ -276,3 +276,82 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_wk", "week_offset").agg(
         F.count("*").cast("long").alias("n_active_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) anomaly profile per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (SELECT event_type, value AS med, n FROM r WHERE rn = (n + 1) // 2),
+r2 AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med, m.n,
+         ROW_NUMBER() OVER (PARTITION BY e.event_type
+                            ORDER BY ABS(e.value - m.med)) AS rn
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, med, n, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT m.event_type, m.med, m.mad,
+       CAST(m.n AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad m USING (event_type)
+GROUP BY m.event_type, m.med, m.mad, m.n
+""",
+    tags=("monitoring", "robust-stats"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly profile per event type: median and MAD (median
+    absolute deviation) as EXACT lower-median order statistics (rank
+    (n+1)/2 after one per-type sort — the udaf_grouped_median convention,
+    engine-deterministic where interpolating medians are not), then the
+    |v - med| > 3*MAD outlier census.  Three passes over events, each a
+    per-type window or partial-agg join — the robust twin of
+    events_spike_detection's mean/stddev z-score.  Group count is bounded
+    (event types); a giant-group deployment swaps the exact median for
+    a8_quantiles' approx path, same plan shape."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    wt = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wt.orderBy("value")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("value").alias("med"), "n"
+    )
+    d = ev.join(med, "event_type").withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    r2 = d.select(
+        "event_type",
+        "med",
+        "n",
+        "dev",
+        F.row_number().over(wt.orderBy("dev")).alias("rn"),
+    )
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", "med", "n", F.col("dev").alias("mad")
+    )
+    return (
+        ev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad", "n")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select("event_type", "med", "mad", F.col("n").cast("long").alias("n"), "n_outliers")
+    )

@@ -292,6 +292,9 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("SIM9", "Incremental vector-index ingest", ["sim_ivf_incremental_add"], "new batch assigned map-only to standing centroids; ingest cost linear in batch, independent of index size"),
     ("GR7", "Multi-source BFS hop distances", ["graph_bfs_distances"], "frontier-only SHUFFLE_HASH expansion + anti-join dedup; per-round cost tracks the frontier boundary, not the graph"),
     ("RET3", "TF-IDF keyword extraction (top terms per doc)", ["text_tfidf_topterms"], "tokenize once; vocab-sized df hash join; LN through 1e-9 fixed point"),
+    ("J19", "SCD2 point-in-time (as-of validity) join", ["j19_scd2_temporal_join"], "hash equi-join on the high-cardinality key + validity post-filter; interval machinery (j17) reserved for no-equi-key ranges"),
+    ("ML3", "Closed-form OLS via sufficient statistics", ["ml_ols_fit"], "exact BIGINT moment sums (map-side combinable), float only at the final solve; HUGEINT sums cast back"),
+    ("TS5", "Median/MAD robust anomaly profile", ["events_anomaly_mad"], "exact lower-median order statistics; robust twin of the z-score spike detector"),
 ]
 
 
