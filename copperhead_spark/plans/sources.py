@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import scratch_dir, table
@@ -620,4 +620,139 @@ def s17_evolving_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias("n_evolved"),
         exact_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "s18_delete_propagation",
+    oracle=f"""
+WITH del_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+del_ord AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+),
+c AS (
+  SELECT 'customer' AS tbl,
+         CAST(COUNT(CASE WHEN c_custkey % 97 = 0 THEN 1 END) AS BIGINT) AS n_deleted,
+         CAST(COUNT(CASE WHEN c_custkey % 97 <> 0 THEN 1 END) AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN c_custkey % 97 <> 0 THEN c_custkey ELSE 0 END) AS BIGINT)
+           AS retained_key_sum
+  FROM customer
+),
+o AS (
+  SELECT 'orders' AS tbl,
+         CAST(COUNT(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 END) AS BIGINT),
+         CAST(COUNT(CASE WHEN d.o_orderkey IS NULL THEN 1 END) AS BIGINT),
+         CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN x.o_orderkey ELSE 0 END) AS BIGINT)
+  FROM orders x LEFT JOIN del_ord d ON x.o_orderkey = d.o_orderkey
+),
+l AS (
+  SELECT 'lineitem' AS tbl,
+         CAST(COUNT(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 END) AS BIGINT),
+         CAST(COUNT(CASE WHEN d.o_orderkey IS NULL THEN 1 END) AS BIGINT),
+         CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN x.l_orderkey ELSE 0 END) AS BIGINT)
+  FROM lineitem x LEFT JOIN del_ord d ON x.l_orderkey = d.o_orderkey
+)
+SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+""",
+    tags=("sources", "S9", "gdpr"),
+)
+def s18_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: a (small) subject deletion list
+    erases the customer rows, their orders, and those orders' lineitems,
+    emitting the per-table audit (deleted / retained counts + a retained
+    key checksum) a compliance pipeline files.  The deletion list and the
+    derived order-key list BROADCAST into anti/left joins, so neither
+    100 TB fact table is ever shuffled — at petabyte scale the order-key
+    list graduates to a bloom prefilter (bloom_semijoin_reduction) in
+    front of the same join, and the rewrite pairs with S9 dynamic
+    partition overwrite to touch only partitions holding deleted rows."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    is_del_c = F.col("c_custkey") % 97 == 0
+    del_ord = orders.join(
+        F.broadcast(cust.filter(is_del_c)),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey")
+
+    def audit(df, name: str, del_flag, key):
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.when(del_flag, 1)).alias("n_deleted"),
+            F.count(F.when(~del_flag, 1)).alias("n_retained"),
+            F.sum(F.when(~del_flag, key).otherwise(0)).cast("long").alias("retained_key_sum"),
+        )
+
+    c_audit = audit(cust, "customer", is_del_c, F.col("c_custkey"))
+    o_flag = orders.join(
+        F.broadcast(del_ord.withColumnRenamed("o_orderkey", "d_key")),
+        orders.o_orderkey == F.col("d_key"),
+        "left",
+    )
+    o_audit = audit(o_flag, "orders", F.col("d_key").isNotNull(), F.col("o_orderkey"))
+    l_flag = li.join(
+        F.broadcast(del_ord.withColumnRenamed("o_orderkey", "d_key")),
+        li.l_orderkey == F.col("d_key"),
+        "left",
+    )
+    l_audit = audit(l_flag, "lineitem", F.col("d_key").isNotNull(), F.col("l_orderkey"))
+    return c_audit.unionByName(o_audit).unionByName(l_audit)
+
+
+@register(
+    "dq_skew_profile",
+    oracle="""
+WITH k AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM k
+)
+SELECT CAST(rn AS BIGINT) AS rank, key, cnt,
+       (cnt * n_keys * 1000000) // n_rows AS ratio_to_mean_ppm,
+       n_keys, n_rows
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rn
+  FROM k CROSS JOIN tot
+) WHERE rn <= 5
+""",
+    tags=("dq", "skew"),
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic: per-key frequency of a join key, its
+    heavy hitters and their ratio-to-mean (ppm, integer arithmetic) —
+    the profile that decides between a plain hash join, AQE skew split,
+    and explicit salting (sk1/sk2) BEFORE a 100 TB shuffle is attempted.
+    One partial-agg groupBy; the top-5 ranking runs on the (key-count-
+    sized) aggregate via TakeOrderedAndProject, never a global sort of
+    raw rows."""
+    li = table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("cnt"))
+    # the two corpus scalars come to the driver (one tiny aggregate job,
+    # O(1) rows — the bm25/tfidf stats-pass pattern) and re-enter the
+    # plan as literals, so no 1-row nested-loop join appears
+    n_keys, n_rows = k.agg(
+        F.count("*").alias("n_keys"), F.sum("cnt").cast("long").alias("n_rows")
+    ).first()
+    # orderBy+limit on the aggregate -> TakeOrderedAndProject (per-
+    # partition top-5, merged on the driver); the rank window then runs
+    # on 5 rows, so no full sort of the key-count table ever happens
+    top5 = (
+        k.withColumn("n_keys", F.lit(int(n_keys)).cast("long"))
+        .withColumn("n_rows", F.lit(int(n_rows)).cast("long"))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(5)
+    )
+    return top5.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("key").asc()))
+    ).select(
+        F.col("rn").cast("long").alias("rank"),
+        "key",
+        "cnt",
+        F.expr("(cnt * n_keys * 1000000) DIV n_rows").alias("ratio_to_mean_ppm"),
+        "n_keys",
+        "n_rows",
     )

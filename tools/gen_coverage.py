@@ -295,6 +295,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("J19", "SCD2 point-in-time (as-of validity) join", ["j19_scd2_temporal_join"], "hash equi-join on the high-cardinality key + validity post-filter; interval machinery (j17) reserved for no-equi-key ranges"),
     ("ML3", "Closed-form OLS via sufficient statistics", ["ml_ols_fit"], "exact BIGINT moment sums (map-side combinable), float only at the final solve; HUGEINT sums cast back"),
     ("TS5", "Median/MAD robust anomaly profile", ["events_anomaly_mad"], "exact lower-median order statistics; robust twin of the z-score spike detector"),
+    ("S19", "Right-to-be-forgotten cascade delete + audit", ["s18_delete_propagation"], "deletion list broadcasts into anti/left joins — fact tables never shuffle; bloom prefilter + S9 partition overwrite at petabyte scale"),
+    ("DQ2", "Join-key skew profile (heavy hitters, ratio-to-mean)", ["dq_skew_profile"], "partial-agg key counts + TakeOrderedAndProject top-k; the decision input for AQE-skew vs salting (sk1/sk2)"),
 ]
 
 
