@@ -720,3 +720,77 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = new.localCheckpoint()
         dist = dist.unionByName(frontier)
     return dist
+
+
+# ---------------------------------------------------------------------------
+# weakly-connected components on a sparse transaction subgraph
+# ---------------------------------------------------------------------------
+
+# every-997th-order subgraph: hub suppliers glue denser samples into
+# one giant component (mod 37 still collapsed at sf0.01), so the sample
+# is thinned until mean supplier degree < 1 and the subgraph genuinely
+# fragments; deterministic at every SF
+_WCC_MOD = 997
+
+_WCC_EDGE_SQL = f"""
+SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % {_WCC_MOD} = 0
+"""
+
+_WCC_ORACLE = f"""
+WITH RECURSIVE e0 AS ({_WCC_EDGE_SQL}),
+edges AS (SELECT src AS a, dst AS b FROM e0
+          UNION ALL SELECT dst AS a, src AS b FROM e0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+labeled AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(CASE WHEN node < {_SUPP_BASE} THEN 1 END) AS BIGINT)
+         AS n_customers,
+       CAST(COUNT(CASE WHEN node >= {_SUPP_BASE} THEN 1 END) AS BIGINT)
+         AS n_suppliers
+FROM labeled GROUP BY component
+"""
+
+
+@register("graph_wcc_components", oracle=_WCC_ORACLE, tags=("graph", "iterative"))
+def graph_wcc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the sparse (every-{_WCC_MOD}th
+    order) customer-supplier subgraph, summarized per component (size +
+    per-side counts).  Reuses the hash-min propagation operator the
+    dedup path uses (operators/graph.py connected_components: O(diameter)
+    checkpointed rounds, each one frontier join — the same CC that turns
+    near-dup pairs into clusters labels any graph).  The oracle is exact
+    reachability (recursive CTE), so the propagation's fixpoint itself
+    is value-checked."""
+    from copperhead_spark.operators.graph import connected_components
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.filter(F.col("o_orderkey") % _WCC_MOD == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(_SUPP_BASE)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cc = connected_components(nodes, e0, node_col="node", src_col="src", dst_col="dst")
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_nodes"),
+        F.count(F.when(F.col("node") < _SUPP_BASE, 1)).alias("n_customers"),
+        F.count(F.when(F.col("node") >= _SUPP_BASE, 1)).alias("n_suppliers"),
+    )

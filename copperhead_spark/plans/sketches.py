@@ -554,3 +554,89 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN ABS(ea + eb - eu - {n_inter})"
         f" <= {_HLL_IX_RTOL} * ({n_a} + {n_b}) THEN 1 ELSE 0 END AS BIGINT) AS est_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS error gate: estimate vs exact, the sketch-quality audit
+# ---------------------------------------------------------------------------
+
+
+def _cms_gate_oracle() -> str:
+    from copperhead_spark.functions.text import token_hashes_duck
+
+    cand_rows = ", ".join(
+        f"('{t}', {s}, {b})" for t, s, b in _cms_candidates()
+    )
+    hash_rows = ", ".join(f"('{t}', {_token_hash_py(t)})" for t in _CMS_TERMS)
+    arms = " UNION ALL ".join(
+        f"SELECT {salt} AS salt, ({_mix_sql_text('th', salt)} % {_CMS_W}) AS bucket"
+        " FROM toks"
+        for salt in _CMS_SALTS
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({token_hashes_duck("text")}) AS th FROM documents
+),
+cells AS (
+  SELECT salt, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({arms})
+  GROUP BY salt, bucket
+),
+cand(term, salt, bucket) AS (VALUES {cand_rows}),
+est AS (
+  SELECT term, MIN(COALESCE(c, 0)) AS est_count
+  FROM cand LEFT JOIN cells USING (salt, bucket)
+  GROUP BY term
+),
+th_map(term, th) AS (VALUES {hash_rows}),
+exact AS (
+  SELECT m.term, CAST(COUNT(t.th) AS BIGINT) AS exact_count
+  FROM th_map m LEFT JOIN toks t ON t.th = m.th
+  GROUP BY m.term
+)
+SELECT e.term, x.exact_count, e.est_count,
+       e.est_count - x.exact_count AS overcount,
+       CAST(CASE WHEN e.est_count >= x.exact_count THEN 1 ELSE 0 END AS BIGINT)
+         AS never_undercounts
+FROM est e JOIN exact x ON e.term = x.term
+"""
+
+
+@register("sketch_cms_error_gate", oracle=_cms_gate_oracle(), tags=("sketch", "quality-gate"))
+def sketch_cms_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for count-min: per probe term, the EXACT
+    stream count next to the CMS estimate, the realized overcount, and
+    the never-undercounts invariant as a pinned integer flag — the
+    sketch twin of the ANN recall gates (SIM5): the approximation's
+    error is itself an oracle-checked value, not a trust-me claim.
+    Exact side is one partial-agg count over the token-hash stream
+    filtered to the probe hashes (broadcast); at 100 TB both passes scan
+    the corpus once and exchange only O(terms) / O(cells) rows."""
+    from copperhead_spark.functions.text import token_hashes_spark
+
+    est = sketch_cms_counts(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    th_map = spark.createDataFrame(
+        [(t, _token_hash_py(t)) for t in _CMS_TERMS], "term string, th long"
+    )
+    toks = docs.selectExpr(f"explode({token_hashes_spark('text')}) AS th")
+    # broadcast the 4-row probe map INTO the stream (map-side filter +
+    # partial-agg count); terms absent from the stream are reinstated as
+    # zero by the left join below, mirroring the oracle's LEFT JOIN
+    exact = (
+        toks.join(F.broadcast(th_map), "th")
+        .groupBy("term")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+            "est_count",
+            (F.col("est_count") - F.coalesce("exact_count", F.lit(0))).alias("overcount"),
+            (F.col("est_count") >= F.coalesce("exact_count", F.lit(0)))
+            .cast("long")
+            .alias("never_undercounts"),
+        )
+    )

@@ -297,6 +297,8 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("TS5", "Median/MAD robust anomaly profile", ["events_anomaly_mad"], "exact lower-median order statistics; robust twin of the z-score spike detector"),
     ("S19", "Right-to-be-forgotten cascade delete + audit", ["s18_delete_propagation"], "deletion list broadcasts into anti/left joins — fact tables never shuffle; bloom prefilter + S9 partition overwrite at petabyte scale"),
     ("DQ2", "Join-key skew profile (heavy hitters, ratio-to-mean)", ["dq_skew_profile"], "partial-agg key counts + TakeOrderedAndProject top-k; the decision input for AQE-skew vs salting (sk1/sk2)"),
+    ("GR8", "Weakly-connected components (general graph)", ["graph_wcc_components"], "reuses the dedup hash-min CC operator on a sparse transaction subgraph; exact-reachability recursive-CTE oracle checks the fixpoint itself"),
+    ("SK5", "CMS error gate (estimate vs exact, invariant pinned)", ["sketch_cms_error_gate"], "sketch twin of the ANN recall gates: realized overcount and the never-undercounts flag are oracle-checked values"),
 ]
 
 
