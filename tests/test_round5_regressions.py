@@ -199,3 +199,105 @@ def test_chunk_count_formula_agrees():
 
     for n in range(1, 500):
         assert math.ceil(n / _CH_S) == (n + _CH_S - 1) // _CH_S
+
+
+# --- round-5 operator mirrors: guard against identical-formula errors ---
+# the DuckDB oracles prove engine parity; these pin the MATH itself to an
+# independent numpy/pure-Python implementation, so a wrong formula shared
+# by both SQL dialects cannot pass silently.
+
+
+def test_ols_fit_matches_numpy_lstsq(spark):
+    from copperhead_spark.plans.registry import all_queries
+
+    out = (
+        all_queries()["ml_ols_fit"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    import duckdb
+
+    li = duckdb.connect().execute(
+        f"SELECT l_returnflag, ROUND(l_quantity) AS x,"
+        f" ROUND(l_extendedprice * 100) / 100 AS y"
+        f" FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).df()
+    for flag, grp in li.groupby("l_returnflag"):
+        a = np.vstack([grp.x.to_numpy(), np.ones(len(grp))]).T
+        slope, intercept = np.linalg.lstsq(a, grp.y.to_numpy(), rcond=None)[0]
+        assert out.loc[flag, "slope"] == pytest.approx(slope, rel=1e-9)
+        assert out.loc[flag, "intercept"] == pytest.approx(intercept, rel=1e-9)
+
+
+def test_mad_profile_matches_numpy(spark):
+    from copperhead_spark.plans.registry import all_queries
+
+    out = (
+        all_queries()["events_anomaly_mad"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    import duckdb
+
+    ev = duckdb.connect().execute(
+        f"SELECT event_type, value FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).df()
+    for etype, grp in ev.groupby("event_type"):
+        v = np.sort(grp.value.to_numpy())
+        med = v[(len(v) + 1) // 2 - 1]  # lower median, 1-based rank (n+1)//2
+        dev = np.sort(np.abs(grp.value.to_numpy() - med))
+        mad = dev[(len(dev) + 1) // 2 - 1]
+        n_out = int((np.abs(grp.value.to_numpy() - med) > 3 * mad).sum())
+        assert out.loc[etype, "med"] == med
+        assert out.loc[etype, "mad"] == mad
+        assert out.loc[etype, "n_outliers"] == n_out
+        assert out.loc[etype, "n"] == len(grp)
+
+
+def _winnow_py(text: str, w: int = 4, k: int = 5) -> set[int]:
+    """Pure-Python mirror of the winnowing selection (leftmost-min)."""
+    grams = [
+        sum(31**j * ord(text[i + j]) for j in range(k))
+        for i in range(len(text) - k + 1)
+    ]
+    if not grams:
+        return set()
+    n_win = max(len(grams) - w + 1, 1)
+    return {min(grams[i : i + w]) for i in range(n_win)}
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al.): two documents sharing
+    a substring of length >= w + k - 1 (= 8 chars here) must share at
+    least one selected fingerprint.  Checked through the REGISTERED
+    Spark expression against adversarial doc pairs, with the pure-Python
+    mirror agreeing on every selected set."""
+    import pandas as pd
+
+    from copperhead_spark.plans.dedup import _WINNOW_SEL_SPARK
+    from copperhead_spark.functions.text import shingle_hashes_spark
+
+    shared = "zqxjkvwpbt"  # 10 chars >= w + k - 1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "aaaa" + shared + "bbbbcccc",
+                "dddddddd" + shared,
+                shared + "eeee",
+                "no overlap here at all",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs).selectExpr(
+        "doc_id", f"{shingle_hashes_spark()} AS g"
+    ).selectExpr("doc_id", f"{_WINNOW_SEL_SPARK} AS fps")
+    got = {r.doc_id: set(r.fps) for r in sdf.collect()}
+    for did in range(4):
+        assert got[did] == _winnow_py(docs.text[did]), did
+    for a in (0, 1, 2):
+        for b in range(a + 1, 3):
+            assert got[a] & got[b], (a, b)
+    assert not (got[3] & (got[0] | got[1] | got[2]))
