@@ -203,15 +203,22 @@ def main() -> None:
         spark.stop()
         for i in range(0, len(names), _YOUNG_BATCH):
             batch = names[i : i + _YOUNG_BATCH]
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--young-batch",
-                 sf_dir, ",".join(batch)],
-                capture_output=True, text=True, timeout=1800,
-            )
-            if proc.returncode != 0:
-                print(proc.stdout + proc.stderr, file=sys.stderr)
-                raise RuntimeError(f"young batch {batch[0]}.. failed")
-            young.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+            # a failed child loses ITS batch's young entries, never the
+            # whole record: the aged pass and soaks must still reach the
+            # driver's capture even if one fresh JVM dies (OOM killer,
+            # port clash) mid-young-pass
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--young-batch",
+                     sf_dir, ",".join(batch)],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(proc.stdout[-500:] + proc.stderr[-500:])
+                young.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+            except Exception as exc:  # noqa: BLE001
+                print(f"young batch {batch[0]}..{batch[-1]} failed: {exc}",
+                      file=sys.stderr)
         spark = get_spark(app_name="copperhead-bench")
 
         # ---- 10x soak ------------------------------------------------
