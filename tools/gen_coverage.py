@@ -299,6 +299,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("DQ2", "Join-key skew profile (heavy hitters, ratio-to-mean)", ["dq_skew_profile"], "partial-agg key counts + TakeOrderedAndProject top-k; the decision input for AQE-skew vs salting (sk1/sk2)"),
     ("GR8", "Weakly-connected components (general graph)", ["graph_wcc_components"], "reuses the dedup hash-min CC operator on a sparse transaction subgraph; exact-reachability recursive-CTE oracle checks the fixpoint itself"),
     ("SK5", "CMS error gate (estimate vs exact, invariant pinned)", ["sketch_cms_error_gate"], "sketch twin of the ANN recall gates: realized overcount and the never-undercounts flag are oracle-checked values"),
+    ("ST9", "Streaming CDC -> SCD2 incremental dimension maintenance", ["stream_cdc_scd2_apply"], "two availableNow ingests; per batch only touched keys re-derive; value oracle = the BATCH SCD2 build (incremental == rebuild proven)"),
 ]
 
 
