@@ -794,3 +794,226 @@ def graph_wcc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("node") < _SUPP_BASE, 1)).alias("n_customers"),
         F.count(F.when(F.col("node") >= _SUPP_BASE, 1)).alias("n_suppliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the directed customer->supplier graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_SCALE = 1_000_000
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(
+            f"""a{i}r AS (
+  SELECT e.dst AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+  FROM e0 e JOIN {prev_h} h ON e.src = h.node GROUP BY 1
+),
+a{i} AS (
+  SELECT node, CAST((raw * {_HITS_SCALE})
+                    // CAST(SUM(raw) OVER () AS BIGINT) AS BIGINT) AS score
+  FROM a{i}r
+),
+h{i}r AS (
+  SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+  FROM e0 e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+),
+h{i} AS (
+  SELECT node, CAST((raw * {_HITS_SCALE})
+                    // CAST(SUM(raw) OVER () AS BIGINT) AS BIGINT) AS score
+  FROM h{i}r
+)"""
+        )
+        prev_h = f"h{i}"
+    last = _HITS_ITERS
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT src AS node, CAST({_HITS_SCALE} AS BIGINT) AS score FROM e0),
+{",".join(steps)}
+SELECT 'hub' AS side, node, score AS score_e6 FROM h{last}
+UNION ALL
+SELECT 'auth' AS side, node, score AS score_e6 FROM a{last}
+"""
+
+
+@register("graph_hits", oracle=_hits_oracle(), tags=("graph", "iterative"))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities ({_HITS_ITERS} iterations) on the DIRECTED
+    customer->supplier purchase graph: authority(s) = sum of hub scores
+    of buyers, hub(c) = sum of authority scores of suppliers bought
+    from, each half-step renormalized to {_HITS_SCALE} total via exact
+    integer division, so both engines replay the arithmetic bit-for-bit
+    (the oracle unrolls the same half-steps as CTEs with the identical
+    `// CAST(SUM(raw) OVER () AS BIGINT)` normalizer).
+
+    Scale design: BOTH half-steps join on the cached symmetrized edge
+    relation's src key (the forward rows src<{_SUPP_BASE} are cust->supp
+    for the authority update; the reversed rows are the hub update's
+    dst-join re-expressed as a src-join), so every iteration reuses the
+    shared edge cache's src hash partitioning — no per-iteration edge
+    Exchange, only the node-sized frontier moves (SHUFFLE_HASH hint, as
+    graph_pagerank).  The normalizer is the GraphX pattern: a full
+    partial-aggregate reduction whose single scalar crosses the driver
+    per half-step (same O(k)-rows-per-iteration discipline as
+    kmeans_update_step); each raw-score relation is localCheckpoint-ed
+    first so the normalize pass re-reads node-sized blocks, not the
+    join lineage.  Headroom: raw <= n_customers * {_HITS_SCALE}, so the
+    *{_HITS_SCALE} fixed-point multiply stays inside BIGINT up to ~9e6
+    hub nodes per authority; beyond that drop the scale to 1e3.
+
+    Reference analogue: none (graph analytics are beyond-reference
+    surface, like graph_pagerank)."""
+    ed, _deg = _edges_deg(spark, sf_dir)
+    fwd = ed.filter(F.col("src") < _SUPP_BASE).select("src", "dst")
+    rev = ed.filter(F.col("src") >= _SUPP_BASE).select("src", "dst")
+    hubs = (
+        fwd.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(_HITS_SCALE).cast("long").alias("score"))
+    )
+
+    def _half(edges: DataFrame, frontier: DataFrame) -> DataFrame:
+        raw = (
+            edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.node)
+            .groupBy(F.col("dst").alias("out_node"))
+            .agg(F.sum("score").cast("long").alias("raw"))
+            .localCheckpoint()
+        )
+        total = raw.agg(F.sum("raw")).collect()[0][0]
+        return raw.select(
+            F.col("out_node").alias("node"),
+            F.expr(f"(raw * {_HITS_SCALE}) DIV {total}").cast("long").alias("score"),
+        )
+
+    auth = None
+    for _ in range(_HITS_ITERS):
+        auth = _half(fwd, hubs)
+        hubs = _half(rev, auth)
+    return hubs.select(
+        F.lit("hub").alias("side"), "node", F.col("score").alias("score_e6")
+    ).unionByName(
+        auth.select(
+            F.lit("auth").alias("side"), "node", F.col("score").alias("score_e6")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# item-item co-purchase recommender: top-k similar parts
+# ---------------------------------------------------------------------------
+
+_REC_TOPK = 3
+
+
+_REC_ORACLE = f"""
+WITH pe AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM pe GROUP BY 1),
+co AS (
+  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cooc
+  FROM pe a JOIN pe b ON a.okey = b.okey AND a.p < b.p
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT u AS item, v AS neighbor, cooc FROM co
+  UNION ALL
+  SELECT v AS item, u AS neighbor, cooc FROM co
+),
+scored AS (
+  SELECT s.item, s.neighbor, s.cooc,
+         CAST((s.cooc * s.cooc * 1000000) // (ci.c * cn.c) AS BIGINT) AS score_e6
+  FROM sym s
+  JOIN cnt ci ON s.item = ci.p
+  JOIN cnt cn ON s.neighbor = cn.p
+)
+SELECT item, neighbor, cooc, score_e6, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY item ORDER BY score_e6 DESC, cooc DESC, neighbor ASC
+  ) AS rn FROM scored
+) WHERE rn <= {_REC_TOPK}
+"""
+
+
+@register("rec_copurchase_topk", oracle=_REC_ORACLE, tags=("graph", "recommender"))
+def rec_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, the top-{_REC_TOPK}
+    most-similar parts by squared-cosine over order co-occurrence,
+    score_e6 = cooc^2 * 1e6 DIV (n_orders(item) * n_orders(neighbor)) —
+    exact integer fixed point, so rankings are bit-reproducible.
+
+    Scale design: the pair space is expanded per-order from the SAME
+    sorted part-set relation the triangle/copurchase family shares
+    (one groupBy(okey) shuffle, then a map-side array transform —
+    sum-of-squared-basket-sizes pairs, never |items|^2), and the
+    weighted pair counts + per-part order frequencies are cached
+    per-session like every other edge relation (shared_edges).  The
+    frequency table (one row per part) is broadcast to the pair
+    relation — two broadcast hash joins, zero extra shuffles of the
+    pair list; at vocabularies beyond broadcast range the same plan
+    falls back to shuffle joins on item/neighbor.  Top-k per item is a
+    window over the item's neighbor list (bounded by basket expansion).
+
+    Reference analogue: none (recommender co-occurrence is
+    beyond-reference, LLM-pipeline-adjacent surface: the same shape
+    scores document-domain affinity from co-citation)."""
+    pairs_w = shared_edges(
+        spark,
+        sf_dir,
+        "copurchase_w",
+        lambda: (
+            _order_part_sets(spark, sf_dir)
+            .selectExpr(_PAIRS_UV_SQL)
+            .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+            .agg(F.count("*").cast("long").alias("cooc"))
+        ),
+    )
+    cnt = shared_edges(
+        spark,
+        sf_dir,
+        "copurchase_cnt",
+        lambda: (
+            _order_part_sets(spark, sf_dir)
+            .selectExpr("explode(ps) AS p")
+            .groupBy("p")
+            .agg(F.count("*").cast("long").alias("c"))
+        ),
+    )
+    sym = pairs_w.select(
+        F.col("u").alias("item"), F.col("v").alias("neighbor"), "cooc"
+    ).unionByName(
+        pairs_w.select(F.col("v").alias("item"), F.col("u").alias("neighbor"), "cooc")
+    )
+    scored = (
+        sym.join(
+            F.broadcast(cnt.select(F.col("p"), F.col("c").alias("ci"))),
+            F.col("item") == F.col("p"),
+        )
+        .drop("p")
+        .join(
+            F.broadcast(cnt.select(F.col("p"), F.col("c").alias("cn"))),
+            F.col("neighbor") == F.col("p"),
+        )
+        .select(
+            "item",
+            "neighbor",
+            "cooc",
+            F.expr("(cooc * cooc * 1000000) DIV (ci * cn)")
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("score_e6").desc(), F.col("cooc").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _REC_TOPK)
+        .select("item", "neighbor", "cooc", "score_e6", F.col("rn").cast("long").alias("rank"))
+    )

@@ -378,3 +378,73 @@ def t7_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(key)["v"].alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: per-user consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+_STREAK_EPOCH = "1992-01-01"
+
+_STREAK_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '{_STREAK_EPOCH}', CAST(ts AS DATE)) AS dayn
+  FROM events
+),
+isl AS (
+  SELECT user_id, dayn,
+         dayn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayn) AS island
+  FROM d
+),
+runs AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
+@register("t8_streaks_islands", oracle=_STREAK_ORACLE, tags=("timeseries", "window"))
+def t8_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE active
+    days plus island count and total active days.  The classic
+    row_number trick — day_number minus the per-user rank of that day is
+    constant within a consecutive run — turns streak detection into two
+    grouped aggregations, no self-join, no iteration.
+
+    Scale design: one shuffle partitions (user, day) rows by user for
+    the rank window; the island aggregation reuses that partitioning
+    (user is a prefix of the groupBy key) and the final per-user rollup
+    likewise — Catalyst collapses all three into a single Exchange on
+    user_id.  Day numbers are exact integers (datediff from a fixed
+    epoch), so island keys are engine-portable.
+
+    Reference analogue: none (sessionization-family extension; the
+    reference's nearest shape is the run/lumi interval mask,
+    /root/reference/python/corrections.py lumi filtering)."""
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            f"datediff(CAST(ts AS DATE), DATE '{_STREAK_EPOCH}') AS dayn",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    runs = (
+        d.withColumn("island", F.col("dayn") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").cast("long").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+    )
