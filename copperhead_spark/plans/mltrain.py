@@ -18,7 +18,7 @@ model broadcasts the same way).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
@@ -245,4 +245,150 @@ def ml_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         slope.alias("slope"),
         ((syd / F.lit(100.0) - slope * sxd) / nd).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multinomial naive Bayes: train on 3/4 of the corpus, classify the rest
+# ---------------------------------------------------------------------------
+
+_NB_TOK_DUCK = "unnest(list_filter(string_split(text, ' '), w -> w <> ''))"
+_NB_RND = "CAST(ROUND({x} * 1e9) AS BIGINT)"
+
+_NB_ORACLE = f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+test_docs AS (
+  SELECT doc_id, lang AS actual_lang, text FROM documents WHERE doc_id % 4 = 0
+),
+tok_tr AS (SELECT doc_id, lang, {_NB_TOK_DUCK} AS term FROM train),
+cnt AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok_tr GROUP BY 1, 2),
+vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tok_tr),
+ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train),
+cls0 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ndocs FROM train GROUP BY 1),
+cls1 AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+cls AS (
+  SELECT c0.lang, ndocs, tot,
+         {_NB_RND.format(x="LN(CAST(ndocs AS DOUBLE) / n)")} AS prior_e9,
+         {_NB_RND.format(x="LN(CAST(1 AS DOUBLE) / (tot + v))")} AS default_e9
+  FROM cls0 c0 JOIN cls1 c1 ON c0.lang = c1.lang CROSS JOIN vocab CROSS JOIN ntr
+),
+w AS (
+  SELECT cnt.lang, cnt.term,
+         {_NB_RND.format(x="LN((CAST(c AS DOUBLE) + 1) / (tot + v))")}
+           - default_e9 AS corr_w
+  FROM cnt JOIN cls ON cnt.lang = cls.lang CROSS JOIN vocab
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, {_NB_TOK_DUCK} AS term FROM test_docs) GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+base AS (
+  SELECT d.doc_id, c.lang, prior_e9 + default_e9 * dl AS base_e9
+  FROM dl d CROSS JOIN cls c
+),
+corr AS (
+  SELECT tf.doc_id, w.lang, CAST(SUM(tf * corr_w) AS BIGINT) AS corr_e9
+  FROM tf JOIN w ON tf.term = w.term GROUP BY 1, 2
+),
+score AS (
+  SELECT b.doc_id, b.lang, base_e9 + COALESCE(corr_e9, 0) AS score_e9
+  FROM base b LEFT JOIN corr ON b.doc_id = corr.doc_id AND b.lang = corr.lang
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_e9 DESC, lang ASC
+  ) AS rn FROM score
+)
+SELECT r.doc_id, r.lang AS pred_lang, t.actual_lang,
+       CAST(r.lang = t.actual_lang AS BIGINT) AS correct, r.score_e9
+FROM ranked r JOIN test_docs t ON r.doc_id = t.doc_id
+WHERE rn = 1
+"""
+
+
+@register("ml_naive_bayes_classify", oracle=_NB_ORACLE, tags=("ml", "text"))
+def ml_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes, trained and applied in one plan: fit
+    Laplace-smoothed per-language token likelihoods on the 3/4 training
+    split, score every holdout document against every class, and emit
+    the argmax prediction with a correctness flag.
+
+    Exactness: every log-likelihood is rounded through 1e-9 fixed point
+    the moment it is born (prior, per-term weight, unseen-term default),
+    so scores are BIGINT sums of identically-rounded terms — partial-agg
+    reordering cannot change them, and both engines replay the same
+    arithmetic.  Unseen terms are folded in algebraically: score =
+    prior + default*doc_len + sum(tf * (w - default)) over MATCHED
+    terms only, which removes any need to materialize vocab x classes.
+
+    Scale design: the model is two relations — class stats (one row per
+    class, broadcast) and term weights (vocab x observed-class rows,
+    hash-joined on term against holdout term frequencies: the join a
+    100 TB corpus can actually run, since only matched (term, class)
+    pairs flow).  Corpus-level integer scalars (V, N) cross the driver
+    once — the kmeans/k-rows-per-iteration discipline.  The class-list
+    fan-out joins on a constant-valued NON-FOLDABLE key so Catalyst
+    compiles a broadcast hash join, never a cartesian.
+
+    Reference analogue: the fold-routed DNN/BDT inference family
+    (SURVEY F1/F2) — same train-elsewhere/score-at-scale shape, here
+    with training in-plan too."""
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 4 != 0)
+    test = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.col("lang").alias("actual_lang"), "text"
+    )
+    tok_expr = "explode(filter(split(text, ' '), w -> w != '')) AS term"
+    tok_tr = train.selectExpr("doc_id", "lang", tok_expr)
+    cnt = tok_tr.groupBy("lang", "term").agg(F.count("*").cast("long").alias("c"))
+    # integer corpus scalars: exact on both engines, so safe as literals
+    v = tok_tr.select("term").distinct().count()
+    n = train.count()
+    rnd = "CAST(ROUND({x} * 1e9) AS BIGINT)"
+    cls = (
+        train.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("ndocs"))
+        .join(cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot")), "lang")
+        .selectExpr(
+            "lang",
+            "tot",
+            rnd.format(x=f"LN(CAST(ndocs AS DOUBLE) / {n})") + " AS prior_e9",
+            rnd.format(x=f"LN(CAST(1 AS DOUBLE) / (tot + {v}))") + " AS default_e9",
+            # non-foldable constant join key for the class fan-out
+            "CAST(tot * 0 AS BIGINT) AS k",
+        )
+    )
+    rnd_w = rnd.format(x="LN((CAST(c AS DOUBLE) + 1) / (tot + {v}))")
+    weights = (
+        cnt.join(F.broadcast(cls.select("lang", "tot", "default_e9")), "lang")
+        .selectExpr(
+            "lang",
+            "term",
+            rnd_w.format(v=v) + " - default_e9 AS corr_w",
+        )
+    )
+    tf = test.selectExpr("doc_id", tok_expr).groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    base = dl.selectExpr("doc_id", "dl", "CAST(dl * 0 AS BIGINT) AS k").join(
+        F.broadcast(cls.select("lang", "prior_e9", "default_e9", "k")), "k"
+    ).selectExpr("doc_id", "lang", "prior_e9 + default_e9 * dl AS base_e9")
+    corr = (
+        tf.join(weights, "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("corr_w")).cast("long").alias("corr_e9"))
+    )
+    score = base.join(corr, ["doc_id", "lang"], "left").selectExpr(
+        "doc_id", "lang", "base_e9 + COALESCE(corr_e9, CAST(0 AS BIGINT)) AS score_e9"
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e9").desc(), F.col("lang").asc())
+    pred = score.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.join(test.select("doc_id", "actual_lang"), "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        "actual_lang",
+        (F.col("lang") == F.col("actual_lang")).cast("long").alias("correct"),
+        "score_e9",
     )

@@ -566,3 +566,79 @@ def j19_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to").isNull().cast("long").alias("from_current_version"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit data-quality profile
+# ---------------------------------------------------------------------------
+
+# integer CASE ladder: o_totalprice < 10^7 in TPC-H at any published SF,
+# so six divisions reach the leading digit with no float log10 (whose
+# ulp wobble at exact powers of ten could flip a digit)
+_BENFORD_DIGIT = """
+CASE WHEN i >= 1000000 THEN i DIV 1000000
+     WHEN i >= 100000 THEN i DIV 100000
+     WHEN i >= 10000 THEN i DIV 10000
+     WHEN i >= 1000 THEN i DIV 1000
+     WHEN i >= 100 THEN i DIV 100
+     WHEN i >= 10 THEN i DIV 10
+     ELSE i END
+"""
+
+
+@register(
+    "dq_benford_profile",
+    oracle=f"""
+WITH d AS (
+  SELECT {_BENFORD_DIGIT.replace("DIV", "//")} AS digit
+  FROM (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS i FROM orders)
+),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       (n * 1000000000) // total AS observed_ppb,
+       CAST(ROUND(LN(1e0 + CAST(1 AS DOUBLE) / digit)
+                  / LN(CAST(10 AS DOUBLE)) * 1e9) AS BIGINT) AS expected_ppb,
+       ABS((n * 1000000000) // total
+           - CAST(ROUND(LN(1e0 + CAST(1 AS DOUBLE) / digit)
+                        / LN(CAST(10 AS DOUBLE)) * 1e9) AS BIGINT)) AS deviation_ppb
+FROM t
+""",
+    tags=("dq", "aggregate"),
+)
+def dq_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit frequencies (parts-per-billion, exact integer
+    division) against the log10(1+1/d) expectation, with absolute
+    deviation per digit — the fraud/corruption screen a data-quality
+    suite runs over every monetary column.
+
+    The leading digit comes from an integer CASE ladder (no float
+    log10, whose ulp wobble at exact powers of ten could flip a digit);
+    the only transcendental is the expectation itself, computed from
+    digit literals and rounded through 1e-9 fixed point on both engines.
+
+    Scale design: one partial-agg shuffle to 9 digit rows; the global
+    total is a window over those 9 rows — bytes, not data.  The scan
+    reads exactly one column.
+
+    Reference analogue: none (data-quality extension alongside
+    dq_skew_profile and dq_constraint_report)."""
+    d = table(spark, sf_dir, "orders").selectExpr(
+        "CAST(FLOOR(o_totalprice) AS BIGINT) AS i"
+    ).selectExpr(f"{_BENFORD_DIGIT} AS digit")
+    c = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    t = c.withColumn("total", F.sum("n").over(Window.partitionBy()).cast("long"))
+    exp_ppb = (
+        "CAST(ROUND(LN(1e0 + CAST(1 AS DOUBLE) / digit)"
+        " / LN(CAST(10 AS DOUBLE)) * 1e9) AS BIGINT)"
+    )
+    return t.selectExpr(
+        "digit",
+        "n",
+        "(n * 1000000000) DIV total AS observed_ppb",
+        f"{exp_ppb} AS expected_ppb",
+        f"ABS((n * 1000000000) DIV total - {exp_ppb}) AS deviation_ppb",
+    )

@@ -448,3 +448,74 @@ def t8_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_islands"),
         F.max("run_len").cast("long").alias("longest_streak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing: power-of-two weights, bounded lookback
+# ---------------------------------------------------------------------------
+
+# weights 1/2, 1/4, ..., 1/128, 1/128 sum to exactly 1.0 and every term
+# v * 2^-k is an EXACT IEEE-754 operation, so the smoothed value is
+# bit-deterministic without any transcendental in the hot path
+_EWMA_TERMS_SQL = (
+    "(v0 / 2 + v1 / 4 + v2 / 8 + v3 / 16 + v4 / 32 + v5 / 64"
+    " + v6 / 128 + v7 / 128)"
+)
+
+
+def _ewma_lags_sql(src: str) -> str:
+    lags = ",\n       ".join(
+        f"COALESCE(LAG(value, {i}) OVER w, CAST(0 AS DOUBLE)) AS v{i}"
+        for i in range(1, 8)
+    )
+    return f"""
+SELECT user_id, event_id, value AS v0,
+       {lags}
+FROM {src}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+@register(
+    "t9_ewma_smoothing",
+    oracle=f"""
+WITH lagged AS ({_ewma_lags_sql("events")})
+SELECT user_id, event_id,
+       CAST(ROUND({_EWMA_TERMS_SQL} * 1e9) AS BIGINT) AS ewma_e9
+FROM lagged
+""",
+    tags=("timeseries", "window"),
+)
+def t9_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user with a bounded
+    8-observation lookback and power-of-two weights (1/2, 1/4, ...,
+    1/128, 1/128 — summing to exactly 1).  Dividing a double by a power
+    of two is exact in IEEE-754 and both engines evaluate the identical
+    left-associated sum, so the result is bit-deterministic; the final
+    1e-9 fixed-point cast is belt-and-braces, not a tolerance.
+
+    Scale design: the bounded frame means ONE user-partitioned exchange
+    + in-partition sort (shared with every other per-user window) and
+    O(1) state per row — unlike an unbounded recursive EWMA, which
+    serializes within each key.  Bounded lookback is how streaming
+    smoothers ship at 100 TB; the truncation error is 2^-7 of mass.
+
+    Reference analogue: none (monitoring-rollup extension; nearest
+    reference shape is the rolling window math in its timeseries
+    helpers)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    lag_cols = [F.col("value").alias("v0")] + [
+        F.coalesce(F.lag("value", i).over(w), F.lit(0.0).cast("double")).alias(f"v{i}")
+        for i in range(1, 8)
+    ]
+    return (
+        ev.select("user_id", "event_id", *lag_cols)
+        .selectExpr(
+            "user_id",
+            "event_id",
+            f"CAST(ROUND({_EWMA_TERMS_SQL} * 1e9) AS BIGINT) AS ewma_e9",
+        )
+    )
