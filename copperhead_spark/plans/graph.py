@@ -1017,3 +1017,99 @@ def rec_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _REC_TOPK)
         .select("item", "neighbor", "cooc", "score_e6", F.col("rn").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford weighted shortest paths (delta-frontier relaxation)
+# ---------------------------------------------------------------------------
+
+_BF_ROUNDS = 4
+_BF_SEED_MOD = 100
+# deterministic synthetic edge weight in [1, 5]
+_BF_W = "1 + (src + dst) % 5"
+
+
+def _bf_oracle() -> str:
+    its = []
+    prev = "d0"
+    for i in range(1, _BF_ROUNDS + 1):
+        its.append(
+            f"""d{i} AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM ed e JOIN {prev} p ON e.src = p.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+ed AS (SELECT src, dst, CAST({_BF_W} AS BIGINT) AS w FROM edges),
+d0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+  FROM e0 WHERE src % {_BF_SEED_MOD} = 0
+),
+{",".join(its)}
+SELECT node, dist FROM {prev}
+"""
+
+
+@register("graph_bellman_ford", oracle=_bf_oracle(), tags=("graph", "iterative"))
+def graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source (multi-seed) shortest paths: {_BF_ROUNDS}
+    Bellman-Ford rounds over the symmetrized purchase graph with a
+    deterministic integer weight (1 + (src+dst) % 5) — the weighted
+    complement to graph_bfs_distances' hop counts.
+
+    Scale design: DELTA relaxation — each round joins the edge list
+    against only the nodes whose distance improved last round (provably
+    equivalent to textbook relax-everything: a non-improved node's
+    relaxations were already merged the round after it last improved),
+    so round cost tracks the moving frontier, not the reached set.  The
+    frontier side carries the SHUFFLE_HASH hint and the edge relation
+    comes src-partitioned from the shared per-session cache; each
+    round's improved set is localCheckpoint-ed so plan lineage stays
+    flat.  The oracle replays textbook Bellman-Ford as unrolled CTEs;
+    equality of the two schedules is itself part of what the value hash
+    checks.
+
+    Reference analogue: none (graph surface beyond the reference, like
+    the rest of this family)."""
+    ed, _deg = _edges_deg(spark, sf_dir)
+    edw = ed.selectExpr("src", "dst", f"CAST({_BF_W} AS BIGINT) AS w")
+    dist = (
+        edw.filter(
+            (F.col("src") % _BF_SEED_MOD == 0) & (F.col("src") < _SUPP_BASE)
+        )
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(_BF_ROUNDS):
+        cand = (
+            edw.join(frontier.hint("shuffle_hash"), edw.src == frontier.node)
+            .select(F.col("dst").alias("cnode"), (F.col("dist") + F.col("w")).alias("cdist"))
+            .groupBy("cnode")
+            .agg(F.min("cdist").alias("cdist"))
+        )
+        improved = (
+            cand.join(dist, cand.cnode == dist.node, "left")
+            .filter(F.col("node").isNull() | (F.col("cdist") < F.col("dist")))
+            .select(F.col("cnode").alias("node"), F.col("cdist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = improved
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist

@@ -688,3 +688,94 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c.* FROM cph_udtf_docs d, LATERAL cph_token_chunks(d.doc_id, d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI term-pair co-occurrence (collocation mining)
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB = 50
+_PMI_TOPK = 20
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+v50 AS (
+  SELECT term, df FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rn FROM df
+  ) WHERE rn <= {_PMI_VOCAB}
+),
+dt AS (SELECT t.doc_id, t.term FROM tok t JOIN v50 ON t.term = v50.term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.term AS u, b.term AS v, CAST(COUNT(*) AS BIGINT) AS c_uv
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT u, v, c_uv,
+         CAST(ROUND(LN(CAST(n_docs * c_uv AS DOUBLE) / (du.df * dv.df)) * 1e9)
+              AS BIGINT) AS pmi_e9
+  FROM pairs
+  JOIN v50 du ON pairs.u = du.term
+  JOIN v50 dv ON pairs.v = dv.term
+  CROSS JOIN n
+)
+SELECT u, v, c_uv, pmi_e9 FROM scored
+ORDER BY pmi_e9 DESC, u ASC, v ASC LIMIT {_PMI_TOPK}
+"""
+
+
+@register("text_pmi_collocations", oracle=_PMI_ORACLE, tags=("text", "analysis"))
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{_PMI_TOPK} term pairs by pointwise
+    mutual information, ln(N * c_uv / (c_u * c_v)), restricted to the
+    {_PMI_VOCAB} highest-document-frequency terms.
+
+    Scale design: vocabulary pruning BEFORE pair expansion is the whole
+    game — unrestricted per-document pair spaces grow with the square of
+    document vocabulary, while the top-V restriction caps every document
+    at C(V,2) pairs.  The pruned vocab (V rows) broadcasts to the
+    (doc, term) stream; per-document pair expansion is the same
+    sorted-set array transform the co-purchase graph uses (map-side,
+    no self-join); pair counts are one partial-agg shuffle.  The PMI
+    log is rounded through 1e-9 fixed point; the corpus size N is an
+    exact integer literal (driver-scalar discipline).
+
+    Reference analogue: none (text-analysis extension; feeds phrase
+    vocabularies for tokenizers and quality classifiers)."""
+    from copperhead_spark.plans.graph import _PAIRS_UV_SQL
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.selectExpr(
+        "doc_id", "explode(filter(split(text, ' '), w -> w != '')) AS term"
+    ).distinct()
+    df = tok.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    v50 = df.orderBy(F.col("df").desc(), F.col("term").asc()).limit(_PMI_VOCAB)
+    dt = tok.join(F.broadcast(v50.select("term")), "term")
+    pairs = (
+        dt.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("term")).alias("ps"))
+        .selectExpr(_PAIRS_UV_SQL)
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count("*").cast("long").alias("c_uv"))
+    )
+    scored = (
+        pairs.join(F.broadcast(v50.selectExpr("term AS u", "df AS du")), "u")
+        .join(F.broadcast(v50.selectExpr("term AS v", "df AS dv")), "v")
+        .selectExpr(
+            "u",
+            "v",
+            "c_uv",
+            f"CAST(ROUND(LN(CAST({n_docs} * c_uv AS DOUBLE) / (du * dv)) * 1e9)"
+            " AS BIGINT) AS pmi_e9",
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_e9").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(_PMI_TOPK)

@@ -471,3 +471,83 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1000000 * sqrt_e6 DIV tot AS BIGINT) AS weight_e6",
         "CAST(n_total * sqrt_e6 DIV tot AS BIGINT) AS target_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap resampling (deterministic hash draws)
+# ---------------------------------------------------------------------------
+
+# cumulative Poisson(1) CDF thresholds; identical literal text on both
+# engines means identical doubles, so every row's replicate count is
+# engine-portable
+_POIS_CUM = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+_POIS_SALT = 104729
+
+
+def _pois_count_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CUM)
+    )
+    return f"CASE {whens} ELSE {len(_POIS_CUM)} END"
+
+
+def _pois_oracle() -> str:
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+
+    u = hash_uniform_sql("o_orderkey", str(_POIS_SALT))
+    return f"""
+WITH drawn AS (
+  SELECT o_orderpriority,
+         CAST({_pois_count_sql(u)} AS BIGINT) AS c,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orig,
+       CAST(SUM(c) AS BIGINT) AS n_boot,
+       CAST(SUM(cents) AS BIGINT) AS orig_sum_c,
+       CAST(SUM(c * cents) AS BIGINT) AS boot_sum_c
+FROM drawn GROUP BY o_orderpriority
+"""
+
+
+@register("sample_poisson_bootstrap", oracle=_pois_oracle(), tags=("sampling",))
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Poisson(lambda=1) bootstrap replicate of the order book,
+    aggregated per priority class: each row's replicate multiplicity is
+    drawn by inverting the Poisson CDF at a deterministic per-key hash
+    uniform (the rand_hash_uniform generator), so the 'random' resample
+    is bit-reproducible on any engine, partitioning, or retry — the
+    property production bootstrap pipelines need for audit and replay.
+
+    This is THE scalable bootstrap: no data is replicated (the
+    multiplicity is a weight in the aggregate, SUM(c*x) not explode),
+    so a 100 TB resample costs one map-side expression + one
+    partial-agg shuffle to a handful of group rows.  B replicates =
+    B salts in one pass.  Sums are exact integer cents (functions/
+    exact.py discipline).
+
+    Reference analogue: the deterministic random smearing seam
+    (rochester.py:8-9) — same hash-uniform machinery, applied to
+    resampling instead of momentum smear."""
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+
+    u = hash_uniform_sql("o_orderkey", str(_POIS_SALT))
+    drawn = table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        f"CAST({_pois_count_sql(u)} AS BIGINT) AS c",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    return drawn.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orig"),
+        F.sum("c").cast("long").alias("n_boot"),
+        F.sum("cents").cast("long").alias("orig_sum_c"),
+        F.sum(F.col("c") * F.col("cents")).cast("long").alias("boot_sum_c"),
+    )
