@@ -642,3 +642,69 @@ def dq_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{exp_ppb} AS expected_ppb",
         f"ABS((n * 1000000000) DIV total - {exp_ppb}) AS deviation_ppb",
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-aggregate refresh (merge delta into standing MV)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m1_incremental_agg_refresh",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("lakehouse", "incremental"),
+)
+def m1_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for a distributive
+    aggregate: the standing MV is built from the 90% base slice and
+    MATERIALIZED (localCheckpoint = the cluster's MV table); the 10%
+    delta slice is aggregated alone and merged by re-aggregating the
+    union of the two summaries.  The oracle is the FULL REBUILD over
+    the unsplit table, so the value hash proves incremental == rebuild
+    — the algebraic property (count/sum are distributive over any
+    partition of the input) that lets a 100 TB nightly refresh touch
+    only the new partition instead of re-scanning history.
+
+    Scale: base scan happens once into group-level rows (bytes); each
+    refresh costs one delta scan + a groups-sized merge shuffle.
+    AVG-class measures derive from (sum, count) at read time; true
+    holistic aggregates (distinct, quantiles) need the sketch path
+    (sketch_hll_merge_days demonstrates merge=rebuild for those).
+
+    Reference analogue: the histogram-merge accumulation step
+    (A11, python/postprocessor.py histogram summation) — same
+    merge-of-partials algebra on relational aggregates."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_c"),
+        )
+
+    mv = _agg(li.filter(F.col("l_orderkey") % 10 != 0)).localCheckpoint()
+    delta = _agg(li.filter(F.col("l_orderkey") % 10 == 0))
+    return (
+        mv.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_qty_c").cast("long").alias("sum_qty_c"),
+            F.sum("sum_price_c").cast("long").alias("sum_price_c"),
+        )
+    )

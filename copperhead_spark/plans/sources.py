@@ -756,3 +756,64 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# S19: small-file compaction (the lakehouse OPTIMIZE primitive)
+# ---------------------------------------------------------------------------
+
+_S19_SMALL = 48
+_S19_COMPACT = 4
+
+
+@register(
+    "s19_small_file_compaction",
+    oracle=f"""
+SELECT CAST({_S19_SMALL} AS BIGINT) AS n_files_small,
+       CAST({_S19_COMPACT} AS BIGINT) AS n_files_compacted,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events
+""",
+    tags=("S19", "io", "lakehouse"),
+)
+def s19_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end: land the events stream as
+    {_S19_SMALL} tiny parquet files (the pathological layout every
+    micro-batched 100 TB ingest accumulates), compact to
+    {_S19_COMPACT} right-sized files via coalesce, and verify BOTH the
+    layout and the content — the measured file counts ride in the
+    output row against oracle-pinned expectations, and the row count /
+    exact sums are recomputed from the COMPACTED copy, so dropped or
+    duplicated rows in either hop fail the value hash.
+
+    Scale design: coalesce (not repartition) does the merge — a
+    narrow dependency that concatenates co-located partitions with NO
+    shuffle, which is exactly how table-format OPTIMIZE jobs bin-pack
+    small files; repartition would pay a full exchange to reach the
+    same file count.  The tradeoff (coalesce caps write parallelism at
+    the target file count) is the documented one production compactors
+    make per size tier.
+
+    Reference analogue: output overwrite management + one-dir-per-
+    dataset layout (/root/reference/python/io.py:25-52); compaction is
+    the missing maintenance half of that sink story."""
+    small_dir = scratch_dir("s19_small", sf_dir)
+    compact_dir = scratch_dir("s19_compacted", sf_dir)
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(_S19_SMALL).write.mode("overwrite").parquet(small_dir)
+    small = spark.read.parquet(small_dir)
+    small.coalesce(_S19_COMPACT).write.mode("overwrite").parquet(compact_dir)
+
+    def _nfiles(d: str) -> int:
+        return len([f for f in os.listdir(d) if f.startswith("part-")])
+
+    back = spark.read.parquet(compact_dir)
+    return back.agg(
+        F.lit(_nfiles(small_dir)).cast("long").alias("n_files_small"),
+        F.lit(_nfiles(compact_dir)).cast("long").alias("n_files_compacted"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sum_value_c"),
+    )

@@ -519,3 +519,61 @@ def t9_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(ROUND({_EWMA_TERMS_SQL} * 1e9) AS BIGINT) AS ewma_e9",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# running-peak drawdown profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t10_max_drawdown",
+    oracle="""
+WITH runs AS (
+  SELECT user_id, value,
+         MAX(value) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS runmax
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(MAX(runmax - value) * 1e6) AS BIGINT) AS max_drawdown_e6,
+       CAST(ROUND(MAX(value) * 1e6) AS BIGINT) AS peak_e6
+FROM runs GROUP BY user_id
+""",
+    tags=("timeseries", "window"),
+)
+def t10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest drop from a running peak
+    over the time-ordered value series — the risk metric every
+    financial/monitoring rollup computes.  runmax - value is a single
+    IEEE subtraction of engine-identical doubles and MAX is
+    order-independent, so only the final report rounds (1e-6 fixed
+    point).
+
+    Scale: one user-partitioned exchange shared by the running-max
+    window and the per-user rollup (partition keys align, Catalyst
+    plans one Exchange); state per row is O(1).
+
+    Reference analogue: the running cumulative window family (W4,
+    SURVEY §2) applied to a peak-tracking frame."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = ev.select(
+        "user_id", "value", F.max("value").over(w).alias("runmax")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.max(F.col("runmax") - F.col("value")) * 1e6)
+        .cast("long")
+        .alias("max_drawdown_e6"),
+        F.round(F.max("value") * 1e6).cast("long").alias("peak_e6"),
+    )
