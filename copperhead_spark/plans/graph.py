@@ -1113,3 +1113,122 @@ def graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     return dist
+
+
+# ---------------------------------------------------------------------------
+# link prediction: common-neighbor Jaccard on a hub-suppressed subgraph
+# ---------------------------------------------------------------------------
+
+_LP_MOD = 13
+_LP_DEGCAP = 64
+_LP_TOPK = 20
+
+_LP_ORACLE = f"""
+WITH pe AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p
+  FROM lineitem WHERE l_orderkey % {_LP_MOD} = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pe a JOIN pe b ON a.okey = b.okey AND a.p < b.p
+),
+deg0 AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM
+  (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) GROUP BY 1
+),
+keep AS (SELECT x FROM deg0 WHERE d <= {_LP_DEGCAP}),
+sub AS (
+  SELECT u, v FROM e0
+  WHERE u IN (SELECT x FROM keep) AND v IN (SELECT x FROM keep)
+),
+sym AS (SELECT u AS w, v AS nbr FROM sub UNION ALL SELECT v AS w, u AS nbr FROM sub),
+degs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+cn AS (
+  SELECT a.nbr AS u, b.nbr AS v, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym a JOIN sym b ON a.w = b.w AND a.nbr < b.nbr
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT cn.u, cn.v, cn.cn,
+         CAST((cn.cn * 1000000) // (du.d + dv.d - cn.cn) AS BIGINT) AS jaccard_e6
+  FROM cn
+  JOIN degs du ON cn.u = du.w
+  JOIN degs dv ON cn.v = dv.w
+  LEFT JOIN sub e ON cn.u = e.u AND cn.v = e.v
+  WHERE e.u IS NULL
+)
+SELECT u, v, cn, jaccard_e6 FROM cand
+ORDER BY jaccard_e6 DESC, u ASC, v ASC LIMIT {_LP_TOPK}
+"""
+
+
+@register("graph_link_prediction", oracle=_LP_ORACLE, tags=("graph", "recommender"))
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard: on the sparse
+    (every-{_LP_MOD}th order) co-purchase subgraph with hub nodes
+    (degree > {_LP_DEGCAP}) suppressed, rank NON-adjacent part pairs by
+    |N(u) & N(v)| / |N(u) | N(v)| in exact 1e-6 fixed point — the
+    "customers also bought these together-able" candidate generator.
+
+    Scale design: hub suppression IS the scale story — common-neighbor
+    pair expansion is sum-of-degree-squares over intermediate nodes, so
+    dropping the heavy tail (every production link predictor does)
+    bounds the quadratic term by the cap, and the expansion itself is
+    the per-node sorted-neighbor-set array transform (map-side, one
+    groupBy(w) shuffle) shared with the co-purchase family.  Candidate
+    filtering is a broadcast-able anti-join against the (pruned) edge
+    list; degrees broadcast; top-k compiles to TakeOrderedAndProject.
+
+    Reference analogue: the dR-overlap removal shape (P12) inverted —
+    instead of removing near pairs, surfacing absent-but-similar
+    pairs."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % _LP_MOD == 0)
+    pe = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e0 = (
+        pe.groupBy("okey")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .selectExpr(_PAIRS_UV_SQL)
+        .select("e.u", "e.v")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg0 = (
+        e0.select(F.col("u").alias("x"))
+        .unionByName(e0.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    keep = deg0.filter(F.col("d") <= _LP_DEGCAP).select("x")
+    sub = (
+        e0.join(F.broadcast(keep.withColumnRenamed("x", "u")), "u")
+        .join(F.broadcast(keep.withColumnRenamed("x", "v")), "v")
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    sym = sub.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionByName(
+        sub.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    )
+    degs = sym.groupBy("w").agg(F.count("*").cast("long").alias("d"))
+    cn = (
+        sym.groupBy("w")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("ps"))
+        .selectExpr(_PAIRS_UV_SQL)
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    cand = (
+        cn.join(F.broadcast(degs.selectExpr("w AS u", "d AS du")), "u")
+        .join(F.broadcast(degs.selectExpr("w AS v", "d AS dv")), "v")
+        .join(sub, ["u", "v"], "left_anti")
+        .selectExpr(
+            "u",
+            "v",
+            "cn",
+            "CAST((cn * 1000000) DIV (du + dv - cn) AS BIGINT) AS jaccard_e6",
+        )
+    )
+    return cand.orderBy(
+        F.col("jaccard_e6").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(_LP_TOPK)

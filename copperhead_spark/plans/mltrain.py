@@ -392,3 +392,139 @@ def ml_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == F.col("actual_lang")).cast("long").alias("correct"),
         "score_e9",
     )
+
+
+# ---------------------------------------------------------------------------
+# decision stump: exact-integer Gini split search
+# ---------------------------------------------------------------------------
+
+_STUMP_QMAX = 50
+
+
+def _sdiv(a: str, b: str) -> str:
+    """floor(a * 1e4 / b) without the 1e4 blow-up: (a DIV b)*1e4 +
+    ((a % b)*1e4) DIV b — every intermediate stays within ~1e4 * b of
+    BIGINT range, so the split score survives corpus sizes where the
+    naive a*1e4 product would overflow."""
+    return f"(({a}) DIV ({b})) * 10000 + ((({a}) % ({b})) * 10000) DIV ({b})"
+
+
+def _stump_oracle() -> str:
+    sd_l = _sdiv("sq_l", "n_l").replace("DIV", "//")
+    sd_r = _sdiv("sq_r", "n_r").replace("DIV", "//")
+    return f"""
+WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS cls,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.q, cl.cls FROM
+  (SELECT unnest(range(1, {_STUMP_QMAX} + 1)) AS q) g
+  CROSS JOIN (SELECT DISTINCT l_returnflag AS cls FROM lineitem) cl
+),
+cum AS (
+  SELECT grid.q, grid.cls,
+         CAST(SUM(COALESCE(c.c, 0)) OVER (
+           PARTITION BY grid.cls ORDER BY grid.q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM grid LEFT JOIN c ON grid.q = c.q AND grid.cls = c.cls
+),
+tot AS (SELECT cls, CAST(SUM(c) AS BIGINT) AS total FROM c GROUP BY 1),
+per_t AS (
+  SELECT cum.q AS threshold,
+         CAST(SUM(cum) AS BIGINT) AS n_l,
+         CAST(SUM(cum * cum) AS BIGINT) AS sq_l,
+         CAST(SUM(total - cum) AS BIGINT) AS n_r,
+         CAST(SUM((total - cum) * (total - cum)) AS BIGINT) AS sq_r
+  FROM cum JOIN tot ON cum.cls = tot.cls
+  GROUP BY 1
+),
+scored AS (
+  SELECT threshold, n_l, n_r,
+         CAST({sd_l} + {sd_r} AS BIGINT) AS purity_e4
+  FROM per_t WHERE n_l > 0 AND n_r > 0
+)
+SELECT threshold, n_l, n_r, purity_e4, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY purity_e4 DESC, threshold ASC) AS rn
+  FROM scored
+)
+"""
+
+
+@register("ml_decision_stump", oracle=_stump_oracle(), tags=("ml",))
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training: exhaustive best-split search over the
+    quantity feature for the 3-class return-flag label, scored by the
+    Gini-equivalent purity sum(count_class^2)/n on each side (maximizing
+    it minimizes weighted Gini impurity).  All candidate thresholds are
+    returned ranked, so the fitted stump is rank 1 and the full split
+    profile is value-checked.
+
+    Exactness: class counts are exact integers; the only division is
+    floor(sq/n * 1e4), computed by the overflow-safe decomposition
+    (a DIV b)*1e4 + ((a%b)*1e4) DIV b so scores stay in BIGINT at any
+    corpus size where per-side counts fit.
+
+    Scale design: ONE partial-agg shuffle compresses the 100 TB fact
+    table to |feature values| x |classes| cells; everything after —
+    dense grid fan-out (constant-key broadcast), cumulative windows
+    (partitioned by class over {_STUMP_QMAX} rows), threshold scoring —
+    is metadata-sized.  This histogram-then-search shape is exactly how
+    distributed GBDT (LightGBM/XGBoost-style) finds splits.
+
+    Reference analogue: the BDT inference operator (F2) — this is the
+    missing train half of a one-level tree, built on the same exact
+    counting machinery."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS q", "l_returnflag AS cls"
+    ).groupBy("q", "cls").agg(F.count("*").cast("long").alias("c"))
+    classes = li.select(F.col("l_returnflag").alias("cls")).distinct()
+    grid = (
+        spark.range(1)
+        .selectExpr(f"explode(sequence(1, {_STUMP_QMAX})) AS q")
+        .selectExpr("q", "CAST(q * 0 AS BIGINT) AS k")
+        .join(
+            F.broadcast(classes.selectExpr("cls", "CAST(length(cls) * 0 AS BIGINT) AS k")),
+            "k",
+        )
+        .select("q", "cls")
+    )
+    cum = (
+        grid.join(c, ["q", "cls"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+        .withColumn(
+            "cum",
+            F.sum("c")
+            .over(
+                Window.partitionBy("cls")
+                .orderBy("q")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("long"),
+        )
+    )
+    tot = c.groupBy("cls").agg(F.sum("c").cast("long").alias("total"))
+    per_t = (
+        cum.join(F.broadcast(tot), "cls")
+        .groupBy(F.col("q").alias("threshold"))
+        .agg(
+            F.sum("cum").cast("long").alias("n_l"),
+            F.sum(F.col("cum") * F.col("cum")).cast("long").alias("sq_l"),
+            F.sum(F.col("total") - F.col("cum")).cast("long").alias("n_r"),
+            F.sum((F.col("total") - F.col("cum")) * (F.col("total") - F.col("cum")))
+            .cast("long")
+            .alias("sq_r"),
+        )
+    )
+    scored = per_t.filter((F.col("n_l") > 0) & (F.col("n_r") > 0)).selectExpr(
+        "threshold",
+        "n_l",
+        "n_r",
+        f"CAST({_sdiv('sq_l', 'n_l')} + {_sdiv('sq_r', 'n_r')} AS BIGINT) AS purity_e4",
+    )
+    w = Window.orderBy(F.col("purity_e4").desc(), F.col("threshold").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -514,3 +514,106 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_TOPN)
         .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style MaxSim late-interaction retrieval
+# ---------------------------------------------------------------------------
+
+_MS_QUERIES = (
+    (0, "data model training"),
+    (1, "spark query plan"),
+    (2, "merge window state"),
+)
+_MS_TOPK = 5
+
+
+def _ms_dim_terms(h: str) -> list[str]:
+    return [f"((({h}) * {a} + {b}) % {_EMB_M}) % {_EMB_Q}" for a, b in _EMB_AB]
+
+
+def _ms_dot(ha: str, hb: str) -> str:
+    return " + ".join(
+        f"CAST({da} AS BIGINT) * CAST({db} AS BIGINT)"
+        for da, db in zip(_ms_dim_terms(ha), _ms_dim_terms(hb))
+    )
+
+
+def _maxsim_oracle() -> str:
+    from copperhead_spark.functions.text import token_hashes_duck
+
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in _MS_QUERIES)
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({token_hashes_duck()}) AS hd FROM documents
+),
+q0 AS (SELECT * FROM (VALUES {qvals}) t(qid, qtext)),
+qt AS (
+  SELECT DISTINCT qid, unnest({token_hashes_duck("qtext")}) AS hq FROM q0
+),
+best AS (
+  SELECT dt.doc_id, qt.qid, qt.hq,
+         MAX({_ms_dot("dt.hd", "qt.hq")}) AS m
+  FROM dt CROSS JOIN qt
+  GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT doc_id, qid, CAST(SUM(m) AS BIGINT) AS maxsim
+  FROM best GROUP BY 1, 2
+)
+SELECT CAST(qid AS BIGINT) AS qid, doc_id, maxsim, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY maxsim DESC, doc_id ASC
+  ) AS rn FROM score
+) WHERE rn <= {_MS_TOPK}
+"""
+
+
+@register("emb_maxsim_topk", oracle=_maxsim_oracle(), tags=("retrieval", "ann"))
+def emb_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: every query token keeps
+    its own embedding, MaxSim(q, d) = sum over query tokens of the MAX
+    dot product against any document token, top-{_MS_TOPK} documents per
+    query.  Token embeddings are the deterministic integer recipe the
+    RAG pipeline uses (same _EMB_AB lattice), so every dot product,
+    max, and sum is exact BIGINT arithmetic.
+
+    Scale design: the document side is a DISTINCT (doc, token-hash)
+    stream — never the corpus text — and the query-token table (a few
+    dozen rows) broadcasts via a non-foldable constant-key hash join,
+    so the token-pair expansion is map-side with NO shuffle of the
+    corpus; the only exchanges are the two partial aggregations
+    (per-query-token max, then per-doc sum), and the final top-k is a
+    per-query window.  At production scale the expansion is pruned by a
+    per-token ANN shortlist first (sim_ivf_topk is that operator); this
+    query pins the exact late-interaction semantics the pruned plan
+    must reproduce.
+
+    Reference analogue: none (retrieval surface beyond the reference,
+    alongside BM25 and the RAG chunk pipeline)."""
+    from copperhead_spark.functions.text import token_hashes_spark
+
+    docs = table(spark, sf_dir, "documents")
+    dt = docs.selectExpr(
+        "doc_id", f"explode({token_hashes_spark()}) AS hd"
+    ).distinct()
+    qdf = spark.createDataFrame(list(_MS_QUERIES), "qid BIGINT, qtext STRING")
+    qt = qdf.selectExpr(
+        "qid", f"explode({token_hashes_spark('qtext')}) AS hq"
+    ).distinct()
+    pairs = dt.selectExpr("doc_id", "hd", "CAST(hd * 0 AS BIGINT) AS k").join(
+        F.broadcast(qt.selectExpr("qid", "hq", "CAST(hq * 0 AS BIGINT) AS k")), "k"
+    )
+    best = (
+        pairs.selectExpr("doc_id", "qid", "hq", f"{_ms_dot('hd', 'hq')} AS dot")
+        .groupBy("doc_id", "qid", "hq")
+        .agg(F.max("dot").alias("m"))
+    )
+    score = best.groupBy("doc_id", "qid").agg(F.sum("m").cast("long").alias("maxsim"))
+    w = Window.partitionBy("qid").orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MS_TOPK)
+        .select("qid", "doc_id", "maxsim", F.col("rn").cast("long").alias("rank"))
+    )

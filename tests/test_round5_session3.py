@@ -310,3 +310,126 @@ def test_incremental_refresh_equals_rebuild(spark, sf_dir):
     assert (got.n == want.n).all()
     assert (got.sum_qty_c == want.sum_qty_c).all()
     assert (got.sum_price_c == want.sum_price_c).all()
+
+
+# ---------------------------------------------------------------------------
+# batch-5 mirrors: MaxSim, link prediction, decision stump (exact integers)
+# ---------------------------------------------------------------------------
+
+
+def _tok_hashes(text: str):
+    from copperhead_spark.functions.text import TOKEN_P
+
+    out = []
+    for w in text.split(" "):
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % TOKEN_P
+        out.append(h)
+    return out
+
+
+def test_maxsim_mirror_exact(spark, sf_dir):
+    from copperhead_spark.plans.retrieval import (
+        _EMB_AB, _EMB_M, _EMB_Q, _MS_QUERIES, _MS_TOPK,
+    )
+
+    def emb(h):
+        return [((h * a + b) % _EMB_M) % _EMB_Q for a, b in _EMB_AB]
+
+    docs = _df(sf_dir, "documents")
+    doc_tok = {r.doc_id: {tuple(emb(h)) for h in set(_tok_hashes(r.text))}
+               for r in docs.itertuples()}
+    scores = []
+    for qid, qtext in _MS_QUERIES:
+        for did, dembs in doc_tok.items():
+            s = 0
+            for hq in set(_tok_hashes(qtext)):
+                eq = emb(hq)
+                s += max(sum(a * b for a, b in zip(eq, ed)) for ed in dembs)
+            scores.append((qid, did, s))
+    want = {}
+    for qid, _ in _MS_QUERIES:
+        qs = sorted((r for r in scores if r[0] == qid), key=lambda r: (-r[2], r[1]))
+        for rank, (q, d, s) in enumerate(qs[:_MS_TOPK], 1):
+            want[(q, d)] = (s, rank)
+    got = _run(spark, sf_dir, "emb_maxsim_topk")
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.qid, r.doc_id)] == (r.maxsim, r.rank)
+
+
+def test_link_prediction_mirror_exact(spark, sf_dir):
+    from copperhead_spark.plans.graph import _LP_DEGCAP, _LP_MOD, _LP_TOPK
+
+    li = _df(sf_dir, "lineitem")
+    li = li[li.l_orderkey % _LP_MOD == 0]
+    orders = defaultdict(set)
+    for r in li.itertuples():
+        orders[r.l_orderkey].add(r.l_partkey)
+    e0 = set()
+    for ps in orders.values():
+        s = sorted(ps)
+        for i, u in enumerate(s):
+            for v in s[i + 1:]:
+                e0.add((u, v))
+    deg0 = Counter()
+    for u, v in e0:
+        deg0[u] += 1
+        deg0[v] += 1
+    keep = {x for x, d in deg0.items() if d <= _LP_DEGCAP}
+    sub = {(u, v) for u, v in e0 if u in keep and v in keep}
+    nbrs = defaultdict(set)
+    for u, v in sub:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    cand = []
+    seen = set()
+    for w, ns in nbrs.items():
+        s = sorted(ns)
+        for i, u in enumerate(s):
+            for v in s[i + 1:]:
+                if (u, v) in sub or (u, v) in seen:
+                    continue
+                seen.add((u, v))
+                cn = len(nbrs[u] & nbrs[v])
+                j = (cn * 1_000_000) // (len(nbrs[u]) + len(nbrs[v]) - cn)
+                cand.append((u, v, cn, j))
+    cand.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = cand[:_LP_TOPK]
+    got = _run(spark, sf_dir, "graph_link_prediction")
+    got_rows = sorted(
+        zip(got.u, got.v, got.cn, got.jaccard_e6), key=lambda r: (-r[3], r[0], r[1])
+    )
+    assert [tuple(map(int, r)) for r in got_rows] == want
+
+
+def test_decision_stump_mirror_exact(spark, sf_dir):
+    li = _df(sf_dir, "lineitem")
+    cnt = Counter(zip(li.l_quantity.astype("int64"), li.l_returnflag))
+    classes = sorted(li.l_returnflag.unique())
+    tot = Counter()
+    for (q, c), n in cnt.items():
+        tot[c] += n
+
+    def sdiv(a, b):
+        return (a // b) * 10000 + ((a % b) * 10000) // b
+
+    want = {}
+    for t in range(1, 51):
+        cums = {c: sum(n for (q, cc), n in cnt.items() if cc == c and q <= t)
+                for c in classes}
+        n_l = sum(cums.values())
+        n_r = sum(tot.values()) - n_l
+        if n_l == 0 or n_r == 0:
+            continue
+        sq_l = sum(v * v for v in cums.values())
+        sq_r = sum((tot[c] - cums[c]) ** 2 for c in classes)
+        want[t] = (n_l, n_r, sdiv(sq_l, n_l) + sdiv(sq_r, n_r))
+    ranks = sorted(want.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    rank_of = {t: i + 1 for i, (t, _) in enumerate(ranks)}
+    got = _run(spark, sf_dir, "ml_decision_stump")
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n_l, n_r, p = want[r.threshold]
+        assert (r.n_l, r.n_r, r.purity_e4, r.rank) == (n_l, n_r, p, rank_of[r.threshold])
