@@ -483,16 +483,9 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(l_quantity AS BIGINT) AS q", "l_returnflag AS cls"
     ).groupBy("q", "cls").agg(F.count("*").cast("long").alias("c"))
     classes = li.select(F.col("l_returnflag").alias("cls")).distinct()
-    grid = (
-        spark.range(1)
-        .selectExpr(f"explode(sequence(1, {_STUMP_QMAX})) AS q")
-        .selectExpr("q", "CAST(q * 0 AS BIGINT) AS k")
-        .join(
-            F.broadcast(classes.selectExpr("cls", "CAST(length(cls) * 0 AS BIGINT) AS k")),
-            "k",
-        )
-        .select("q", "cls")
-    )
+    grid = classes.selectExpr(
+        "cls", f"explode(sequence(1, {_STUMP_QMAX})) AS q"
+    ).select("q", "cls")
     cum = (
         grid.join(c, ["q", "cls"], "left")
         .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
