@@ -521,3 +521,174 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("purity_e4").desc(), F.col("threshold").asc())
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# exact ROC AUC by rank-sum (Mann-Whitney U)
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score,
+         CAST(o_orderstatus = 'F' AS BIGINT) AS y
+  FROM orders
+),
+r AS (
+  SELECT grp, score, y,
+         CAST(RANK() OVER (PARTITION BY grp ORDER BY score ASC) AS BIGINT) AS r_asc,
+         CAST(RANK() OVER (PARTITION BY grp ORDER BY score DESC) AS BIGINT) AS r_desc,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM s
+),
+g AS (
+  SELECT grp, MIN(n) AS n,
+         CAST(SUM(y) AS BIGINT) AS npos,
+         MIN(n) - CAST(SUM(y) AS BIGINT) AS nneg,
+         CAST(SUM(CASE WHEN y = 1 THEN r_asc + n + 1 - r_desc ELSE 0 END) AS BIGINT)
+           AS sumrank2_pos
+  FROM r GROUP BY grp
+),
+u AS (
+  SELECT grp, n, npos, nneg,
+         sumrank2_pos - npos * (npos + 1) AS u2
+  FROM g WHERE npos > 0 AND nneg > 0
+)
+SELECT grp, n, npos, nneg,
+       CAST((u2 // (2 * npos * nneg)) * 1000000
+            + ((u2 % (2 * npos * nneg)) * 1000000) // (2 * npos * nneg)
+         AS BIGINT) AS auc_e6
+FROM u ORDER BY grp
+"""
+
+
+@register("ml_auc_rank", oracle=_AUC_ORACLE, tags=("ml", "evaluation"))
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC per group via the rank-sum (Mann-Whitney U)
+    identity: AUC = (sum of positive ranks - npos(npos+1)/2) / (npos *
+    nneg), with the tie-correct average rank obtained WITHOUT fractions
+    as 2*avgrank = rank_asc + (n + 1 - rank_desc).  Everything up to the
+    final 1e-6 fixed-point division is BIGINT, and that division uses
+    the overflow-safe (a DIV b)*1e6 + ((a%b)*1e6) DIV b decomposition —
+    so the AUC is bit-reproducible, unlike threshold-sweep AUCs whose
+    float trapezoids depend on partition order.
+
+    Scale design: AUC-by-rank is the distributed evaluation pattern —
+    two per-group sort windows (hash exchange on the group key, sorts
+    run per partition) and one partial aggregation; nothing quadratic,
+    no threshold grid.  A single global AUC over 10^12 rows would swap
+    the full sort for the binned-score histogram (see
+    sketch_binned_quantiles) — the per-group form here IS the model-
+    selection report shape (AUC per segment).  U2 reaches npos*n, so
+    beyond ~3e9 rows/group promote the two rank sums to DECIMAL(38,0).
+
+    Reference analogue: extends the evaluation side of the DNN/BDT
+    scoring operators (F1/F2) — the reference scores events but defers
+    metrics to offline tools; here the metric is in-engine."""
+    o = table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    wg = Window.partitionBy("grp")
+    r = s.select(
+        "grp",
+        "y",
+        F.rank().over(wg.orderBy(F.col("score").asc())).cast("long").alias("r_asc"),
+        F.rank().over(wg.orderBy(F.col("score").desc())).cast("long").alias("r_desc"),
+        F.count("*").over(wg).cast("long").alias("n"),
+    )
+    g = r.groupBy("grp").agg(
+        F.min("n").alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+        (F.min("n") - F.sum("y")).cast("long").alias("nneg"),
+        F.sum(
+            F.when(F.col("y") == 1, F.col("r_asc") + F.col("n") + 1 - F.col("r_desc"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sumrank2_pos"),
+    )
+    u = g.filter((F.col("npos") > 0) & (F.col("nneg") > 0)).withColumn(
+        "u2", F.col("sumrank2_pos") - F.col("npos") * (F.col("npos") + 1)
+    )
+    return u.selectExpr(
+        "grp",
+        "n",
+        "npos",
+        "nneg",
+        "CAST((u2 DIV (2 * npos * nneg)) * 1000000"
+        " + ((u2 % (2 * npos * nneg)) * 1000000) DIV (2 * npos * nneg)"
+        " AS BIGINT) AS auc_e6",
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+_TE_ORACLE = """
+WITH f AS (
+  SELECT l_suppkey AS cat, CAST(l_returnflag = 'R' AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT cat, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM f GROUP BY cat
+),
+pairs AS (SELECT DISTINCT cat, y FROM f)
+SELECT p.cat, p.y, g.n, g.s,
+       CAST(CASE WHEN g.n > 1
+            THEN ((g.s - p.y) * 1000000000) // (g.n - 1) ELSE -1 END AS BIGINT)
+         AS enc_loo_e9,
+       CAST(((g.s - p.y + 1) * 1000000000) // (g.n - 1 + 2) AS BIGINT)
+         AS enc_smooth_e9
+FROM pairs p JOIN g ON p.cat = g.cat
+ORDER BY p.cat, p.y
+"""
+
+
+@register("ml_target_encode_loo", oracle=_TE_ORACLE, tags=("ml", "features"))
+def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature (supplier)
+    against a binary target (returned lineitem): each row's encoding
+    excludes its own label, enc = (sum_cat - y_own) / (n_cat - 1), the
+    standard leakage guard for tree/GBM features.  Because the LOO value
+    depends only on (category, own label), the entire encoding is the
+    compact distinct-(cat, y) feature MAP emitted here — exact 1e-9
+    fixed point, plus the Laplace-smoothed variant (+1 / +2 pseudo-
+    counts) that regularizes rare categories.
+
+    Scale design: one partial-agg shuffle compresses the 100 TB fact
+    table to |categories| rows of (n, sum); the encode-back onto every
+    training row is then a broadcast map-side join that never shuffles
+    the fact table — emitted here as the persistable feature map (at
+    most 2 rows per category).  No window over the fact table, no
+    per-row state.
+
+    Reference analogue: the b-tag SF lookup-and-apply shape (J10) with
+    the lookup table LEARNED from the data instead of loaded."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_suppkey").alias("cat"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    g = f.groupBy("cat").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    pairs = f.distinct()
+    return (
+        pairs.join(F.broadcast(g), "cat")
+        .selectExpr(
+            "cat",
+            "y",
+            "n",
+            "s",
+            "CAST(CASE WHEN n > 1 THEN ((s - y) * 1000000000) DIV (n - 1)"
+            " ELSE -1 END AS BIGINT) AS enc_loo_e9",
+            "CAST(((s - y + 1) * 1000000000) DIV (n - 1 + 2) AS BIGINT)"
+            " AS enc_smooth_e9",
+        )
+        .orderBy("cat", "y")
+    )

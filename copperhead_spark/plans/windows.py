@@ -487,3 +487,73 @@ def w9_frame_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("next_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("mid_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) via sorted running max
+# ---------------------------------------------------------------------------
+
+_PARETO_BUCKET = 100_000  # $1000 price buckets (cents DIV 1e5)
+
+_PARETO_ORACLE = f"""
+WITH pts AS (
+  SELECT DISTINCT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) // {_PARETO_BUCKET}
+           AS price_b,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT flag, price_b, qty FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.flag = p.flag
+    AND q.price_b <= p.price_b AND q.qty >= p.qty
+    AND (q.price_b < p.price_b OR q.qty > p.qty)
+)
+ORDER BY flag, price_b
+"""
+
+
+@register("o7_pareto_frontier", oracle=_PARETO_ORACLE, tags=("O4", "skyline"))
+def o7_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: the Pareto-optimal set of (price bucket ↓, quantity
+    ↑) points per return flag — no other point is at-least-as-good on
+    both axes and strictly better on one.  The oracle states the
+    textbook O(n²) NOT-EXISTS dominance definition; the Spark plan
+    derives the identical set in O(n log n): collapse to max-qty per
+    price bucket, sort ascending by price, and keep points whose qty
+    strictly exceeds the running max over all cheaper buckets — the
+    sorted-sweep equivalence that makes skylines feasible at all.
+
+    Scale design: the distinct-point collapse is one partial-agg shuffle
+    down to |flag| x |price buckets| cells, after which the sweep window
+    runs over a few hundred rows per group; a 100 TB skyline is
+    therefore aggregate-sized, never row-sized.  Dominance checks as
+    joins (the oracle's shape) are quadratic and unrunnable there.
+
+    Reference analogue: inverts the cutflow-optimization pattern (the
+    reference scans signal-efficiency vs background-rejection by hand,
+    /root/reference/stage2 category cuts) into a single declarative
+    frontier."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = (
+        li.selectExpr(
+            "l_returnflag AS flag",
+            f"CAST(ROUND(l_extendedprice * 100) AS BIGINT) DIV {_PARETO_BUCKET}"
+            " AS price_b",
+            "CAST(ROUND(l_quantity) AS BIGINT) AS qty",
+        )
+        .groupBy("flag", "price_b")
+        .agg(F.max("qty").alias("qty"))
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy(F.col("price_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("run", F.max("qty").over(w))
+        .filter(F.col("run").isNull() | (F.col("qty") > F.col("run")))
+        .select("flag", "price_b", "qty")
+        .orderBy("flag", "price_b")
+    )
