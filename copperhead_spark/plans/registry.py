@@ -53,6 +53,7 @@ _PLAN_MODULES = (
     "copperhead_spark.plans.linkage",
     "copperhead_spark.plans.tokenize",
     "copperhead_spark.plans.mltrain",
+    "copperhead_spark.plans.geo",
 )
 
 

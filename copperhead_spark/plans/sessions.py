@@ -355,3 +355,64 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "med", "mad", F.col("n").cast("long").alias("n"), "n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# next-action Markov transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+),
+t AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+m AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS row_n FROM t)
+SELECT src, dst, n, CAST((n * 1000000) // row_n AS BIGINT) AS p_e6,
+       CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst ASC)
+         AS BIGINT) AS rank
+FROM m ORDER BY src, rank
+"""
+
+
+@register("seq_markov_transitions", oracle=_MARKOV_ORACLE, tags=("sessions", "sequence"))
+def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    consecutive event pair within a user's timeline, count src -> dst
+    transitions and emit the row-normalized probability (exact 1e-6
+    fixed point) plus the per-source rank — the model behind next-action
+    prediction, funnel-drop simulation, and synthetic-clickstream
+    generation.
+
+    Scale design: one hash exchange on user_id feeds the LEAD window
+    (per-partition sort), after which the transition counts partial-
+    aggregate down to |event types|^2 cells — the model is metadata-
+    sized no matter how large the event log, and the row normalization
+    and ranking run on those cells only.  This is the same
+    window-then-collapse shape as sessionize_events, reusing its
+    user_id partitioning end to end.
+
+    Reference analogue: the ordered channel cascade (P6) picks the
+    first matching state per event; this learns the empirical state-
+    to-state dynamics instead."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))
+    m = t.withColumn(
+        "row_n", F.sum("n").over(Window.partitionBy("src")).cast("long")
+    )
+    rk = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("dst").asc())
+    return (
+        m.selectExpr("src", "dst", "n", "CAST((n * 1000000) DIV row_n AS BIGINT) AS p_e6")
+        .withColumn("rank", F.row_number().over(rk).cast("long"))
+        .orderBy("src", "rank")
+    )

@@ -119,3 +119,105 @@ def test_pareto_frontier_mirror_exact(spark, sf_dir):
         seq = sorted((p, q) for ff, p, q in want if ff == f)
         qs = [q for _, q in seq]
         assert all(a < b for a, b in zip(qs, qs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# bitmap segment intersection
+# ---------------------------------------------------------------------------
+
+
+def test_seg_bitmap_mirror_exact(spark, sf_dir):
+    c = _df(sf_dir, "customer")
+    segs = {
+        "building": set(c.c_custkey[c.c_mktsegment == "BUILDING"]),
+        "even_key": set(c.c_custkey[c.c_custkey % 2 == 0]),
+        "high_bal": set(c.c_custkey[c.c_acctbal > 5000]),
+        "low_nation": set(c.c_custkey[c.c_nationkey < 12]),
+    }
+    names = sorted(segs)
+    got = _run(spark, sf_dir, "seg_bitmap_intersect")
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            both = len(segs[a] & segs[b])
+            j = (both * 1_000_000) // len(segs[a] | segs[b])
+            want[(a, b)] = (len(segs[a]), len(segs[b]), both, j)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.seg_a, r.seg_b)] == (r.n_a, r.n_b, r.n_both, r.jaccard_e6)
+
+
+# ---------------------------------------------------------------------------
+# geo grid radius join
+# ---------------------------------------------------------------------------
+
+
+def test_geo_radius_mirror_exact(spark, sf_dir):
+    import numpy as np
+
+    from copperhead_spark.functions.hashing import mix_py
+    from copperhead_spark.plans.geo import (
+        _GEO_R, _GEO_SALT_X, _GEO_SALT_Y, _GEO_WORLD,
+    )
+
+    c = _df(sf_dir, "customer")
+    s = _df(sf_dir, "supplier")
+    cx = mix_py(c.c_custkey.to_numpy(), _GEO_SALT_X) % _GEO_WORLD
+    cy = mix_py(c.c_custkey.to_numpy(), _GEO_SALT_Y) % _GEO_WORLD
+    sx = mix_py(s.s_suppkey.to_numpy(), _GEO_SALT_X) % _GEO_WORLD
+    sy = mix_py(s.s_suppkey.to_numpy(), _GEO_SALT_Y) % _GEO_WORLD
+    ck = c.c_custkey.to_numpy()
+    want = {}
+    for i, sk in enumerate(s.s_suppkey.to_numpy()):
+        d2 = (sx[i] - cx) ** 2 + (sy[i] - cy) ** 2
+        m = d2 <= _GEO_R * _GEO_R
+        if m.any():
+            dmin = int(d2[m].min())
+            want[int(sk)] = (
+                int(m.sum()),
+                dmin,
+                int(ck[m][d2[m] == dmin].min()),
+            )
+    got = _run(spark, sf_dir, "geo_grid_radius_join")
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.sk] == (r.n_within, r.min_d2, r.nearest_ck)
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions
+# ---------------------------------------------------------------------------
+
+
+def test_markov_mirror_exact(spark, sf_dir):
+    from collections import Counter
+
+    ev = _df(sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    trans = Counter()
+    for _, g in ev.groupby("user_id"):
+        types = g.event_type.tolist()
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    row_n = Counter()
+    for (a, _), n in trans.items():
+        row_n[a] += n
+    got = _run(spark, sf_dir, "seq_markov_transitions")
+    assert len(got) == len(trans)
+    by_src = {}
+    for r in got.itertuples():
+        assert trans[(r.src, r.dst)] == r.n
+        assert (r.n * 1_000_000) // row_n[r.src] == r.p_e6
+        by_src.setdefault(r.src, []).append((r.rank, r.n, r.dst))
+    # ranks are 1..k per source and ordered by (count desc, dst asc)
+    for src, rows in by_src.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-n, d) for _, n, d in rows]
+        assert keys == sorted(keys)
+    # probabilities per source must sum to <= 1e6 (floor rounding)
+    for src in row_n:
+        tot = sum(
+            (trans[(a, b)] * 1_000_000) // row_n[a]
+            for (a, b) in trans if a == src
+        )
+        assert 1_000_000 - len([1 for (a, _) in trans if a == src]) <= tot <= 1_000_000
