@@ -30,12 +30,14 @@ from pyspark.sql import functions as F
 E6_SCALE = 1_000_000
 
 
-def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+def gram_matrix_int(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
     """Upper-triangular Gram matrix sum_rows(x_i * x_j) over a vector
-    column, computed in exact micro-int fixed point.
+    column in exact micro-int fixed point.
 
-    Returns (i, j, sum_xy): 1-based dims with i <= j, sum_xy scaled back
-    to double (value = sum of e6_i * e6_j / 1e12).
+    Returns (i, j, s): 1-based dims with i <= j, s = exact int64
+    sum of e6_i * e6_j (e12-scaled second moments).
     """
     import numpy as np
     import pandas as pd
@@ -58,8 +60,16 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> Dat
             )
 
     partials = df.select(vec_col).mapInPandas(partial, "i LONG, j LONG, s LONG")
-    return partials.groupBy("i", "j").agg(
-        (F.sum("s").cast("double") / F.lit(float(E6_SCALE) ** 2)).alias("sum_xy")
+    return partials.groupBy("i", "j").agg(F.sum("s").cast("long").alias("s"))
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Upper-triangular Gram matrix (i, j, sum_xy) with sum_xy scaled
+    back to double (value = exact e12 integer sum / 1e12)."""
+    return gram_matrix_int(df, vec_col, dim).select(
+        "i",
+        "j",
+        (F.col("s").cast("double") / F.lit(float(E6_SCALE) ** 2)).alias("sum_xy"),
     )
 
 

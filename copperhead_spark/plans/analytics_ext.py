@@ -611,3 +611,107 @@ def j18_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(n), top.c_nationkey == n.n_nationkey).select(
         "n_name", "c_custkey", "c_acctbal", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence audit (contingency table, exact fixed point)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM lineitem GROUP BY 1, 2
+),
+m AS (
+  SELECT *,
+         CAST(SUM(o) OVER (PARTITION BY flag) AS BIGINT) AS rt,
+         CAST(SUM(o) OVER (PARTITION BY status) AS BIGINT) AS ct,
+         CAST(SUM(o) OVER () AS BIGINT) AS n,
+         CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT) AS r_cells,
+         CAST(COUNT(*) OVER (PARTITION BY status) AS BIGINT) AS c_cells
+  FROM cells
+),
+x AS (
+  SELECT flag, status, o, rt, ct, n, r_cells, c_cells,
+         CAST((rt * ct * 100) // n AS BIGINT) AS e_e2,
+         CAST(((CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+               * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+               * 1000000)
+              // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS cell_chi2_e6
+  FROM m
+)
+SELECT flag, status, o, e_e2, cell_chi2_e6,
+       CAST(SUM(cell_chi2_e6) OVER () AS BIGINT) AS chi2_e6,
+       CAST((MAX(r_cells) OVER () - 1) * (MAX(c_cells) OVER () - 1) AS BIGINT)
+         AS dof
+FROM x ORDER BY flag, status
+"""
+
+
+@register("dq_chi2_independence", oracle=_CHI2_ORACLE, tags=("statistics", "dq"))
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of two categoricals (return flag x
+    line status): per-cell observed vs expected counts and the exact
+    1e-6 fixed-point chi-square statistic chi2 = sum (O*n - rt*ct)^2 /
+    (n*rt*ct), plus degrees of freedom — the data-quality test for
+    'did this column become correlated with that one after the last
+    ingest'.  The squared numerator exceeds int64 (~1.3e19 at sf0.01),
+    so the cell statistic runs in DECIMAL(38,0) on Spark and HUGEINT on
+    DuckDB — value-identical 128-bit integer paths (fits up to ~3e6-row
+    marginals; normalize counts first beyond that).
+
+    Scale design: one partial-agg shuffle collapses the fact table to
+    |flag| x |status| cells; every window after that (marginals, total,
+    dof) runs over those few cells.  The audit is metadata-sized at any
+    corpus size — the canonical histogram-then-test shape shared with
+    ml_decision_stump.
+
+    Reference analogue: fin1_chi2_model_selection applies chi-square to
+    fit residuals; this is the categorical-independence form over raw
+    data."""
+    li = table(spark, sf_dir, "lineitem")
+    cells = (
+        li.selectExpr("l_returnflag AS flag", "l_linestatus AS status")
+        .groupBy("flag", "status")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    wf = Window.partitionBy("flag")
+    ws = Window.partitionBy("status")
+    wa = Window.partitionBy()
+    m = cells.select(
+        "flag",
+        "status",
+        "o",
+        F.sum("o").over(wf).cast("long").alias("rt"),
+        F.sum("o").over(ws).cast("long").alias("ct"),
+        F.sum("o").over(wa).cast("long").alias("n"),
+        F.count("*").over(wf).cast("long").alias("r_cells"),
+        F.count("*").over(ws).cast("long").alias("c_cells"),
+    )
+    x = m.selectExpr(
+        "flag",
+        "status",
+        "o",
+        "rt",
+        "ct",
+        "n",
+        "r_cells",
+        "c_cells",
+        "CAST((rt * ct * 100) DIV n AS BIGINT) AS e_e2",
+        "CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)"
+        " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)"
+        " * 1000000)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * rt * ct) AS BIGINT) AS cell_chi2_e6",
+    )
+    return x.select(
+        "flag",
+        "status",
+        "o",
+        "e_e2",
+        "cell_chi2_e6",
+        F.sum("cell_chi2_e6").over(wa).cast("long").alias("chi2_e6"),
+        ((F.max("r_cells").over(wa) - 1) * (F.max("c_cells").over(wa) - 1))
+        .cast("long")
+        .alias("dof"),
+    ).orderBy("flag", "status")

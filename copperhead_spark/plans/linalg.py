@@ -14,6 +14,7 @@ matrix is a compile-time literal) and full-value oracle-checked.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
 from copperhead_spark.operators.linalg import gram_matrix, jl_signs
@@ -132,3 +133,97 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / (F.col("n") * F.lit(1e6))).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# top eigenvector by power iteration on the exact integer Gram matrix
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 3
+_PI_V0 = 1_000_000  # all-ones start vector, 1e6 fixed point
+
+
+def _pi_oracle() -> str:
+    ctes = [
+        f"m AS (SELECT {_E6_DUCK} AS e6 FROM embeddings)",
+        f"""g AS (
+  SELECT i, j, CAST(SUM(e6[i] * e6[j]) AS HUGEINT) AS s
+  FROM m, range(1, {_DIM + 1}) r1(i), range(1, {_DIM + 1}) r2(j)
+  GROUP BY i, j
+)""",
+        f"v0 AS (SELECT i, CAST({_PI_V0} AS HUGEINT) AS v"
+        f" FROM range(1, {_DIM + 1}) r(i))",
+    ]
+    sel = []
+    for t in range(1, _PI_ITERS + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT g.i, SUM(g.s * v{t - 1}.v) AS w
+  FROM g JOIN v{t - 1} ON g.j = v{t - 1}.i GROUP BY g.i
+)"""
+        )
+        ctes.append(f"m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t})")
+        # round-half-away(w * 1e6 / m): nonneg operands in each branch so
+        # // (floor) == truncation — engine-portable signed rounding
+        ctes.append(
+            f"""v{t} AS (
+  SELECT i, CASE WHEN w >= 0 THEN (2 * w * 1000000 + m) // (2 * m)
+                 ELSE -((-2 * w * 1000000 + m) // (2 * m)) END AS v
+  FROM w{t}, m{t}
+)"""
+        )
+        sel.append(
+            f"SELECT CAST({t} AS BIGINT) AS iter, CAST(i AS BIGINT) AS dim,"
+            f" CAST(v AS BIGINT) AS v_e6 FROM v{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@register("emb_power_iteration", oracle=_pi_oracle(), tags=("linalg", "iterative"))
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-eigenvector power iteration on the corpus Gram matrix — the
+    data-pass half of PCA/whitening — with the entire trajectory exact:
+    the Gram matrix is the e12 integer second-moment sum, each matvec
+    runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no product can
+    overflow at any corpus size, and the per-iteration renormalization
+    is the signed round-half-away(w * 1e6 / max|w|) from the k-means
+    trainer.  Emits the 1e6-scaled vector after each of {_PI_ITERS}
+    iterations; the oracle unrolls identical iterations as CTEs and
+    matches bit-for-bit.
+
+    Scale design: the only data-sized pass is the Gram build (per-batch
+    numpy matmul partials, shuffle O(partitions * dim^2)); the iteration
+    then runs on the cached dim x dim matrix — each matvec is a
+    {_DIM}-row aggregate, and exactly one {_DIM}-long vector + scalar
+    max crosses the driver per iteration (the HITS/k-means loop shape).
+    Eigen-iterating driver-side on a 32 KB matrix IS the correct 100 TB
+    design; what must be distributed — and is — is the moment sum.
+
+    Reference analogue: none (PCA surface beside emb_gram_matrix /
+    emb_random_projection)."""
+    from copperhead_spark.operators.kmeans import div_round_half_away
+    from copperhead_spark.operators.linalg import gram_matrix_int
+
+    emb = table(spark, sf_dir, "embeddings")
+    tri = gram_matrix_int(emb, "embedding", _DIM)
+    full = tri.unionByName(
+        tri.filter(F.col("i") < F.col("j")).selectExpr("j AS i", "i AS j", "s")
+    ).localCheckpoint()
+    v = [_PI_V0] * _DIM
+    out = []
+    for t in range(1, _PI_ITERS + 1):
+        arr = "array(" + ", ".join(str(x) for x in v) + ")"
+        rows = (
+            full.selectExpr(
+                "i",
+                f"CAST(s AS DECIMAL(38,0)) * element_at({arr}, CAST(j AS INT)) AS p",
+            )
+            .groupBy("i")
+            .agg(F.sum("p").alias("w"))
+            .collect()
+        )
+        w = {int(r["i"]): int(r["w"]) for r in rows}
+        m = max(abs(x) for x in w.values())
+        v = [div_round_half_away(w[i] * 1_000_000, m) for i in range(1, _DIM + 1)]
+        out.extend((t, i, v[i - 1]) for i in range(1, _DIM + 1))
+    return spark.createDataFrame(out, "iter long, dim long, v_e6 long")

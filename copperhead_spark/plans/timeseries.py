@@ -5,7 +5,7 @@ table)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
@@ -576,4 +576,116 @@ def t10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_drawdown_e6"),
         F.round(F.max("value") * 1e6).cast("long").alias("peak_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function over zero-filled daily series
+# ---------------------------------------------------------------------------
+
+_ACF_MAXLAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS typ,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT typ, MIN(d) AS dlo, MAX(d) AS dhi FROM daily GROUP BY 1),
+spine AS (SELECT typ, unnest(range(dlo, dhi + 1)) AS d FROM span),
+s AS (
+  SELECT spine.typ, spine.d, COALESCE(daily.c, 0) AS c
+  FROM spine LEFT JOIN daily ON spine.typ = daily.typ AND spine.d = daily.d
+),
+led AS (
+  SELECT typ, c AS x,
+         {", ".join(f"LEAD(c, {L}) OVER w AS y{L}" for L in range(1, _ACF_MAXLAG + 1))}
+  FROM s WINDOW w AS (PARTITION BY typ ORDER BY d)
+),
+pairs AS (
+  {" UNION ALL ".join(
+    f"SELECT typ, CAST({L} AS BIGINT) AS lag, x, y{L} AS y FROM led"
+    f" WHERE y{L} IS NOT NULL"
+    for L in range(1, _ACF_MAXLAG + 1)
+  )}
+),
+mom AS (
+  SELECT typ, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT typ, lag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS acf
+FROM mom ORDER BY typ, lag
+"""
+
+
+@register("t11_acf_lags", oracle=_ACF_ORACLE, tags=("T1", "date", "statistics"))
+def t11_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of per-type daily event counts at lags
+    1..{_ACF_MAXLAG}: the seasonality probe (a weekly cycle shows as a
+    lag-7 peak) run as lagged Pearson correlation over the ZERO-FILLED
+    daily series — missing days are real zeros, not skipped rows, or
+    every gap would silently splice non-adjacent days together.
+
+    Exactness: the a14 discipline — all moment sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) are exact BIGINT; the one float combine per (type, lag)
+    row runs identical IEEE ops on identical integers on both engines.
+
+    Scale design: the raw log collapses to |types| x |days| cells in one
+    partial-agg shuffle; the spine fan-out, the single window pass that
+    produces ALL {_ACF_MAXLAG} leads at once (one sort, not one per
+    lag), the stack unpivot, and the moment rollup all run on those
+    cells.  ACF over a 100 TB log is therefore calendar-sized.
+
+    Reference analogue: extends the t-series family (t1 buckets, t9
+    EWMA) with the diagnostics every forecasting pipeline runs first."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr(
+            "event_type AS typ",
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d",
+        )
+        .groupBy("typ", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    span = daily.groupBy("typ").agg(F.min("d").alias("dlo"), F.max("d").alias("dhi"))
+    spine = span.selectExpr("typ", "explode(sequence(dlo, dhi)) AS d")
+    s = (
+        spine.join(daily, ["typ", "d"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    w = Window.partitionBy("typ").orderBy("d")
+    led = s.select(
+        "typ",
+        F.col("c").alias("x"),
+        *[F.lead("c", L).over(w).alias(f"y{L}") for L in range(1, _ACF_MAXLAG + 1)],
+    )
+    stack_args = ", ".join(
+        f"CAST({L} AS BIGINT), y{L}" for L in range(1, _ACF_MAXLAG + 1)
+    )
+    pairs = led.selectExpr(
+        "typ", "x", f"stack({_ACF_MAXLAG}, {stack_args}) AS (lag, y)"
+    ).filter(F.col("y").isNotNull())
+    mom = pairs.groupBy("typ", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return mom.select("typ", "lag", "n", (num / den).alias("acf")).orderBy(
+        "typ", "lag"
     )

@@ -221,3 +221,120 @@ def test_markov_mirror_exact(spark, sf_dir):
             for (a, b) in trans if a == src
         )
         assert 1_000_000 - len([1 for (a, _) in trans if a == src]) <= tot <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence (128-bit integer path)
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independence_mirror_exact(spark, sf_dir):
+    from collections import Counter
+
+    li = _df(sf_dir, "lineitem")
+    o = Counter(zip(li.l_returnflag, li.l_linestatus))
+    rt = Counter()
+    ct = Counter()
+    for (f, s), c in o.items():
+        rt[f] += c
+        ct[s] += c
+    n = sum(o.values())
+    cells = {}
+    for (f, s), c in o.items():
+        num = (c * n - rt[f] * ct[s]) ** 2 * 1_000_000  # python bigint: exact
+        cells[(f, s)] = (
+            c,
+            (rt[f] * ct[s] * 100) // n,
+            num // (n * rt[f] * ct[s]),
+        )
+    chi2 = sum(v[2] for v in cells.values())
+    r_cells = Counter(f for f, _ in o)
+    c_cells = Counter(s for _, s in o)
+    dof = (max(r_cells.values()) - 1) * (max(c_cells.values()) - 1)
+    got = _run(spark, sf_dir, "dq_chi2_independence")
+    assert len(got) == len(cells)
+    for r in got.itertuples():
+        oo, e2, cc = cells[(r.flag, r.status)]
+        assert (r.o, r.e_e2, r.cell_chi2_e6, r.chi2_e6, r.dof) == (
+            oo, e2, cc, chi2, dof,
+        )
+
+
+# ---------------------------------------------------------------------------
+# gram-matrix power iteration (exact bigint replay)
+# ---------------------------------------------------------------------------
+
+
+def test_power_iteration_mirror_exact(spark, sf_dir):
+    import numpy as np
+
+    from copperhead_spark.operators.kmeans import div_round_half_away
+    from copperhead_spark.plans.linalg import _DIM, _PI_ITERS, _PI_V0
+
+    emb = _df(sf_dir, "embeddings")
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64) * 1e6
+    # SQL ROUND: half away from zero
+    Xi = (np.sign(X) * np.floor(np.abs(X) + 0.5)).astype(np.int64)
+    G = (Xi.T @ Xi).astype(object)  # python ints: no overflow in matvec
+    v = np.array([_PI_V0] * _DIM, dtype=object)
+    want = {}
+    for t in range(1, _PI_ITERS + 1):
+        w = G @ v
+        m = max(abs(int(x)) for x in w)
+        v = np.array(
+            [div_round_half_away(int(x) * 1_000_000, m) for x in w], dtype=object
+        )
+        for i in range(_DIM):
+            want[(t, i + 1)] = int(v[i])
+    got = _run(spark, sf_dir, "emb_power_iteration")
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.iter, r.dim)] == r.v_e6
+    # convergence property: successive normalized vectors stop moving
+    last = [want[(_PI_ITERS, i + 1)] for i in range(_DIM)]
+    prev = [want[(_PI_ITERS - 1, i + 1)] for i in range(_DIM)]
+    num = sum(a * b for a, b in zip(last, prev))
+    den2 = sum(a * a for a in last) * sum(b * b for b in prev)
+    assert num * num * 100 >= den2 * 81  # |cos| > 0.9
+
+
+# ---------------------------------------------------------------------------
+# ACF over zero-filled daily series
+# ---------------------------------------------------------------------------
+
+
+def test_acf_mirror(spark, sf_dir):
+    import math
+
+    from copperhead_spark.plans.timeseries import _ACF_MAXLAG
+
+    ev = _df(sf_dir, "events")
+    days = ev.ts.dt.floor("D").astype("int64") // 86_400_000_000
+    got = _run(spark, sf_dir, "t11_acf_lags")
+    want = {}
+    for typ in ev.event_type.unique():
+        d = days[ev.event_type == typ]
+        lo, hi = int(d.min()), int(d.max())
+        series = [0] * (hi - lo + 1)
+        for dd in d:
+            series[int(dd) - lo] += 1
+        for lag in range(1, _ACF_MAXLAG + 1):
+            x = series[:-lag] if lag else series
+            y = series[lag:]
+            n = len(x)
+            if n == 0:
+                continue
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            syy = sum(b * b for b in y)
+            num = n * sxy - sx * sy
+            den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+            want[(typ, lag)] = (n, num / den)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, acf = want[(r.typ, r.lag)]
+        assert r.n == n
+        # libm sqrt product order matches; allow 1 ulp of recombination
+        assert abs(r.acf - acf) < 1e-12
+        assert -1.0 <= r.acf <= 1.0
