@@ -1232,3 +1232,95 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(
         F.col("jaccard_e6").desc(), F.col("u").asc(), F.col("v").asc()
     ).limit(_LP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank from a sparse seed set
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 50
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, _PPR_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+  SELECT node, CAST(SUM(r) AS BIGINT) AS rank FROM (
+    SELECT e.dst AS node,
+           CAST(({_DAMP_NUM} * SUM(r.rank // e.deg)) // {_DAMP_DEN} AS BIGINT) AS r
+    FROM ed e JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst
+    UNION ALL
+    SELECT node, CAST({_TELEPORT} AS BIGINT) AS r FROM seeds
+  ) GROUP BY node
+)"""
+        )
+        prev = f"it{i}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+seeds AS (
+  SELECT src AS node FROM deg
+  WHERE src % {_PPR_SEED_MOD} = 0 AND src < {_SUPP_BASE}
+),
+r0 AS (SELECT node, CAST({_R0} AS BIGINT) AS rank FROM seeds),
+{",".join(its)}
+SELECT node, rank AS ppr_e6 FROM {prev}
+"""
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle(), tags=("graph", "iterative"))
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random walks restart at a SEED SET (every
+    {_PPR_SEED_MOD}th customer), not uniformly — the
+    recommendations/trust-propagation variant.  Same exact micro-unit
+    arithmetic as graph_pagerank (rank' = 0.85-damped in-sum, integer
+    floor division), but teleport mass lands only on seeds, expressed as
+    a union of damped-contribution rows and per-seed teleport rows
+    folded by one sum.
+
+    Scale design: the rank table is SPARSE — iteration 0 holds only the
+    seeds, and nodes outside the walk's reach never materialize a row —
+    so the per-iteration frontier join moves |reached|, not |V|, rows
+    (this is why PPR, unlike global PageRank, serves interactive
+    queries on 100 TB graphs).  Edges come from the shared per-session
+    cache, src-partitioned once; the frontier carries the SHUFFLE_HASH
+    hint for the same AQE reason as graph_pagerank.
+
+    Reference analogue: none (graph surface beyond the reference,
+    beside pagerank/HITS/BFS)."""
+    ed, deg = _edges_deg(spark, sf_dir)
+    seeds = (
+        deg.filter(
+            (F.col("src") % _PPR_SEED_MOD == 0) & (F.col("src") < _SUPP_BASE)
+        )
+        .select(F.col("src").alias("node"))
+        .localCheckpoint()
+    )
+    ranks = seeds.select("node", F.lit(_R0).cast("long").alias("rank"))
+    tele = seeds.select("node", F.lit(_TELEPORT).cast("long").alias("r"))
+    for _ in range(_PPR_ITERS):
+        damped = (
+            ed.join(ranks.hint("shuffle_hash"), ed.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank DIV deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                F.expr(f"CAST(({_DAMP_NUM} * sum(contrib)) DIV {_DAMP_DEN} AS BIGINT)")
+                .alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+        ranks = (
+            damped.unionByName(tele)
+            .groupBy("node")
+            .agg(F.sum("r").cast("long").alias("rank"))
+        )
+    return ranks.select("node", F.col("rank").alias("ppr_e6"))

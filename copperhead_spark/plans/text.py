@@ -779,3 +779,114 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_e9").desc(), F.col("u").asc(), F.col("v").asc()
     ).limit(_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: confusion-derived precision / recall / F1
+# ---------------------------------------------------------------------------
+
+
+def _f1_oracle() -> str:
+    return f"""
+WITH conf AS (
+  SELECT lang AS actual, {_langid_case("duck")} AS predicted,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+cls AS (
+  SELECT actual AS cls FROM conf UNION SELECT predicted FROM conf
+),
+m AS (
+  SELECT cls,
+         CAST(COALESCE(SUM(CASE WHEN actual = cls AND predicted = cls THEN n END), 0)
+           AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(CASE WHEN actual <> cls AND predicted = cls THEN n END), 0)
+           AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(CASE WHEN actual = cls AND predicted <> cls THEN n END), 0)
+           AS BIGINT) AS fn
+  FROM cls CROSS JOIN conf GROUP BY cls
+),
+pr AS (
+  SELECT cls, tp, fp, fn,
+         CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) ELSE 0 END
+           AS BIGINT) AS prec_e6,
+         CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) ELSE 0 END
+           AS BIGINT) AS rec_e6
+  FROM m
+)
+SELECT cls, tp, fp, fn, prec_e6, rec_e6,
+       CAST(CASE WHEN prec_e6 + rec_e6 > 0
+            THEN (2 * prec_e6 * rec_e6) // (prec_e6 + rec_e6) ELSE 0 END
+         AS BIGINT) AS f1_e6
+FROM pr ORDER BY cls
+"""
+
+
+@register("ml_confusion_f1", oracle=_f1_oracle(), tags=("ml", "evaluation", "text"))
+def ml_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the language-ID heuristic
+    against the labeled lang column, derived entirely from the confusion
+    matrix in exact 1e-6 fixed point (F1 computed on the fixed-point
+    precision/recall, so the whole report is bit-reproducible).
+    Completes the in-engine evaluation suite beside ml_auc_rank
+    (threshold-free ranking metric) with the thresholded-classifier
+    metrics.
+
+    Scale design: the only data-sized pass is the confusion-matrix
+    partial aggregation (|classes|^2 cells out of 100 TB of rows); the
+    class roster, one-vs-rest sums, and the fixed-point ratios all run
+    on those cells.  The oracle's CROSS JOIN of roster x cells is
+    |classes|^3-bounded — metadata both ways; Spark derives the same
+    one-vs-rest sums by exploding each cell to its (actual, predicted)
+    class memberships.
+
+    Reference analogue: extends F1/F2's scorers with the metric the
+    reference computes offline."""
+    docs = table(spark, sf_dir, "documents")
+    conf = (
+        docs.selectExpr("lang AS actual", f"{_langid_case('spark')} AS predicted")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # no roster join needed: each cell credits its actual-class row
+    # (tp on a hit, fn on a miss) and, on a miss, an fp row for the
+    # predicted class — exploding to <= 2 rows per cell covers every
+    # class that appears in either column
+    contrib = conf.selectExpr(
+        """explode(concat(
+             array(named_struct(
+               'cls', actual,
+               'tp', IF(actual = predicted, n, CAST(0 AS BIGINT)),
+               'fp', CAST(0 AS BIGINT),
+               'fn', IF(actual = predicted, CAST(0 AS BIGINT), n))),
+             IF(actual = predicted,
+                array(),
+                array(named_struct('cls', predicted,
+                                   'tp', CAST(0 AS BIGINT),
+                                   'fp', n,
+                                   'fn', CAST(0 AS BIGINT))))
+           )) AS c"""
+    )
+    m = contrib.groupBy(F.col("c.cls").alias("cls")).agg(
+        F.sum("c.tp").cast("long").alias("tp"),
+        F.sum("c.fp").cast("long").alias("fp"),
+        F.sum("c.fn").cast("long").alias("fn"),
+    )
+    pr = m.selectExpr(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        "CAST(IF(tp + fp > 0, (tp * 1000000) DIV (tp + fp), 0) AS BIGINT) AS prec_e6",
+        "CAST(IF(tp + fn > 0, (tp * 1000000) DIV (tp + fn), 0) AS BIGINT) AS rec_e6",
+    )
+    return pr.selectExpr(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        "prec_e6",
+        "rec_e6",
+        "CAST(IF(prec_e6 + rec_e6 > 0,"
+        " (2 * prec_e6 * rec_e6) DIV (prec_e6 + rec_e6), 0) AS BIGINT) AS f1_e6",
+    ).orderBy("cls")

@@ -689,3 +689,104 @@ def t11_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select("typ", "lag", "n", (num / den).alias("acf")).orderBy(
         "typ", "lag"
     )
+
+
+# ---------------------------------------------------------------------------
+# max-concurrency interval sweep (two-level / segmented prefix sum)
+# ---------------------------------------------------------------------------
+
+_CONC_DUR_US = 3600 * 1_000_000  # each event holds a slot for 1 h
+
+
+_CONC_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type AS typ, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {_CONC_DUR_US}, -1 FROM events
+),
+inst AS (
+  SELECT typ, t, CAST(SUM(d) AS BIGINT) AS delta
+  FROM pts GROUP BY typ, t
+),
+run AS (
+  SELECT typ, t, t // 86400000000 AS day,
+         CAST(SUM(delta) OVER (PARTITION BY typ ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM inst
+)
+SELECT typ, CAST(day AS BIGINT) AS day, CAST(MAX(conc) AS BIGINT) AS day_peak
+FROM run GROUP BY typ, day ORDER BY typ, day
+"""
+
+
+@register("t12_concurrency_sweep", oracle=_CONC_ORACLE, tags=("T1", "intervals"))
+def t12_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per (event type, day): every event holds a slot
+    for one hour; the sweep turns intervals into +1/-1 points and takes
+    the running sum's per-day maximum — capacity planning's canonical
+    query.  Collapsing simultaneous points first (SUM of deltas per
+    instant) makes the prefix sum deterministic under ties on both
+    engines; intervals crossing midnight are handled for free because
+    the -1 point simply lands on the next day.
+
+    Scale design: the oracle's single global-ordered running sum cannot
+    scale, so the Spark plan is the TWO-LEVEL (segmented) prefix sum:
+    within each (type, day) segment an ordered window computes the local
+    running max and the segment's total drift; a second, day-level
+    window (|types| x |days| rows — calendar-sized) accumulates segment
+    totals into each day's entering base; day_peak = base + local max.
+    That is the classic distributed-scan decomposition: the only
+    full-data exchange is the per-instant collapse, and no window ever
+    sorts more than one segment.
+
+    Reference analogue: P4's interval-membership (lumi mask) checks
+    points against fixed intervals; this aggregates the intervals
+    themselves."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(
+        F.col("event_type").alias("typ"), us.alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        ev.select(
+            F.col("event_type").alias("typ"),
+            (us + F.lit(_CONC_DUR_US)).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    inst = (
+        pts.groupBy("typ", "t")
+        .agg(F.sum("d").cast("long").alias("delta"))
+        .withColumn("day", F.expr("t DIV 86400000000"))
+    )
+    w_in = (
+        Window.partitionBy("typ", "day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = inst.select(
+        "typ",
+        "day",
+        F.sum("delta").over(w_in).alias("local_run"),
+    )
+    day = seg.groupBy("typ", "day").agg(
+        F.max("local_run").cast("long").alias("local_peak")
+    )
+    # segment totals: the drift a day contributes to every later day
+    totals = (
+        inst.groupBy("typ", "day").agg(F.sum("delta").cast("long").alias("drift"))
+    )
+    w_days = (
+        Window.partitionBy("typ")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = totals.select(
+        "typ",
+        "day",
+        F.coalesce(F.sum("drift").over(w_days), F.lit(0)).cast("long").alias("base"),
+    )
+    return (
+        day.join(base, ["typ", "day"])
+        .selectExpr("typ", "day", "CAST(base + local_peak AS BIGINT) AS day_peak")
+        .orderBy("typ", "day")
+    )

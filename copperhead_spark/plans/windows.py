@@ -557,3 +557,52 @@ def o7_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("flag", "price_b", "qty")
         .orderBy("flag", "price_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# distinct count over a sliding frame
+# ---------------------------------------------------------------------------
+
+_W10_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(COUNT(DISTINCT o_orderpriority) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_prio_5
+FROM orders
+"""
+
+
+@register("w10_window_distinct_count", oracle=_W10_ORACLE, tags=("W4", "frame"))
+def w10_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation inside a sliding frame: how many distinct
+    order priorities a customer used across their trailing five orders —
+    the behavioral-diversity window behind churn/fraud features.  Spark
+    has no COUNT(DISTINCT) OVER, so the plan uses the set-valued
+    equivalent size(collect_set(...)) over the identical frame; the
+    frame key (date, orderkey) is made unique so frame CONTENTS are
+    deterministic under date ties on both engines.
+
+    Scale design: one hash exchange on the partition key, per-partition
+    sort, and the trailing frame holds at most 5 elements, so the
+    collect_set state is O(frame), never O(partition) — the same cost
+    envelope as any ROWS window.  At 100 TB the distinct-state bound is
+    what matters: an unbounded-preceding distinct window would need a
+    per-key set growing with history (that shape belongs to
+    sketch_hll_distinct instead).
+
+    Reference analogue: W4's running aggregates with set semantics
+    added."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-4, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("long")
+        .alias("distinct_prio_5"),
+    )

@@ -338,3 +338,134 @@ def test_acf_mirror(spark, sf_dir):
         # libm sqrt product order matches; allow 1 ulp of recombination
         assert abs(r.acf - acf) < 1e-12
         assert -1.0 <= r.acf <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (exact integer replay)
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_mirror_exact(spark, sf_dir):
+    from copperhead_spark.plans.graph import (
+        _DAMP_DEN, _DAMP_NUM, _PPR_ITERS, _PPR_SEED_MOD, _R0, _SUPP_BASE,
+        _TELEPORT,
+    )
+
+    con = duckdb.connect()
+    e0 = con.execute(
+        f"""SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+        FROM read_parquet('{sf_dir}/orders.parquet') o
+        JOIN read_parquet('{sf_dir}/lineitem.parquet') l
+          ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    edges = e0 + [(d, s) for s, d in e0]
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    seeds = [v for v in deg if v % _PPR_SEED_MOD == 0 and v < _SUPP_BASE]
+    rank = {v: _R0 for v in seeds}
+    for _ in range(_PPR_ITERS):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            if s in rank:
+                contrib[d] += rank[s] // deg[s]
+        nxt = {d: (_DAMP_NUM * c) // _DAMP_DEN for d, c in contrib.items()}
+        for v in seeds:
+            nxt[v] = nxt.get(v, 0) + _TELEPORT
+        rank = nxt
+    got = _run(spark, sf_dir, "graph_personalized_pagerank")
+    assert len(got) == len(rank)
+    for r in got.itertuples():
+        assert rank[r.node] == r.ppr_e6
+    # locality property: seed mass dominates — every seed outranks the
+    # global median reached node
+    vals = sorted(rank.values())
+    med = vals[len(vals) // 2]
+    assert all(rank[v] >= med for v in seeds)
+
+
+# ---------------------------------------------------------------------------
+# concurrency sweep
+# ---------------------------------------------------------------------------
+
+
+def test_concurrency_sweep_mirror_exact(spark, sf_dir):
+    from collections import Counter
+
+    from copperhead_spark.plans.timeseries import _CONC_DUR_US
+
+    ev = _df(sf_dir, "events")
+    us = ev.ts.astype("int64")  # datetime64[us] -> microseconds
+    got = _run(spark, sf_dir, "t12_concurrency_sweep")
+    want = {}
+    for typ in ev.event_type.unique():
+        t = us[ev.event_type == typ]
+        delta = Counter()
+        for x in t:
+            delta[int(x)] += 1
+            delta[int(x) + _CONC_DUR_US] -= 1
+        run = 0
+        peaks = {}
+        for inst in sorted(delta):
+            run += delta[inst]
+            day = inst // 86_400_000_000
+            peaks[day] = max(peaks.get(day, run), run)
+        for day, p in peaks.items():
+            want[(typ, day)] = p
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.typ, r.day)] == r.day_peak
+    # conservation: concurrency returns to zero after the last interval
+    assert run == 0
+
+
+# ---------------------------------------------------------------------------
+# sliding distinct-count window
+# ---------------------------------------------------------------------------
+
+
+def test_window_distinct_mirror_exact(spark, sf_dir):
+    o = _df(sf_dir, "orders").sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    want = {}
+    for _, g in o.groupby("o_custkey"):
+        prios = g.o_orderpriority.tolist()
+        keys = g.o_orderkey.tolist()
+        for i, k in enumerate(keys):
+            want[k] = len(set(prios[max(0, i - 4) : i + 1]))
+    got = _run(spark, sf_dir, "w10_window_distinct_count")
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.o_orderkey] == r.distinct_prio_5
+
+
+# ---------------------------------------------------------------------------
+# confusion F1 (metric math replayed on the shared confusion cells)
+# ---------------------------------------------------------------------------
+
+
+def test_confusion_f1_mirror_exact(spark, sf_dir):
+    from copperhead_spark.plans.text import _langid_case
+
+    con = duckdb.connect()
+    conf = con.execute(
+        f"""SELECT lang AS actual, {_langid_case("duck")} AS predicted,
+        COUNT(*) AS n FROM read_parquet('{sf_dir}/documents.parquet')
+        GROUP BY 1, 2"""
+    ).fetchall()
+    classes = sorted({a for a, _, _ in conf} | {p for _, p, _ in conf})
+    got = _run(spark, sf_dir, "ml_confusion_f1")
+    assert sorted(got.cls) == classes
+    total = sum(n for _, _, n in conf)
+    for r in got.itertuples():
+        tp = sum(n for a, p, n in conf if a == r.cls and p == r.cls)
+        fp = sum(n for a, p, n in conf if a != r.cls and p == r.cls)
+        fn = sum(n for a, p, n in conf if a == r.cls and p != r.cls)
+        prec = (tp * 10**6) // (tp + fp) if tp + fp else 0
+        rec = (tp * 10**6) // (tp + fn) if tp + fn else 0
+        f1 = (2 * prec * rec) // (prec + rec) if prec + rec else 0
+        assert (r.tp, r.fp, r.fn, r.prec_e6, r.rec_e6, r.f1_e6) == (
+            tp, fp, fn, prec, rec, f1,
+        )
+        # harmonic mean never exceeds either component
+        assert f1 <= max(prec, rec)
+        assert tp + fn <= total
