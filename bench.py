@@ -82,6 +82,10 @@ HEADLINE = [
     # TF-IDF), frontier-expansion BFS on the shared edge cache
     "text_tfidf_topterms",
     "graph_bfs_distances",
+    # round-5 additions: exact-integer Gram build + DECIMAL power
+    # iteration, grid-bucketed spatial radius join
+    "emb_power_iteration",
+    "geo_grid_radius_join",
 ]
 
 # fresh-context batch width for the young pass: small enough that no

@@ -954,3 +954,111 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# set-similarity join with prefix filtering (PPJoin-style, exact)
+# ---------------------------------------------------------------------------
+
+_PF_MOD = 10  # corpus slice: every 10th document
+_PF_T_E6 = 600_000  # Jaccard threshold 0.6
+
+
+_PF_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id % {_PF_MOD} = 0
+),
+p AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         CAST(len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, inter,
+       CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_e6
+FROM p WHERE inter * 1000000 >= {_PF_T_E6} * uni
+ORDER BY doc1, doc2
+"""
+
+
+@register("dedup_prefix_filter_pairs", oracle=_PF_ORACLE, tags=("dedup", "similarity"))
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join (Jaccard >= 0.6 on distinct-token sets)
+    via PREFIX FILTERING, the PPJoin family's core idea: order every
+    document's tokens globally by ascending document frequency
+    (rarest first, doc_id-free tie-break on the token itself) and index
+    only each document's first |d| - ceil(t*|d|) + 1 tokens — any pair
+    above the threshold MUST collide on at least one prefix token, so
+    the candidate set is complete, and the exact Jaccard verify then
+    makes it sound.  The oracle is the brute-force all-pairs join, so
+    the driver row proves the filter loses nothing.
+
+    Scale design: unlike MinHash banding (probabilistic recall), prefix
+    filtering is exact AND bounded: candidate volume is the sum over
+    PREFIX tokens of block^2, and because prefixes hold the rarest
+    tokens those blocks are the smallest in the corpus — the standard
+    exact complement to dedup_minhash_lsh_pairs.  Everything is
+    equi-joins and partial aggs: df counts (one shuffle), per-doc rank
+    windows, prefix-token self-join, and a verify join that touches only
+    candidate pairs.
+
+    Complements dedup_ngram_jaccard_pairs (fixed blocking key) with a
+    threshold-adaptive filter."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _PF_MOD == 0
+    )
+    toks = docs.selectExpr(
+        "doc_id", "explode(array_distinct(split(text, ' '))) AS tok"
+    ).localCheckpoint()  # reused by df counts, prefix index, and verify
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    ranked = (
+        toks.join(F.broadcast(df_counts), "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("tok").asc()
+                )
+            ),
+        )
+        .join(F.broadcast(sizes), "doc_id")
+        # prefix length for Jaccard t: |d| - ceil(t|d|) + 1
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.expr(f"CAST(ceil(sz * {_PF_T_E6} / 1e6) AS BIGINT)") + 1
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.selectExpr("doc_id AS doc1", "tok"), "doc1")
+        .join(toks.selectExpr("doc_id AS doc2", "tok"), ["doc2", "tok"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.selectExpr("doc_id AS doc1", "sz AS sz1")), "doc1")
+        .join(F.broadcast(sizes.selectExpr("doc_id AS doc2", "sz AS sz2")), "doc2")
+        .selectExpr(
+            "doc1",
+            "doc2",
+            "inter",
+            "CAST(sz1 + sz2 - inter AS BIGINT) AS uni",
+        )
+        .filter(F.expr(f"inter * 1000000 >= {_PF_T_E6} * uni"))
+    )
+    return out.selectExpr(
+        "doc1", "doc2", "inter",
+        "CAST((inter * 1000000) DIV uni AS BIGINT) AS jaccard_e6",
+    ).orderBy("doc1", "doc2")

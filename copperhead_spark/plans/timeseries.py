@@ -790,3 +790,223 @@ def t12_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("typ", "day", "CAST(base + local_peak AS BIGINT) AS day_peak")
         .orderBy("typ", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on zero-filled daily series
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS typ,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT typ, MIN(d) AS dlo, MAX(d) AS dhi FROM daily GROUP BY 1),
+spine AS (SELECT typ, unnest(range(dlo, dhi + 1)) AS d FROM span),
+s AS (
+  SELECT spine.typ, spine.d, COALESCE(daily.c, 0) AS c
+  FROM spine LEFT JOIN daily ON spine.typ = daily.typ AND spine.d = daily.d
+),
+m AS (
+  SELECT typ, CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM s GROUP BY typ
+),
+dev AS (
+  SELECT s.typ, s.d,
+         CAST(s.c * 1000000 - (m.total * 1000000) // m.nd AS BIGINT) AS dev_e6,
+         m.nd
+  FROM s JOIN m ON s.typ = m.typ
+),
+run0 AS (
+  SELECT typ, d, nd, CAST(SUM(dev_e6) OVER w AS BIGINT) AS sp
+  FROM dev
+  WINDOW w AS (PARTITION BY typ ORDER BY d ROWS UNBOUNDED PRECEDING)
+),
+run AS (
+  SELECT typ, d, nd, sp,
+         CAST(LEAST(0, MIN(sp) OVER w2) AS BIGINT) AS runmin
+  FROM run0
+  WINDOW w2 AS (PARTITION BY typ ORDER BY d ROWS UNBOUNDED PRECEDING)
+),
+cu AS (SELECT typ, d, nd, sp - runmin AS cusum FROM run)
+SELECT typ, CAST(MIN(nd) AS BIGINT) AS n_days,
+       CAST(MAX(cusum) AS BIGINT) AS peak_cusum_e6,
+       CAST(MIN(CASE WHEN cusum = mx THEN d END) AS BIGINT) AS changepoint_day
+FROM (SELECT *, MAX(cusum) OVER (PARTITION BY typ) AS mx FROM cu)
+GROUP BY typ ORDER BY typ
+"""
+
+
+@register("t13_cusum_changepoint", oracle=_CUSUM_ORACLE, tags=("T1", "statistics"))
+def t13_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: deviations from the
+    series mean accumulate, and the one-sided CUSUM statistic is the
+    identity S_t - min(0, min_{s<=t} S_s) — a pure window algebra
+    rewrite of the textbook recursive max(0, C_{t-1} + dev) that SQL
+    windows cannot express directly.  The peak and its (earliest) day
+    are the changepoint report.  All arithmetic is exact: counts are
+    integers, the mean enters as a 1e-6 fixed-point floor, deviations
+    and prefix sums stay BIGINT.
+
+    Scale design: identical envelope to t11_acf_lags — the raw log
+    collapses to calendar-sized daily cells in one shuffle; the prefix
+    sum, running min, and argmax windows all run per type over days.
+    The recursive-definition-to-prefix-identity rewrite is the point:
+    it turns an inherently sequential statistic into two scans.
+
+    Reference analogue: events_spike_detection thresholds single days;
+    CUSUM finds sustained level shifts (the drift a spike test
+    misses)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr(
+            "event_type AS typ",
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d",
+        )
+        .groupBy("typ", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    span = daily.groupBy("typ").agg(F.min("d").alias("dlo"), F.max("d").alias("dhi"))
+    s = (
+        span.selectExpr("typ", "explode(sequence(dlo, dhi)) AS d")
+        .join(daily, ["typ", "d"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    m = s.groupBy("typ").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    dev = s.join(F.broadcast(m), "typ").selectExpr(
+        "typ",
+        "d",
+        "nd",
+        "CAST(c * 1000000 - (total * 1000000) DIV nd AS BIGINT) AS dev_e6",
+    )
+    w = (
+        Window.partitionBy("typ")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = dev.select(
+        "typ",
+        "d",
+        "nd",
+        F.sum("dev_e6").over(w).cast("long").alias("sp"),
+    ).select(
+        "typ",
+        "d",
+        "nd",
+        "sp",
+        F.least(F.lit(0).cast("long"), F.min("sp").over(w)).alias("runmin"),
+    )
+    cu = run.selectExpr("typ", "d", "nd", "CAST(sp - runmin AS BIGINT) AS cusum")
+    mx = cu.withColumn("mx", F.max("cusum").over(Window.partitionBy("typ")))
+    return (
+        mx.groupBy("typ")
+        .agg(
+            F.min("nd").cast("long").alias("n_days"),
+            F.max("cusum").cast("long").alias("peak_cusum_e6"),
+            F.min(F.when(F.col("cusum") == F.col("mx"), F.col("d")))
+            .cast("long")
+            .alias("changepoint_day"),
+        )
+        .orderBy("typ")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen trend (median of pairwise slopes) on daily series
+# ---------------------------------------------------------------------------
+
+
+def _ts_slope(dialect: str) -> str:
+    """Signed round-half-away((dy * 1e6) / dx) with nonneg operands in
+    each branch, so floor == truncation on both engines."""
+    div = "DIV" if dialect == "spark" else "//"
+    return (
+        "CASE WHEN dy >= 0 THEN (2 * dy * 1000000 + dx) {d} (2 * dx)"
+        " ELSE -((-2 * dy * 1000000 + dx) {d} (2 * dx)) END"
+    ).format(d=div)
+
+
+_THEIL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS typ,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.typ, b.c - a.c AS dy, b.d - a.d AS dx
+  FROM daily a JOIN daily b ON a.typ = b.typ AND a.d < b.d
+),
+slopes AS (SELECT typ, CAST({{s}} AS BIGINT) AS slope_e6 FROM pairs),
+r AS (
+  SELECT typ, slope_e6,
+         ROW_NUMBER() OVER (PARTITION BY typ ORDER BY slope_e6) AS rn,
+         COUNT(*) OVER (PARTITION BY typ) AS np
+  FROM slopes
+)
+SELECT typ, CAST(MIN(np) AS BIGINT) AS n_pairs,
+       CAST(MIN(CASE WHEN rn = (np + 1) // 2 THEN slope_e6 END) AS BIGINT)
+         AS slope_med_e6
+FROM r GROUP BY typ ORDER BY typ
+""".format(s=_ts_slope("duck"))
+
+
+@register("t14_theil_sen_trend", oracle=_THEIL_ORACLE, tags=("T1", "statistics"))
+def t14_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend estimator per event type: the (lower) median of
+    all pairwise slopes (c_b - c_a) / (d_b - d_a) over the daily count
+    series — the robust alternative to OLS (ml_ols_fit) that a single
+    outlier day cannot move.  Slopes are exact 1e-6 fixed point via the
+    signed round-half-away decomposition (nonneg operands in each CASE
+    branch, so integer division is engine-portable); the median is the
+    lower order statistic, same discipline as events_anomaly_mad.
+
+    Scale design: Theil-Sen is quadratic BY DEFINITION, so the only
+    scalable shape is histogram-then-quadratic: the 100 TB log first
+    collapses to calendar-sized daily cells (one partial-agg shuffle),
+    and the pair expansion runs over days-within-type — bounded by the
+    calendar, not the corpus (same envelope as ml_decision_stump's
+    threshold grid).  The pair join is a self-equi-join on type.
+
+    Reference analogue: none (robust-statistics surface beside OLS and
+    MAD)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr(
+            "event_type AS typ",
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d",
+        )
+        .groupBy("typ", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()  # tiny; joined with itself
+    )
+    pairs = (
+        daily.alias("a")
+        .join(daily.alias("b"), "typ")
+        .filter(F.col("a.d") < F.col("b.d"))
+        .selectExpr("typ", "b.c - a.c AS dy", "b.d - a.d AS dx")
+    )
+    slopes = pairs.selectExpr("typ", f"CAST({_ts_slope('spark')} AS BIGINT) AS slope_e6")
+    r = slopes.select(
+        "typ",
+        "slope_e6",
+        F.row_number()
+        .over(Window.partitionBy("typ").orderBy("slope_e6"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("typ")).alias("np"),
+    )
+    return (
+        r.groupBy("typ")
+        .agg(
+            F.min("np").cast("long").alias("n_pairs"),
+            F.min(F.when(F.col("rn") == (F.col("np") + 1) / 2, F.col("slope_e6")))
+            .cast("long")
+            .alias("slope_med_e6"),
+        )
+        .orderBy("typ")
+    )

@@ -469,3 +469,89 @@ def test_confusion_f1_mirror_exact(spark, sf_dir):
         # harmonic mean never exceeds either component
         assert f1 <= max(prec, rec)
         assert tp + fn <= total
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (brute-force replay)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_mirror_exact(spark, sf_dir):
+    from copperhead_spark.plans.dedup import _PF_MOD, _PF_T_E6
+
+    d = _df(sf_dir, "documents")
+    d = d[d.doc_id % _PF_MOD == 0]
+    toks = {int(r.doc_id): set(r.text.split(" ")) for r in d.itertuples()}
+    ids = sorted(toks)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            uni = len(toks[a] | toks[b])
+            if inter * 1_000_000 >= _PF_T_E6 * uni:
+                want[(a, b)] = (inter, (inter * 1_000_000) // uni)
+    got = _run(spark, sf_dir, "dedup_prefix_filter_pairs")
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.doc1, r.doc2)] == (r.inter, r.jaccard_e6)
+        assert r.jaccard_e6 >= _PF_T_E6
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_mirror_exact(spark, sf_dir):
+    ev = _df(sf_dir, "events")
+    days = ev.ts.dt.floor("D").astype("int64") // 86_400_000_000
+    got = _run(spark, sf_dir, "t13_cusum_changepoint")
+    want = {}
+    for typ in ev.event_type.unique():
+        dd = days[ev.event_type == typ]
+        lo, hi = int(dd.min()), int(dd.max())
+        series = [0] * (hi - lo + 1)
+        for x in dd:
+            series[int(x) - lo] += 1
+        nd = len(series)
+        mean_e6 = (sum(series) * 1_000_000) // nd
+        sp, runmin, best = 0, 0, (-1, None)
+        for i, c in enumerate(series):
+            sp += c * 1_000_000 - mean_e6
+            runmin = min(runmin, sp)
+            cusum = sp - min(0, runmin)
+            if cusum > best[0]:
+                best = (cusum, lo + i)
+        want[typ] = (nd, best[0], best[1])
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.typ] == (r.n_days, r.peak_cusum_e6, r.changepoint_day)
+        assert r.peak_cusum_e6 >= 0
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen trend
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_mirror_exact(spark, sf_dir):
+    from collections import Counter
+
+    from copperhead_spark.operators.kmeans import div_round_half_away
+
+    ev = _df(sf_dir, "events")
+    days = ev.ts.dt.floor("D").astype("int64") // 86_400_000_000
+    got = _run(spark, sf_dir, "t14_theil_sen_trend")
+    want = {}
+    for typ in ev.event_type.unique():
+        c = Counter(int(x) for x in days[ev.event_type == typ])
+        pts = sorted(c.items())
+        slopes = []
+        for i, (da, ca) in enumerate(pts):
+            for db, cb in pts[i + 1 :]:
+                slopes.append(div_round_half_away((cb - ca) * 1_000_000, db - da))
+        slopes.sort()
+        want[typ] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.typ] == (r.n_pairs, r.slope_med_e6)
