@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
+from copperhead_spark.functions.hashing import mix_sql
 from copperhead_spark.plans.registry import register
 
 _ITERS = 3
@@ -1324,3 +1325,99 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("r").cast("long").alias("rank"))
         )
     return ranks.select("node", F.col("rank").alias("ppr_e6"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-walk corpus (node2vec-style sequence generation)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+_WALK_SEED_MOD = 25
+_WALK_SALT = 71
+_WALK_SHIFT = 2_147_483_648  # 2^31: packs (score, node) into one BIGINT
+
+
+def _walk_score(u: str, t: int, v: str) -> str:
+    """Deterministic per-(node, step, neighbor) score — the hash that
+    replaces the RNG so walk corpora are reproducible shard-by-shard."""
+    return mix_sql(f"({u}) * 131 + {t} * 17 + ({v}) * 7919", _WALK_SALT)
+
+
+def _walk_oracle() -> str:
+    ctes = [
+        f"""e0 AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        f"""w0 AS (
+  SELECT DISTINCT src AS walker, src AS node FROM edges
+  WHERE src % {_WALK_SEED_MOD} = 0 AND src < {_SUPP_BASE}
+)""",
+    ]
+    sel = [
+        "SELECT walker, CAST(0 AS BIGINT) AS step, CAST(node AS BIGINT) AS node"
+        " FROM w0"
+    ]
+    for t in range(1, _WALK_STEPS + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT w.walker,
+         CAST(MIN({_walk_score("w.node", t, "e.dst")} * {_WALK_SHIFT} + e.dst)
+              % {_WALK_SHIFT} AS BIGINT) AS node
+  FROM w{t - 1} w JOIN edges e ON w.node = e.src
+  GROUP BY w.walker
+)"""
+        )
+        sel.append(
+            f"SELECT walker, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@register("graph_random_walks", oracle=_walk_oracle(), tags=("graph", "iterative"))
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-corpus generation (the node2vec/DeepWalk data pass): from
+    every seed node, take {_WALK_STEPS} steps, each choosing the
+    neighbor that minimizes a deterministic (node, step, neighbor) hash
+    — RNG replaced by the portable mix hash, so the 'random' walk corpus
+    is bit-reproducible on any engine and any shard layout (the property
+    that makes a 100 TB embedding-training corpus auditable).  The
+    (score, neighbor) argmin packs into one BIGINT (score * 2^31 +
+    node), so each step is a plain MIN aggregate.
+
+    Scale design: each step is one frontier join against the cached
+    src-partitioned edge list (SHUFFLE_HASH-hinted like pagerank) + one
+    partial-agg MIN — walker-count rows in flight, never |V|; steps
+    unroll into one Catalyst plan.  Emits the full (walker, step, node)
+    trajectory table — exactly the skip-gram training input.
+
+    Reference analogue: none (graph-embedding surface beside PPR/BFS);
+    the deterministic-RNG discipline comes from the reference's seeded
+    smearing (§2.8 deterministic random, corrections.py)."""
+    ed, _ = _edges_deg(spark, sf_dir)
+    seeds = (
+        ed.filter(
+            (F.col("src") % _WALK_SEED_MOD == 0) & (F.col("src") < _SUPP_BASE)
+        )
+        .select(F.col("src").alias("walker"))
+        .distinct()
+        .localCheckpoint()
+    )
+    walk = seeds.select("walker", F.col("walker").alias("node"))
+    out = walk.select("walker", F.lit(0).cast("long").alias("step"), "node")
+    for t in range(1, _WALK_STEPS + 1):
+        walk = (
+            ed.join(walk.hint("shuffle_hash"), ed.src == walk.node)
+            .groupBy("walker")
+            .agg(
+                F.expr(
+                    f"CAST(MIN({_walk_score('node', t, 'dst')} * {_WALK_SHIFT} + dst)"
+                    f" % {_WALK_SHIFT} AS BIGINT)"
+                ).alias("node")
+            )
+        )
+        out = out.unionByName(
+            walk.select("walker", F.lit(t).cast("long").alias("step"), "node")
+        )
+    return out

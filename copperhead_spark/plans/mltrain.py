@@ -692,3 +692,117 @@ def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# closed-form ridge regression (2 features, normal equations, 128-bit)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1_000_000
+
+
+def _ridge_beta(num: str, det: str, dialect: str) -> str:
+    """sign-split floor((num * 1e9) / det): nonneg operands per branch so
+    integer division is engine-portable; runs on DECIMAL(38,0)/HUGEINT."""
+    div = "DIV" if dialect == "spark" else "//"
+    return (
+        f"CASE WHEN {num} >= 0 THEN ({num} * 1000000000) {div} ({det})"
+        f" ELSE -((-({num}) * 1000000000) {div} ({det})) END"
+    )
+
+
+def _ridge_oracle() -> str:
+    b1 = _ridge_beta("num1", "det", "duck")
+    b2 = _ridge_beta("num2", "det", "duck")
+    return f"""
+WITH f AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1 * x1) AS BIGINT) AS a11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS a12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS a22,
+         CAST(SUM(x1 * y) AS BIGINT) AS b1,
+         CAST(SUM(x2 * y) AS BIGINT) AS b2
+  FROM f
+),
+d AS (
+  SELECT n, a11, a12, a22, b1, b2,
+         (CAST(a11 AS HUGEINT) + {_RIDGE_LAMBDA})
+           * (CAST(a22 AS HUGEINT) + {_RIDGE_LAMBDA})
+           - CAST(a12 AS HUGEINT) * a12 AS det,
+         (CAST(a22 AS HUGEINT) + {_RIDGE_LAMBDA}) * b1
+           - CAST(a12 AS HUGEINT) * b2 AS num1,
+         (CAST(a11 AS HUGEINT) + {_RIDGE_LAMBDA}) * b2
+           - CAST(a12 AS HUGEINT) * b1 AS num2
+  FROM m
+)
+SELECT n, a11, a12, a22, b1, b2,
+       CAST({b1} AS BIGINT) AS beta1_e9,
+       CAST({b2} AS BIGINT) AS beta2_e9
+FROM d
+"""
+
+
+@register("ml_ridge_fit", oracle=_ridge_oracle(), tags=("ml",))
+def ml_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (two features, no intercept): solve
+    (X'X + lambda*I) beta = X'y by Cramer's rule on exact BIGINT moment
+    sums, with the determinant/numerator products promoted to
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and the final 1e-9
+    fixed-point division sign-split so floor == truncation on both
+    engines.  The regularizer is what the plain OLS operator
+    (ml_ols_fit) lacks: it keeps the solve well-posed under collinear
+    features.
+
+    Scale design: identical to the OLS/a14 envelope — ONE partial-agg
+    shuffle reduces the fact table to six moment longs; the solve is a
+    single-row expression.  This is how closed-form linear models train
+    at 100 TB: the data pass is moment accumulation, the algebra is
+    metadata.  (k features need k^2/2 moments — same pass, wider row.)
+
+    Reference analogue: ml_ols_fit's J9-style exact-moment discipline
+    with regularization added."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.selectExpr(
+        "CAST(ROUND(l_quantity) AS BIGINT) AS x1",
+        "CAST(ROUND(l_discount * 100) AS BIGINT) AS x2",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y",
+    )
+    m = f.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("x1 * x1")).cast("long").alias("a11"),
+        F.sum(F.expr("x1 * x2")).cast("long").alias("a12"),
+        F.sum(F.expr("x2 * x2")).cast("long").alias("a22"),
+        F.sum(F.expr("x1 * y")).cast("long").alias("b1"),
+        F.sum(F.expr("x2 * y")).cast("long").alias("b2"),
+    )
+    d = m.selectExpr(
+        "n",
+        "a11",
+        "a12",
+        "a22",
+        "b1",
+        "b2",
+        f"(CAST(a11 AS DECIMAL(38,0)) + {_RIDGE_LAMBDA})"
+        f" * (CAST(a22 AS DECIMAL(38,0)) + {_RIDGE_LAMBDA})"
+        " - CAST(a12 AS DECIMAL(38,0)) * a12 AS det",
+        f"(CAST(a22 AS DECIMAL(38,0)) + {_RIDGE_LAMBDA}) * b1"
+        " - CAST(a12 AS DECIMAL(38,0)) * b2 AS num1",
+        f"(CAST(a11 AS DECIMAL(38,0)) + {_RIDGE_LAMBDA}) * b2"
+        " - CAST(a12 AS DECIMAL(38,0)) * b1 AS num2",
+    )
+    return d.selectExpr(
+        "n",
+        "a11",
+        "a12",
+        "a22",
+        "b1",
+        "b2",
+        f"CAST({_ridge_beta('num1', 'det', 'spark')} AS BIGINT) AS beta1_e9",
+        f"CAST({_ridge_beta('num2', 'det', 'spark')} AS BIGINT) AS beta2_e9",
+    )

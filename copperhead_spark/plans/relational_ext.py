@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from copperhead_spark.catalog import table
 from copperhead_spark.functions.exact import exact_sum_sql
+from copperhead_spark.functions.hashing import mix_sql
 from copperhead_spark.operators.histogram import histogram
 from copperhead_spark.plans.registry import register
 
@@ -707,4 +708,78 @@ def m1_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_qty_c").cast("long").alias("sum_qty_c"),
             F.sum("sum_price_c").cast("long").alias("sum_price_c"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# partition-level reconciliation fingerprints (Merkle-style audit)
+# ---------------------------------------------------------------------------
+
+_FP_SALT_A, _FP_SALT_B = 97, 193
+
+
+def _fp_rowhash() -> str:
+    """Row-content hash shared by both engines: canonical key mix folded
+    with a quantity-sensitive second mix, stays < 2^31."""
+    inner = mix_sql("l_orderkey * 7 + l_linenumber", _FP_SALT_A)
+    return mix_sql(f"{inner} + CAST(ROUND(l_quantity) AS BIGINT) * 31", _FP_SALT_B)
+
+
+_FP_ORACLE = f"""
+SELECT COALESCE(month, -1) AS month, n_rows, xor_fp, sum_fp FROM (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) * 100
+              + EXTRACT(month FROM l_shipdate) AS BIGINT) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(BIT_XOR({_fp_rowhash()}) AS BIGINT) AS xor_fp,
+         CAST(SUM({_fp_rowhash()} % 999999937) % 999999937 AS BIGINT) AS sum_fp
+  FROM lineitem
+  GROUP BY ROLLUP (1)
+)
+ORDER BY month
+"""
+
+
+@register("dq_merkle_fingerprint", oracle=_FP_ORACLE, tags=("dq", "audit"))
+def dq_merkle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level content fingerprints for cross-system
+    reconciliation: per ship-month (plus the ROLLUP grand total), the
+    row count, an order-free XOR fold of a per-row content hash, and a
+    modular sum fold (XOR alone cannot see a row duplicated twice; the
+    mod-p sum can, and it never overflows because every addend is
+    already reduced).  Two engines agreeing on (n, xor, sum) per
+    partition is the cheap way to prove a 100 TB copy is intact —
+    comparing fingerprints moves calendar-sized data, re-comparing rows
+    moves everything.
+
+    Exactness: the row hash is the portable quadratic mix (< 2^31);
+    both folds are associative and commutative, so the result is
+    independent of partitioning and merge order — the property that
+    makes the fingerprint well-defined across engines and cluster
+    layouts.
+
+    Scale design: one partial-agg shuffle, month-cardinality output;
+    the ROLLUP total comes from the same pass.  Matches the
+    delete-propagation / snapshot-diff family (s18, corpus_snapshot_
+    diff) with a constant-size certificate instead of row-level diffs.
+
+    Reference analogue: the reference trusts file counts + event sums
+    (io.py save/load round-trips); this is the same audit, made
+    content-sensitive."""
+    li = table(spark, sf_dir, "lineitem")
+    rh = _fp_rowhash()
+    return (
+        li.selectExpr(
+            "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS month",
+            f"{rh} AS rh",
+        )
+        .rollup("month")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(rh)").cast("long").alias("xor_fp"),
+            F.expr("SUM(rh % 999999937) % 999999937").cast("long").alias("sum_fp"),
+        )
+        .selectExpr(
+            "COALESCE(month, -1) AS month", "n_rows", "xor_fp", "sum_fp"
+        )
+        .orderBy("month")
     )

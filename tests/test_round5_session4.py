@@ -555,3 +555,131 @@ def test_theil_sen_mirror_exact(spark, sf_dir):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert want[r.typ] == (r.n_pairs, r.slope_med_e6)
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (exact integer replay)
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_mirror_exact(spark, sf_dir):
+    from copperhead_spark.functions.hashing import mix_py
+    from copperhead_spark.plans.graph import (
+        _SUPP_BASE, _WALK_SALT, _WALK_SEED_MOD, _WALK_STEPS,
+    )
+
+    con = duckdb.connect()
+    e0 = con.execute(
+        f"""SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+        FROM read_parquet('{sf_dir}/orders.parquet') o
+        JOIN read_parquet('{sf_dir}/lineitem.parquet') l
+          ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    nbrs = defaultdict(list)
+    for s, d in e0:
+        nbrs[s].append(d)
+        nbrs[d].append(s)
+    seeds = sorted(
+        v for v in nbrs if v % _WALK_SEED_MOD == 0 and v < _SUPP_BASE
+    )
+    want = {}
+    for w in seeds:
+        node = w
+        want[(w, 0)] = node
+        for t in range(1, _WALK_STEPS + 1):
+            node = min(
+                nbrs[node],
+                key=lambda v: (int(mix_py(node * 131 + t * 17 + v * 7919, _WALK_SALT)), v),
+            )
+            want[(w, t)] = node
+    got = _run(spark, sf_dir, "graph_random_walks")
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.walker, r.step)] == r.node
+    # every consecutive (node, next) must be a real edge
+    traj = {(r.walker, r.step): r.node for r in got.itertuples()}
+    for w in seeds:
+        for t in range(_WALK_STEPS):
+            assert traj[(w, t + 1)] in nbrs[traj[(w, t)]]
+
+
+# ---------------------------------------------------------------------------
+# Merkle reconciliation fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_merkle_fingerprint_mirror_exact(spark, sf_dir):
+    from copperhead_spark.functions.hashing import mix_py
+    from copperhead_spark.plans.relational_ext import _FP_SALT_A, _FP_SALT_B
+
+    li = _df(sf_dir, "lineitem")
+    inner = mix_py(
+        li.l_orderkey.to_numpy() * 7 + li.l_linenumber.to_numpy(), _FP_SALT_A
+    )
+    rh = mix_py(inner + li.l_quantity.round().astype("int64").to_numpy() * 31,
+                _FP_SALT_B)
+    month = (li.l_shipdate.dt.year * 100 + li.l_shipdate.dt.month).to_numpy()
+    got = _run(spark, sf_dir, "dq_merkle_fingerprint")
+    want = {}
+    for mo in set(month):
+        h = rh[month == mo]
+        want[int(mo)] = (
+            len(h),
+            int(__import__("functools").reduce(lambda a, b: a ^ b, map(int, h))),
+            int(sum(int(x) % 999999937 for x in h) % 999999937),
+        )
+    want[-1] = (
+        len(rh),
+        int(__import__("functools").reduce(lambda a, b: a ^ b, map(int, rh))),
+        int(sum(int(x) % 999999937 for x in rh) % 999999937),
+    )
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.month] == (r.n_rows, r.xor_fp, r.sum_fp)
+    # tamper sensitivity: flipping one row's quantity changes the total
+    rh2 = rh.copy()
+    rh2[0] = int(
+        mix_py(inner[0] + (int(li.l_quantity.round().iloc[0]) + 1) * 31, _FP_SALT_B)
+    )
+    assert (
+        int(__import__("functools").reduce(lambda a, b: a ^ b, map(int, rh2)))
+        != want[-1][1]
+    )
+
+
+# ---------------------------------------------------------------------------
+# ridge regression (exact bigint replay + shrinkage property)
+# ---------------------------------------------------------------------------
+
+
+def test_ridge_fit_mirror_exact(spark, sf_dir):
+    from copperhead_spark.plans.mltrain import _RIDGE_LAMBDA
+
+    li = _df(sf_dir, "lineitem")
+    x1 = li.l_quantity.round().astype("int64")
+    x2 = (li.l_discount * 100).round().astype("int64")
+    y = (li.l_extendedprice * 100).round().astype("int64")
+    a11 = int((x1 * x1).sum())
+    a12 = int((x1 * x2).sum())
+    a22 = int((x2 * x2).sum())
+    b1 = int((x1 * y).sum())
+    b2 = int((x2 * y).sum())
+    det = (a11 + _RIDGE_LAMBDA) * (a22 + _RIDGE_LAMBDA) - a12 * a12
+    num1 = (a22 + _RIDGE_LAMBDA) * b1 - a12 * b2
+    num2 = (a11 + _RIDGE_LAMBDA) * b2 - a12 * b1
+
+    def beta(num):
+        return (num * 10**9) // det if num >= 0 else -((-num * 10**9) // det)
+
+    got = _run(spark, sf_dir, "ml_ridge_fit")
+    assert len(got) == 1
+    r = next(got.itertuples())
+    assert (r.n, r.a11, r.a12, r.a22, r.b1, r.b2) == (
+        len(li), a11, a12, a22, b1, b2,
+    )
+    assert (r.beta1_e9, r.beta2_e9) == (beta(num1), beta(num2))
+    # shrinkage: a much larger lambda pulls both coefficients toward 0
+    lam = _RIDGE_LAMBDA * 10**6
+    det_l = (a11 + lam) * (a22 + lam) - a12 * a12
+    s1 = ((a22 + lam) * b1 - a12 * b2) * 10**9 // det_l
+    assert abs(s1) <= abs(r.beta1_e9)
