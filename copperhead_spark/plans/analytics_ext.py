@@ -715,3 +715,96 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dof"),
     ).orderBy("flag", "status")
+
+
+# ---------------------------------------------------------------------------
+# exact P99 without a full sort: histogram bin + in-bin order statistic
+# ---------------------------------------------------------------------------
+
+_P99_BIN = 100_000  # $1000 bins over price cents
+_P99_Q_NUM, _P99_Q_DEN = 99, 100
+
+_P99_ORACLE = f"""
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+),
+r AS (
+  SELECT flag, price_c,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY price_c) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM v
+)
+SELECT flag, CAST(MIN(n) AS BIGINT) AS n,
+       CAST(MIN(({_P99_Q_NUM} * n + {_P99_Q_DEN} - 1) // {_P99_Q_DEN}) AS BIGINT)
+         AS k,
+       CAST(MIN(CASE WHEN rn = ({_P99_Q_NUM} * n + {_P99_Q_DEN} - 1)
+                               // {_P99_Q_DEN}
+                THEN price_c END) AS BIGINT) AS p99_c
+FROM r GROUP BY flag ORDER BY flag
+"""
+
+
+@register("a21_two_phase_p99", oracle=_P99_ORACLE, tags=("A8", "quantiles"))
+def a21_two_phase_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT P99 (the k = ceil(0.99n) order statistic) per group without
+    ever sorting the data: phase 1 histograms values into $1000 bins and
+    walks the cumulative counts to find the one bin containing position
+    k; phase 2 sorts ONLY that bin's rows (a broadcast semi-join
+    selects them) and picks the (k - rows_before)-th.  The oracle is
+    the brute-force ROW_NUMBER order statistic, so the two-phase plan
+    is proven value-identical — including under ties at bin borders.
+
+    Scale design: this is how exact percentiles are computed at 100 TB
+    (approx_percentile bounds the bin; here the bound comes from the
+    exact histogram): one partial-agg shuffle for the histogram, window
+    walks over |bins| cells, then a second pass that sorts ~n/|bins|
+    rows per group instead of n.  The full-sort plan (a8_quantiles)
+    exists as the semantics; this is the plan you run when the sort
+    won't fit.
+
+    Reference analogue: A8/A10's quantile machinery with the
+    sort-avoidance strategy the reference never needed (its arrays fit
+    in memory)."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.selectExpr(
+        "l_returnflag AS flag",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c",
+    )
+    h = (
+        v.withColumn("bin", F.expr(f"price_c DIV {_P99_BIN}"))
+        .groupBy("flag", "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wb = (
+        Window.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "flag",
+        "bin",
+        (F.sum("c").over(wb) - F.col("c")).alias("before"),
+        F.sum("c").over(wb).alias("cum"),
+        F.sum("c").over(Window.partitionBy("flag")).cast("long").alias("n"),
+    ).withColumn(
+        "k",
+        F.expr(
+            f"CAST(({_P99_Q_NUM} * n + {_P99_Q_DEN} - 1) DIV {_P99_Q_DEN} AS BIGINT)"
+        ),
+    )
+    target = (
+        cum.filter((F.col("cum") >= F.col("k")) & (F.col("before") < F.col("k")))
+        .select("flag", "bin", "before", "n", "k")
+    )
+    inbin = v.withColumn("bin", F.expr(f"price_c DIV {_P99_BIN}")).join(
+        F.broadcast(target), ["flag", "bin"]
+    )
+    wr = Window.partitionBy("flag").orderBy("price_c")
+    return (
+        inbin.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+        .selectExpr("flag", "n", "k", "price_c AS p99_c")
+        .orderBy("flag")
+    )

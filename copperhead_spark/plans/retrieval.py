@@ -617,3 +617,70 @@ def emb_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _MS_TOPK)
         .select("qid", "doc_id", "maxsim", F.col("rn").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# diversified top-k (bounded results per group)
+# ---------------------------------------------------------------------------
+
+_DIV_PER_NATION = 2
+_DIV_TOPK = 10
+
+_DIV_ORACLE = f"""
+WITH r AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY ROUND(c_acctbal * 100) DESC, c_custkey ASC
+         ) AS rn_nation
+  FROM customer
+),
+d AS (SELECT * FROM r WHERE rn_nation <= {_DIV_PER_NATION})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bal_c DESC, c_custkey ASC) AS BIGINT)
+         AS rank,
+       c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, bal_c
+FROM d ORDER BY rank LIMIT {_DIV_TOPK}
+"""
+
+
+@register("retrieval_diversified_topk", oracle=_DIV_ORACLE, tags=("retrieval", "O3"))
+def retrieval_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: the best {_DIV_TOPK} customers by balance with
+    AT MOST {_DIV_PER_NATION} per nation — the result-diversification
+    constraint every search/recommendation surface applies so one group
+    cannot monopolize the page.  Two deterministic window ranks: a
+    per-group cap, then the global order over the survivors.
+
+    Scale design: the per-group rank is a hash-partitioned window (the
+    100 TB side, fully parallel); the global rank runs only on the
+    capped survivors ({_DIV_PER_NATION} x |groups| rows — roster-sized),
+    where a single-partition window is the correct plan, and the final
+    top-k compiles to TakeOrderedAndProject.  The naive alternative —
+    global sort, then scan-and-skip — cannot cap groups without a
+    sequential pass.
+
+    Reference analogue: O3 top-k per group composed with O2 global
+    top-k; the diversification constraint is the retrieval-stack
+    addition."""
+    cust = table(spark, sf_dir, "customer")
+    r = cust.selectExpr(
+        "c_custkey",
+        "CAST(c_nationkey AS BIGINT) AS c_nationkey",
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c",
+    ).withColumn(
+        "rn_nation",
+        F.row_number().over(
+            Window.partitionBy("c_nationkey").orderBy(
+                F.col("bal_c").desc(), F.col("c_custkey").asc()
+            )
+        ),
+    )
+    d = r.filter(F.col("rn_nation") <= _DIV_PER_NATION)
+    wg = Window.orderBy(F.col("bal_c").desc(), F.col("c_custkey").asc())
+    return (
+        d.withColumn("rank", F.row_number().over(wg).cast("long"))
+        .filter(F.col("rank") <= _DIV_TOPK)
+        .select("rank", "c_custkey", "c_nationkey", "bal_c")
+        .orderBy("rank")
+    )

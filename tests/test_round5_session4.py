@@ -683,3 +683,63 @@ def test_ridge_fit_mirror_exact(spark, sf_dir):
     det_l = (a11 + lam) * (a22 + lam) - a12 * a12
     s1 = ((a22 + lam) * b1 - a12 * b2) * 10**9 // det_l
     assert abs(s1) <= abs(r.beta1_e9)
+
+
+# ---------------------------------------------------------------------------
+# two-phase exact P99
+# ---------------------------------------------------------------------------
+
+
+def test_two_phase_p99_mirror_exact(spark, sf_dir):
+    li = _df(sf_dir, "lineitem")
+    got = _run(spark, sf_dir, "a21_two_phase_p99")
+    want = {}
+    for flag, sub in li.groupby("l_returnflag"):
+        v = sorted((sub.l_extendedprice * 100).round().astype("int64"))
+        n = len(v)
+        k = (99 * n + 99) // 100
+        want[flag] = (n, k, v[k - 1])
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.flag] == (r.n, r.k, r.p99_c)
+        # at least 99% of values sit at or below the reported P99
+        vals = (li.l_extendedprice[li.l_returnflag == r.flag] * 100).round()
+        assert (vals <= r.p99_c).mean() >= 0.99
+
+
+# ---------------------------------------------------------------------------
+# diversified top-k
+# ---------------------------------------------------------------------------
+
+
+def test_diversified_topk_mirror_exact(spark, sf_dir):
+    from collections import Counter
+
+    c = _df(sf_dir, "customer")
+    rows = sorted(
+        zip(
+            (c.c_acctbal * 100).round().astype("int64"),
+            c.c_custkey,
+            c.c_nationkey.astype("int64"),
+        ),
+        key=lambda r: (-r[0], r[1]),
+    )
+    per_nation = Counter()
+    picked = []
+    for bal, key, nat in rows:
+        if per_nation[nat] < 2:
+            per_nation[nat] += 1
+            picked.append((key, nat, bal))
+        if len(picked) > 10 * 30:
+            break
+    want = {
+        i + 1: t for i, t in enumerate(
+            sorted(picked, key=lambda r: (-r[2], r[0]))[:10]
+        )
+    }
+    got = _run(spark, sf_dir, "retrieval_diversified_topk")
+    assert len(got) == 10
+    for r in got.itertuples():
+        assert want[r.rank] == (r.c_custkey, r.c_nationkey, r.bal_c)
+    # diversity invariant on the result itself
+    assert max(Counter(got.c_nationkey).values()) <= 2
