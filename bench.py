@@ -348,6 +348,35 @@ def main() -> None:
                 soak[f"lsh_pairs_n_{lbl}"] = by.get(0, 0) + by.get(1, 0)
                 soak[f"lsh_pairs_n_{lbl}_cross_rep"] = by.get(0, 0)
 
+            # ---- prefix-filter soak: the EXACT similarity join on the
+            # same two 10x corpora (ids re-mapped so the operator's
+            # every-10th-doc slice covers the full replica set).  The
+            # claim under test mirrors the LSH one: candidate volume
+            # tracks true-duplicate density because prefixes hold the
+            # rarest tokens — on the clean corpus the prefix blocks are
+            # near-singletons and the verify join should almost vanish.
+            pf = queries["dedup_prefix_filter_pairs"]
+            pf_base = _time_query(spark, pf, sf_dir)
+            for lbl, d in (("dup10x", "dedup10x"), ("clean10x", "dedup10x_clean")):
+                (
+                    spark.read.parquet(f"{tmp}/{d}/documents.parquet")
+                    .selectExpr("doc_id * 10 AS doc_id", "text")
+                    .write.mode("overwrite")
+                    .parquet(f"{tmp}/pf_{lbl}/documents.parquet")
+                )
+                soak[f"dedup_prefix_filter_pairs_{lbl}"] = _time_query(
+                    spark, pf, f"{tmp}/pf_{lbl}"
+                )
+            if pf_base > 0:
+                soak["dedup_prefix_filter_scaling_vs_1x"] = round(
+                    soak["dedup_prefix_filter_pairs_dup10x"] / (10 * pf_base), 3
+                )
+                soak["dedup_prefix_filter_clean_vs_dup"] = round(
+                    soak["dedup_prefix_filter_pairs_clean10x"]
+                    / soak["dedup_prefix_filter_pairs_dup10x"],
+                    3,
+                )
+
             # ---- graph 10x soak: pagerank on 10 disconnected offset
             # copies of the bipartite graph.  Pass condition:
             # near-linear in edges — each iteration's frontier join must
