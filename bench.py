@@ -133,10 +133,38 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     load_start = os.getloadavg()
-    spark = get_spark(app_name="copperhead-bench")
 
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
+    young: dict[str, float] = {}
+
+    # ---- young-session pass FIRST, before this process owns any JVM:
+    # each batch of queries runs in a fresh interpreter (own JVM).  The
+    # pass used to run after the aged pass, but py4j keeps the parent's
+    # JVM (and its aged 48g heap) alive across spark.stop(), and the
+    # checkpoint-heavy queries (graph_pagerank, the tokenizer E2E)
+    # measured 4-6x slower in children spawned next to that resident
+    # heap than in the same batch run standalone (1.23s vs 5.98s,
+    # reproduced twice).  Young numbers must see a machine with no
+    # parent heap at all.
+    for i in range(0, len(names), _YOUNG_BATCH):
+        batch = names[i : i + _YOUNG_BATCH]
+        # a failed child loses ITS batch's young entries, never the
+        # whole record
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--young-batch",
+                 sf_dir, ",".join(batch)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(proc.stdout[-500:] + proc.stderr[-500:])
+            young.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+        except Exception as exc:  # noqa: BLE001
+            print(f"young batch {batch[0]}..{batch[-1]} failed: {exc}",
+                  file=sys.stderr)
+
+    spark = get_spark(app_name="copperhead-bench")
 
     # warmup: run the first query once to pay JVM + codegen startup
     if names:
@@ -151,7 +179,6 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="cph_bench_")
 
     timings: dict[str, float] = {}
-    young: dict[str, float] = {}
     soak: dict[str, float] = {}
 
     # ONE try/finally covers everything from fixture write to the last
@@ -191,39 +218,9 @@ def main() -> None:
             spark, ev
         )
 
-        # ---- young-session counterpart pass --------------------------
-        # every headline query re-timed in a FRESH INTERPRETER PROCESS
-        # (own JVM) so no query inherits the 30-query session history.
-        # queries[name] / queries_young[name] >> 1 with an unchanged plan
-        # == session aging, not a regression (the r03 bm25 question).
-        # r04 methodology restarted only the SparkContext; py4j keeps the
-        # JVM alive across stop()/getOrCreate(), so those "young" numbers
-        # still carried JIT-code-cache + heap history (measured on
-        # a1_count_per_group: 1.11s true-fresh vs 1.19s context-restart
-        # after 10 heavy queries vs 1.44s after the full aged pass — the
-        # r04 watch item was this artifact, not a plan change).  The
-        # parent context is stopped first so the child JVMs don't compete
-        # with an idle 48g heap.
-        spark.stop()
-        for i in range(0, len(names), _YOUNG_BATCH):
-            batch = names[i : i + _YOUNG_BATCH]
-            # a failed child loses ITS batch's young entries, never the
-            # whole record: the aged pass and soaks must still reach the
-            # driver's capture even if one fresh JVM dies (OOM killer,
-            # port clash) mid-young-pass
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--young-batch",
-                     sf_dir, ",".join(batch)],
-                    capture_output=True, text=True, timeout=1800,
-                )
-                if proc.returncode != 0:
-                    raise RuntimeError(proc.stdout[-500:] + proc.stderr[-500:])
-                young.update(json.loads(proc.stdout.strip().splitlines()[-1]))
-            except Exception as exc:  # noqa: BLE001
-                print(f"young batch {batch[0]}..{batch[-1]} failed: {exc}",
-                      file=sys.stderr)
-        spark = get_spark(app_name="copperhead-bench")
+        # (the young-session counterpart pass runs FIRST in main(), before
+        # this process owns a JVM — see the note there; it used to run
+        # here, between the aged pass and the soaks)
 
         # ---- 10x soak ------------------------------------------------
         # jagged pipeline at 10x the headline event count (100M-row scale
@@ -348,33 +345,53 @@ def main() -> None:
                 soak[f"lsh_pairs_n_{lbl}"] = by.get(0, 0) + by.get(1, 0)
                 soak[f"lsh_pairs_n_{lbl}_cross_rep"] = by.get(0, 0)
 
-            # ---- prefix-filter soak: the EXACT similarity join on the
-            # same two 10x corpora (ids re-mapped so the operator's
-            # every-10th-doc slice covers the full replica set).  The
-            # claim under test mirrors the LSH one: candidate volume
-            # tracks true-duplicate density because prefixes hold the
-            # rarest tokens — on the clean corpus the prefix blocks are
-            # near-singletons and the verify join should almost vanish.
+            # ---- prefix-filter soak: the EXACT similarity join on
+            # replicas of ITS OWN corpus slice (the operator reads every
+            # 10th doc; replica ids are orig*100 + rep*10 — all
+            # divisible by 10, so the in-plan filter passes exactly the
+            # replicated slice.  A first cut re-mapped the full dedup10x
+            # corpus, let 100x the docs through, and ground for >10
+            # min).  Two corpora: clean10x (10 Caesar-rotated replicas:
+            # docs 10x, TRUE pairs ~1x per replica, cross ~0 — the 100
+            # TB shape) and dup3x (3 near-identical replicas: true-pair
+            # volume ~9x base — exact joins MUST verify every true pair,
+            # so work here is pair-bound by definition; 10 replicas =
+            # 100x pairs = 254 s, measured, which is why the dup factor
+            # is 3).  Result-pair counts are recorded so the time
+            # ratios have their denominators next to them.
             pf = queries["dedup_prefix_filter_pairs"]
             pf_base = _time_query(spark, pf, sf_dir)
-            for lbl, d in (("dup10x", "dedup10x"), ("clean10x", "dedup10x_clean")):
-                (
-                    spark.read.parquet(f"{tmp}/{d}/documents.parquet")
-                    .selectExpr("doc_id * 10 AS doc_id", "text")
-                    .write.mode("overwrite")
-                    .parquet(f"{tmp}/pf_{lbl}/documents.parquet")
-                )
+            soak["prefix_filter_pairs_n_base"] = pf.builder(spark, sf_dir).count()
+            pf_slice10 = docs1.filter("doc_id % 10 = 0").selectExpr(
+                "explode(sequence(0, 9)) AS rep", "doc_id", "text"
+            )
+            pf_slice10.selectExpr(
+                "doc_id * 100 + rep * 10 AS doc_id",
+                f"translate(text, '{_AL}',"
+                f" substring(repeat('{_AL}', 2), rep + 1, 26)) AS text",
+            ).write.mode("overwrite").parquet(
+                f"{tmp}/pf_clean10x/documents.parquet"
+            )
+            docs1.filter("doc_id % 10 = 0").selectExpr(
+                "explode(sequence(0, 2)) AS rep", "doc_id", "text"
+            ).selectExpr(
+                "doc_id * 100 + rep * 10 AS doc_id",
+                "concat(text, ' v', CAST(rep AS STRING)) AS text",
+            ).write.mode("overwrite").parquet(
+                f"{tmp}/pf_dup3x/documents.parquet"
+            )
+            for lbl in ("clean10x", "dup3x"):
+                d = f"{tmp}/pf_{lbl}"
                 soak[f"dedup_prefix_filter_pairs_{lbl}"] = _time_query(
-                    spark, pf, f"{tmp}/pf_{lbl}"
+                    spark, pf, d
                 )
+                soak[f"prefix_filter_pairs_n_{lbl}"] = pf.builder(spark, d).count()
             if pf_base > 0:
-                soak["dedup_prefix_filter_scaling_vs_1x"] = round(
-                    soak["dedup_prefix_filter_pairs_dup10x"] / (10 * pf_base), 3
+                soak["dedup_prefix_filter_clean_scaling_vs_1x"] = round(
+                    soak["dedup_prefix_filter_pairs_clean10x"] / (10 * pf_base), 3
                 )
-                soak["dedup_prefix_filter_clean_vs_dup"] = round(
-                    soak["dedup_prefix_filter_pairs_clean10x"]
-                    / soak["dedup_prefix_filter_pairs_dup10x"],
-                    3,
+                soak["dedup_prefix_filter_dup3x_vs_1x"] = round(
+                    soak["dedup_prefix_filter_pairs_dup3x"] / (3 * pf_base), 3
                 )
 
             # ---- graph 10x soak: pagerank on 10 disconnected offset
