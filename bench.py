@@ -147,6 +147,18 @@ def main() -> None:
     # heap than in the same batch run standalone (1.23s vs 5.98s,
     # reproduced twice).  Young numbers must see a machine with no
     # parent heap at all.
+    # machine-warm child, discarded: the FIRST JVM after an idle box pays
+    # one-time costs that belong to the machine, not the query (pyspark
+    # jar page-cache faults, cpufreq ramp) — measured as a uniform ~2x on
+    # whichever batch ran first, vanishing on a warm re-run of the same
+    # batch.  The old ordering hid this because the parent's aged pass
+    # paid it.
+    if names:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--young-batch",
+             sf_dir, names[0]],
+            capture_output=True, text=True, timeout=1800,
+        )
     for i in range(0, len(names), _YOUNG_BATCH):
         batch = names[i : i + _YOUNG_BATCH]
         # a failed child loses ITS batch's young entries, never the
