@@ -416,3 +416,107 @@ def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rk).cast("long"))
         .orderBy("src", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# strict-progression funnel via a DFA fold over each user's event stream
+# ---------------------------------------------------------------------------
+
+_DFA_STEPS = ("view", "click", "purchase")
+_DFA_GAP_US = 24 * 3600 * 1_000_000  # each step must land within 24 h
+
+
+def _dfa_oracle() -> str:
+    # Independent derivation of the SAME anchored-greedy semantics: the
+    # anchor is the user's first view; each later step is the earliest
+    # matching event after the previously matched step and within the
+    # gap.  (With a gap window, greedy anchoring is a defined CHOICE,
+    # not an optimization-free fact — see the docstring.)
+    return f"""
+WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN us END) AS t1
+  FROM t GROUP BY 1
+),
+s2 AS (
+  SELECT t.user_id,
+         MIN(CASE WHEN event_type = 'click' AND us > t1
+                   AND us <= t1 + {_DFA_GAP_US} THEN us END) AS t2
+  FROM t JOIN s1 ON t.user_id = s1.user_id GROUP BY 1
+),
+s3 AS (
+  SELECT t.user_id,
+         MIN(CASE WHEN event_type = 'purchase' AND us > t2
+                   AND us <= t2 + {_DFA_GAP_US} THEN us END) AS t3
+  FROM t JOIN s2 ON t.user_id = s2.user_id GROUP BY 1
+),
+st AS (
+  SELECT s1.user_id,
+         CASE WHEN t3 IS NOT NULL THEN 3
+              WHEN t2 IS NOT NULL THEN 2
+              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+  FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+          JOIN s3 ON s1.user_id = s3.user_id
+)
+SELECT CAST(stage AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM st GROUP BY stage ORDER BY stage
+"""
+
+
+@register("seq_dfa_funnel", oracle=_dfa_oracle(), tags=("sessions", "sequence"))
+def seq_dfa_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel as a state machine: view -> click -> purchase,
+    each step strictly later than the matched previous step and within
+    24 h of it, evaluated over each user's FULL ordered event stream.
+    Semantics are anchored-greedy (the ClickHouse-windowFunnel family):
+    the chain anchors at the first view and each step matches its
+    earliest feasible event — a defined choice that can under-count
+    vs trying every anchor (optimal-anchor matching needs a per-anchor
+    scan; the mirror test pins greedy <= optimal).  The Spark plan runs
+    an actual DFA: the (ts-sorted) event array folds through
+    aggregate() with a (state, matched_ts) struct accumulator — the
+    sequential state machine SQL windows cannot express, run as one
+    whole-stage-codegen expression.  The oracle decides the same
+    semantics by the closed-form nested conditional MINs — an
+    independent derivation that proves the fold.
+
+    Scale design: one groupBy(user) shuffle builds the per-user arrays
+    (the envelope every sessionization op here accepts); the fold is
+    map-side, zero-shuffle, one state per user, partially aggregated
+    into the 4-row funnel report.  Arbitrary regex-style patterns
+    (MATCH_RECOGNIZE's core) compile to the same fold with a bigger
+    state table.
+
+    Reference analogue: P6's ordered channel cascade is a priority
+    CASE; this is the temporal-order generalization."""
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.selectExpr(
+            "user_id",
+            "named_struct('us', unix_micros(CAST(ts AS TIMESTAMP)),"
+            " 'eid', event_id, 'typ', event_type) AS e",
+        )
+        .groupBy("user_id")
+        .agg(F.expr("sort_array(collect_list(e))").alias("seq"))
+    )
+    fold = (
+        "aggregate(seq, named_struct('state', 0, 't', CAST(-1 AS BIGINT)),"
+        " (s, e) -> CASE"
+        "   WHEN s.state = 0 AND e.typ = 'view'"
+        "     THEN named_struct('state', 1, 't', e.us)"
+        f"   WHEN s.state = 1 AND e.typ = 'click' AND e.us > s.t"
+        f"        AND e.us <= s.t + {_DFA_GAP_US}"
+        "     THEN named_struct('state', 2, 't', e.us)"
+        f"   WHEN s.state = 2 AND e.typ = 'purchase' AND e.us > s.t"
+        f"        AND e.us <= s.t + {_DFA_GAP_US}"
+        "     THEN named_struct('state', 3, 't', e.us)"
+        "   ELSE s END"
+        ").state"
+    )
+    return (
+        seq.selectExpr(f"CAST({fold} AS BIGINT) AS stage")
+        .groupBy("stage")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("stage")
+    )

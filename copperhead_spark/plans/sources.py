@@ -817,3 +817,96 @@ def s19_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("sum_event_id"),
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sum_value_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot-versioned table: time-travel reads on plain parquet
+# ---------------------------------------------------------------------------
+
+_SNAP_BUMP = 10.0  # gen-2 adds a flat 10.00 to finished orders' totalprice
+
+_SNAP_ORACLE = f"""
+WITH g1 AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+  FROM orders
+),
+g2 AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  + CASE WHEN o_orderstatus = 'F'
+                         THEN {int(_SNAP_BUMP * 100)} ELSE 0 END) AS BIGINT)
+           AS total_c
+  FROM orders
+),
+ch AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F')
+SELECT CAST(1 AS BIGINT) AS gen, CAST(g1.n AS BIGINT) AS n_rows, g1.total_c,
+       CAST(0 AS BIGINT) AS rows_changed_vs_prev
+FROM g1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(g2.n AS BIGINT), g2.total_c,
+       CAST(ch.n AS BIGINT)
+FROM g2, ch
+ORDER BY gen
+"""
+
+
+@register("s21_snapshot_time_travel", oracle=_SNAP_ORACLE, tags=("S9", "lakehouse"))
+def s21_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on plain parquet via snapshot directories: gen-1 is
+    the orders table as-is; gen-2 applies an update (finished orders'
+    totalprice + {_SNAP_BUMP}) and is written to its OWN generation
+    directory, never touching gen-1 — the immutable-snapshot layout
+    (Iceberg/Delta's core idea without the format): readers pin a
+    generation path and are isolated from writers by construction.
+    The query reads BOTH generations back and reports per-generation
+    (rows, fixed-point total) plus the row-level diff count between
+    them (an anti-join on the full row), value-checked against an
+    oracle that derives every number straight from the source table —
+    any loss, duplication, or bleed between snapshots fails the hash.
+
+    Scale design: a generation write is one pass; as-of reads scan one
+    directory (partition pruning inside it still applies); the diff is
+    a hash-join on the snapshot key.  The 100 TB practice this pins:
+    never overwrite in place — write gen-N+1, flip a pointer, and
+    delete-before-write races (reference io.py:40-52's rm-then-save)
+    disappear.
+
+    Reference analogue: S9 output-overwrite management, upgraded from
+    delete-before-write to versioned snapshots."""
+    out = scratch_dir("snapshots", sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    g1 = orders.selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c",
+    )
+    g1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    g2 = g1.selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        f"total_c + IF(o_orderstatus = 'F', {int(_SNAP_BUMP * 100)}, 0) AS total_c",
+    )
+    g2.write.mode("overwrite").parquet(f"{out}/gen=2")
+    r1 = spark.read.parquet(f"{out}/gen=1")
+    r2 = spark.read.parquet(f"{out}/gen=2")
+    stats = []
+    for gen, df in ((1, r1), (2, r2)):
+        stats.append(
+            df.agg(
+                F.lit(gen).cast("long").alias("gen"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("total_c").cast("long").alias("total_c"),
+            )
+        )
+    # O(1) driver scalar (the dq_skew_profile pattern): joining the
+    # 1-row diff back would be a literal-keyed nested loop — both gen
+    # columns are constants, so every equi-form constant-folds away
+    diff_n = int(
+        r2.join(r1, ["o_orderkey", "o_orderstatus", "total_c"], "left_anti").count()
+    )
+    per_gen = stats[0].unionByName(stats[1])
+    return per_gen.withColumn(
+        "rows_changed_vs_prev",
+        F.when(F.col("gen") == 2, F.lit(diff_n)).otherwise(F.lit(0)).cast("long"),
+    ).orderBy("gen")

@@ -743,3 +743,73 @@ def test_diversified_topk_mirror_exact(spark, sf_dir):
         assert want[r.rank] == (r.c_custkey, r.c_nationkey, r.bal_c)
     # diversity invariant on the result itself
     assert max(Counter(got.c_nationkey).values()) <= 2
+
+
+# ---------------------------------------------------------------------------
+# DFA funnel (greedy replay + greedy <= optimal property)
+# ---------------------------------------------------------------------------
+
+
+def test_dfa_funnel_mirror_exact(spark, sf_dir):
+    from collections import Counter
+
+    from copperhead_spark.plans.sessions import _DFA_GAP_US, _DFA_STEPS
+
+    ev = _df(sf_dir, "events").sort_values(["ts", "event_id"])
+    us = ev.ts.astype("int64")
+    streams = {}
+    for uid, typ, t in zip(ev.user_id, ev.event_type, us):
+        streams.setdefault(int(uid), []).append((str(typ), int(t)))
+
+    def greedy(seq):
+        state, last = 0, -1
+        for typ, t in seq:
+            if state < len(_DFA_STEPS) and typ == _DFA_STEPS[state] and (
+                state == 0 or (t > last and t <= last + _DFA_GAP_US)
+            ):
+                state, last = state + 1, t
+        return state
+
+    def optimal(seq):
+        # try every event of step 0 as the anchor
+        best = 0
+        n = len(_DFA_STEPS)
+        for i, (typ, t) in enumerate(seq):
+            if typ != _DFA_STEPS[0]:
+                continue
+            state, last = 1, t
+            for typ2, t2 in seq[i + 1 :]:
+                if state < n and typ2 == _DFA_STEPS[state] and t2 > last and (
+                    t2 <= last + _DFA_GAP_US
+                ):
+                    state, last = state + 1, t2
+            best = max(best, state)
+            if best == n:
+                break
+        return best
+
+    stages = Counter(greedy(s) for s in streams.values())
+    got = _run(spark, sf_dir, "seq_dfa_funnel")
+    assert len(got) == len(stages)
+    for r in got.itertuples():
+        assert stages[r.stage] == r.n_users
+    # the anchored-greedy choice can only under-count vs optimal anchors
+    for s in streams.values():
+        assert greedy(s) <= optimal(s)
+
+
+# ---------------------------------------------------------------------------
+# snapshot time travel
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_time_travel_mirror_exact(spark, sf_dir):
+    o = _df(sf_dir, "orders")
+    total1 = int((o.o_totalprice * 100).round().astype("int64").sum())
+    n_f = int((o.o_orderstatus == "F").sum())
+    got = _run(spark, sf_dir, "s21_snapshot_time_travel").set_index("gen")
+    assert got.loc[1].n_rows == len(o) and got.loc[2].n_rows == len(o)
+    assert got.loc[1].total_c == total1
+    assert got.loc[2].total_c == total1 + 1000 * n_f
+    assert got.loc[1].rows_changed_vs_prev == 0
+    assert got.loc[2].rows_changed_vs_prev == n_f
