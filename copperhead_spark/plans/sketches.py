@@ -722,11 +722,23 @@ def seg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = words.selectExpr("seg AS seg_a", "w", "bm AS bm_a")
     b = words.selectExpr("seg AS seg_b", "w", "bm AS bm_b")
-    inter = (
+    overlap = (
         a.join(b, "w")
         .filter(F.col("seg_a") < F.col("seg_b"))
         .groupBy("seg_a", "seg_b")
         .agg(F.sum(F.bit_count(F.expr("bm_a & bm_b"))).cast("long").alias("n_both"))
+    )
+    # Anchor on the static pair roster so a segment pair sharing ZERO
+    # word indices still emits an n_both=0 row (the word-list inner join
+    # alone would drop it; the oracle emits every pair).  The roster is
+    # config-sized — a literal frame, no data pass.
+    names = sorted(n for n, _ in _SEG_DEFS)
+    roster = spark.createDataFrame(
+        [(x, y) for i, x in enumerate(names) for y in names[i + 1 :]],
+        "seg_a string, seg_b string",
+    )
+    inter = roster.join(overlap, ["seg_a", "seg_b"], "left").select(
+        "seg_a", "seg_b", F.coalesce("n_both", F.lit(0)).alias("n_both")
     )
     return (
         inter.join(F.broadcast(sizes.selectExpr("seg AS seg_a", "n AS n_a")), "seg_a")

@@ -1004,7 +1004,7 @@ def t14_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.groupBy("typ")
         .agg(
             F.min("np").cast("long").alias("n_pairs"),
-            F.min(F.when(F.col("rn") == (F.col("np") + 1) / 2, F.col("slope_e6")))
+            F.min(F.when(F.col("rn") == F.expr("(np + 1) DIV 2"), F.col("slope_e6")))
             .cast("long")
             .alias("slope_med_e6"),
         )

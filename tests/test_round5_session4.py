@@ -557,6 +557,30 @@ def test_theil_sen_mirror_exact(spark, sf_dir):
         assert want[r.typ] == (r.n_pairs, r.slope_med_e6)
 
 
+def test_theil_sen_even_pair_count(spark, tmp_path):
+    """Regression (r5 advice): with an EVEN pair count the lower-median
+    rank is (np+1) DIV 2, not (np+1)/2 — double division compares an
+    integer rank to x.5 and silently returns NULL.  4 days -> C(4,2)=6
+    pairs, so this synthetic corpus exercises the even branch the real
+    testdata never does."""
+    import pandas as pd
+
+    counts = {0: 1, 1: 3, 2: 2, 3: 7}  # day -> event count
+    rows = [
+        ("A", pd.Timestamp("1970-01-01") + pd.Timedelta(days=d))
+        for d, n in counts.items()
+        for _ in range(n)
+    ]
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df["event_id"] = range(len(df))
+    df.to_parquet(tmp_path / "events.parquet")
+    got = _run(spark, str(tmp_path), "t14_theil_sen_trend")
+    # slopes_e6 sorted: [-1e6, 5e5, 2e6, 2e6, 2e6, 5e6]; lower median
+    # = rank (6+1) DIV 2 = 3 -> 2_000_000 (NULL before the DIV fix)
+    assert got.n_pairs.tolist() == [6]
+    assert got.slope_med_e6.tolist() == [2_000_000]
+
+
 # ---------------------------------------------------------------------------
 # deterministic random walks (exact integer replay)
 # ---------------------------------------------------------------------------
