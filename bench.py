@@ -521,14 +521,25 @@ def main() -> None:
     # committed sf0.1 round record (that exact clobber happened once);
     # BENCH_LOCAL.json stays the canonical name for the driver's sf.
     fname = "BENCH_LOCAL.json" if sf >= 0.1 else f"BENCH_LOCAL_sf{sf}.json"
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
-            "w",
-        ) as fh:
-            fh.write(line + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout line is still the contract
+    if out["load_warning"]:
+        # HARD write-gate (r5 verdict task 2): a contaminated run must
+        # never become the committed record — the r5 "quiet-box" record
+        # landed with load_warning: true and its two apparent regressions
+        # were unadjudicable.  The stdout line still carries the data.
+        print(
+            f"# load_warning: start load {load_start[0]:.2f} > 2.0 — "
+            f"refusing to write {fname}",
+            file=sys.stderr,
+        )
+    else:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
+                "w",
+            ) as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass  # read-only checkout: stdout line is still the contract
     print(line)
 
 

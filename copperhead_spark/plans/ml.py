@@ -41,6 +41,63 @@ def ml_mlp_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# boosted-tree (GBDT) inference — F2 with a REAL tree-ensemble payload
+# ---------------------------------------------------------------------------
+
+# logistic link shared verbatim by both engines; only EXP touches libm and
+# the scale-4 fixed-point aggregate absorbs that (the MLP/tanh recipe)
+_SIGMOID = "CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-({m})))"
+
+
+def _gbdt_oracle() -> str:
+    from copperhead_spark.ml.gbdt import gbdt_margin_sql
+
+    return f"""
+WITH scored AS (
+  SELECT l_returnflag, l_orderkey % 2 AS fold,
+         ({gbdt_margin_sql()}) AS margin
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(fold AS BIGINT) AS fold, COUNT(*) AS n,
+       {exact_sum_sql("margin", 4)} AS margin_sum,
+       {exact_sum_sql(_SIGMOID.format(m="margin"), 4)} AS prob_sum
+FROM scored GROUP BY 1, 2
+"""
+
+
+@register("ml_gbdt_inference", oracle=_gbdt_oracle(), tags=("F2", "ml"))
+def ml_gbdt_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched boosted-tree inference with k-fold routing — F2 closed
+    with a real tree-ensemble payload (mva_evaluators.py:326-369 runs
+    XGBoost predict_proba per partition, fold = event % 4): 2 folds x 8
+    depth-3 trees evaluated by a vectorized Arrow-batched kernel
+    (ml/gbdt.py), margin -> logistic probability, aggregated per
+    (returnflag, fold).  The oracle evaluates the identical ensemble as
+    fully unrolled nested-CASE SQL — an independent evaluation strategy,
+    so broadcast + batch iteration + fold mask + heap traversal must
+    reproduce the closed form bit-exactly (margins are comparison-only;
+    the logistic's libm EXP is absorbed at fixed-point scale 4).
+
+    Scale design: inference is embarrassingly map-only — model size is
+    the only broadcast (KBs here, MBs for real BDTs), one UDF pass, no
+    shuffle before the partial agg.  At 100 TB the same plan holds; the
+    per-batch fold mask keeps one model hot per vector lane instead of
+    routing rows through a shuffle."""
+    from copperhead_spark.ml.gbdt import attach_gbdt_margin
+
+    li = table(spark, sf_dir, "lineitem")
+    scored = attach_gbdt_margin(li, fold_col="l_orderkey", margin_col="margin")
+    scored = scored.withColumn("prob", F.expr(_SIGMOID.format(m="margin")))
+    return scored.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 2).cast("long").alias("fold")
+    ).agg(
+        F.count("*").alias("n"),
+        exact_sum(F.col("margin"), 4).alias("margin_sum"),
+        exact_sum(F.col("prob"), 4).alias("prob_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # grouped-agg pandas UDF (the true Python-UDAF surface, completing §2.10:
 # scalar-iter, mapInPandas, cogrouped applyInPandas, applyInPandasWithState
 # and UDTF are registered elsewhere).  The aggregate is the LOWER MEDIAN —

@@ -214,6 +214,77 @@ _DRAIN_ORDER = (
     "ml_perceptron_train",
 )
 
+# Snapshot (start of round 6) of the 66 queries still never driver-checked,
+# in their r05 emit order (the 4 tail entries of _DRAIN_ORDER above plus the
+# 62 round-5 additions).  Same rationale as _DRAIN_ORDER: queries registered
+# in round 6+ queue BEHIND these regardless of which plan module they live
+# in, so the drain finishes on schedule (r06 window = first 50 below; the
+# remaining 16 + round-6 additions drain in r07).
+_DRAIN_ORDER_R6 = (
+    "j19_scd2_temporal_join",
+    "dq_benford_profile",
+    "m1_incremental_agg_refresh",
+    "dq_merkle_fingerprint",
+    "a19_rollup_hierarchy",
+    "a20_filtered_aggregates",
+    "j18_lateral_topk_per_nation",
+    "dq_chi2_independence",
+    "a21_two_phase_p99",
+    "w8_percent_rank_cume_dist",
+    "w9_frame_first_last_nth",
+    "o7_pareto_frontier",
+    "w10_window_distinct_count",
+    "t8_streaks_islands",
+    "t9_ewma_smoothing",
+    "t10_max_drawdown",
+    "t11_acf_lags",
+    "t12_concurrency_sweep",
+    "t13_cusum_changepoint",
+    "t14_theil_sen_trend",
+    "pipeline_fuzzy_dedup_e2e",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "dedup_prefix_filter_pairs",
+    "emb_matryoshka_topk",
+    "sim_ivf_incremental_add",
+    "text_pmi_collocations",
+    "ml_confusion_f1",
+    "sketch_cms_error_gate",
+    "seg_bitmap_intersect",
+    "stream_cdc_scd2_apply",
+    "s17_evolving_stream_merge",
+    "s18_delete_propagation",
+    "dq_skew_profile",
+    "s19_small_file_compaction",
+    "s21_snapshot_time_travel",
+    "sample_temperature_mixture",
+    "sample_poisson_bootstrap",
+    "text_chunk_overlap",
+    "pipeline_rag_chunk_embed_topk",
+    "text_tfidf_topterms",
+    "emb_maxsim_topk",
+    "retrieval_diversified_topk",
+    "emb_power_iteration",
+    "events_anomaly_mad",
+    "seq_markov_transitions",
+    "seq_dfa_funnel",
+    "graph_bfs_distances",
+    "graph_wcc_components",
+    "graph_hits",
+    "rec_copurchase_topk",
+    "graph_bellman_ford",
+    "graph_link_prediction",
+    "graph_personalized_pagerank",
+    "graph_random_walks",
+    "ml_ols_fit",
+    "ml_naive_bayes_classify",
+    "ml_decision_stump",
+    "ml_auc_rank",
+    "ml_target_encode_loo",
+    "ml_ridge_fit",
+    "geo_grid_radius_join",
+)
+
 
 def _row_green(row: dict) -> bool:
     """A driver correctness row counts as green iff it errored nowhere and
@@ -271,7 +342,9 @@ def all_queries() -> dict[str, Query]:
                 continue
             raise
     priority: list[str] = [
-        n for n in _DRIVER_WINDOW + _DRAIN_ORDER if n in _REGISTRY
+        n
+        for n in _DRIVER_WINDOW + _DRAIN_ORDER + _DRAIN_ORDER_R6
+        if n in _REGISTRY
     ]
     priority += [n for n in _REGISTRY if n not in set(priority)]
     status = _driver_status()

@@ -119,7 +119,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "operators/bloom.py: 8 KiB literal bitmap prefilters the fact side map-side before the exchange; no false negatives tested"),
     # 2.10 UDF surface
     ("F1", "Batched DNN inference + fold routing", ["ml_mlp_inference"], "ml/inference.py (UDF vs unrolled-SQL oracle)"),
-    ("F2", "Batched BDT inference", ["ml_mlp_inference"], "same operator shape; model payload swappable"),
+    ("F2", "Batched BDT inference", ["ml_gbdt_inference"], "real tree-ensemble payload (ml/gbdt.py): 2-fold x 8 depth-3 trees, vectorized heap traversal, logistic link; unrolled nested-CASE oracle"),
     ("F3", "Mass-resolution calibration lookup", ["j7_binned_lookup_2d"], "2-D binned broadcast lookup"),
     ("F4", "Rochester/JEC evaluators", ["j9_param_lookup_udf"], "operators/rochester.py"),
     ("F5", "Weights accumulator (ledger)", ["f5_weights_ledger"], "operators/weights.py (zero-safe variations unit-tested)"),
