@@ -461,3 +461,97 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum(F.col("l_extendedprice")).alias("price_sum"),
     )
+
+
+# fin4 pass-flag pins (fin1 pattern): verified at sf0.001 / sf0.01 / sf0.1
+# — per-source doc-length spectra are strongly exponential (winner 'exp'
+# for all 20 sources at every sf; slope observed in [-0.50, -0.33]; NLL
+# gain over the uniform null observed >= 53), so the pins carry ~2x
+# margins: slope window (-0.8, -0.2), gain bound 20.
+_FIN4_LO, _FIN4_HI = 1.0, 100.0  # fit window in 100-char units
+_FIN4_SLOPE_RANGE = (-0.8, -0.2)
+_FIN4_GAIN_MIN = 20.0
+
+
+@register(
+    "fin4_unbinned_nll_fit",
+    oracle="""
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(length(text)) AS BIGINT) AS len_sum,
+       CAST(4 AS BIGINT) AS n_finite_families,
+       'exp' AS winner_model,
+       CAST(1 AS BIGINT) AS slope_in_range_ok,
+       CAST(1 AS BIGINT) AS nll_gain_ok
+FROM documents
+WHERE length(text) >= 100 AND length(text) < 10000
+GROUP BY source
+""",
+    tags=("FIN1", "nll"),
+)
+def fin4_unbinned_nll_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbinned maximum-likelihood fit + AIC model selection (the NLL
+    twin of fin1_chi2_model_selection): the reference's stage-3 fits are
+    *unbinned* RooFit NLL fits of the collected mass column
+    (/root/reference/stage3/fitter.py:131-229); here each per-source
+    document-length spectrum (in 100-char units, window [1, 100)) is fit
+    with the positive-definite family menu (exp / bwGamma / powerlaw /
+    bwZ, finishing/nll.py) by coordinate-descent NLL minimization with
+    Simpson-normalized pdfs, AIC-argmin winning.
+
+    VALUE-CHECKED via the fin1 pass-flag contract: exact anchors the
+    oracle recomputes independently (per-source in-window row count and
+    total character count — proving the fit consumed exactly the right
+    unbinned column) plus pinned integers: all 4 families finite, the
+    winner family name itself ('exp' on this corpus at every tested sf),
+    the fitted rate inside a 2x-margin window, and the NLL improvement
+    over the uniform-null pdf above the pinned bound.  A fit regression
+    (family blow-up, selection flip, normalization bug — e.g. dropping
+    the len(x)*log(Z) term makes every family non-comparable) hash-fails
+    the driver gate.
+
+    Scale contract (SURVEY §2.11): Spark reduces the corpus to the
+    per-category unbinned column (projection + filter; O(1e2-1e5) values
+    per category, exactly what the reference hands RooDataSet) and the
+    driver fits each category — the 100 TB corpus never reaches the
+    driver."""
+    import math
+
+    from copperhead_spark.finishing.nll import select_best_model_nll
+
+    docs = table(spark, sf_dir, "documents")
+    per_source = (
+        docs.selectExpr("source", "length(text) AS len")
+        .filter((F.col("len") >= 100) & (F.col("len") < 10000))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("len").cast("long").alias("len_sum"),
+            F.collect_list((F.col("len") / F.lit(100.0)).cast("double")).alias("ms"),
+        )
+        .collect()
+    )
+    out = []
+    for r in sorted(per_source, key=lambda r: r["source"]):
+        import numpy as np
+
+        x = np.asarray(r["ms"], dtype=np.float64)
+        winner, results = select_best_model_nll(x, _FIN4_LO, _FIN4_HI, sweeps=6)
+        null_nll = len(x) * math.log(_FIN4_HI - _FIN4_LO)
+        slope = float(winner.params[0])
+        out.append(
+            (
+                r["source"],
+                int(r["n_rows"]),
+                int(r["len_sum"]),
+                sum(1 for q in results if math.isfinite(q.nll)),
+                winner.model,
+                int(_FIN4_SLOPE_RANGE[0] <= slope <= _FIN4_SLOPE_RANGE[1]),
+                int(null_nll - winner.nll >= _FIN4_GAIN_MIN),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "source string, n_rows bigint, len_sum bigint,"
+        " n_finite_families bigint, winner_model string,"
+        " slope_in_range_ok bigint, nll_gain_ok bigint",
+    )

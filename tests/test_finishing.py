@@ -271,3 +271,84 @@ def test_render_plot_is_gated_without_matplotlib():
 
         with pytest.raises(ImportError, match="matplotlib"):
             render_plot(spec, "/tmp/never_written.png")
+
+
+# ---------------------------------------------------------------------------
+# unbinned NLL path (r5 verdict task 4): parameter recovery on exact
+# inverse-CDF samples, and chi2-vs-NLL model-pick agreement
+# ---------------------------------------------------------------------------
+
+
+def _exp_sample(lam, lo, hi, n):
+    """Deterministic truncated-exponential sample: inverse CDF on the
+    midpoint grid (i+0.5)/n — no RNG, exact quantiles."""
+    u = (np.arange(n) + 0.5) / n
+    a, b = np.exp(lam * lo), np.exp(lam * hi)
+    return np.log(a + u * (b - a)) / lam
+
+
+def test_nll_exp_recovers_rate():
+    from copperhead_spark.finishing.nll import UNBINNED_FAMILIES, fit_nll
+
+    lam_true, lo, hi = -0.045, 1.0, 105.0
+    x = _exp_sample(lam_true, lo, hi, 20_000)
+    shape, p0, bounds = UNBINNED_FAMILIES["exp"]
+    res = fit_nll("exp", shape, x, lo, hi, p0, bounds, sweeps=6)
+    assert abs(res.params[0] - lam_true) < 5e-4
+    assert np.isfinite(res.nll)
+
+
+def test_nll_bwz_recovers_width():
+    from copperhead_spark.finishing.nll import UNBINNED_FAMILIES, fit_nll
+
+    # sample the Breit-Wigner via inverse CDF of the Cauchy in s = x^2
+    # domain approximation is avoided: just use numeric quantiles of the
+    # normalized shape on a fine grid (deterministic)
+    lo, hi, w_true = 60.0, 120.0, 4.2
+    shape, p0, bounds = UNBINNED_FAMILIES["bwZ"]
+    grid = np.linspace(lo, hi, 200_001)
+    pdf = shape(grid, w_true)
+    cdf = np.cumsum((pdf[1:] + pdf[:-1]) / 2)
+    cdf = np.concatenate([[0.0], cdf]) / np.sum((pdf[1:] + pdf[:-1]) / 2)
+    u = (np.arange(20_000) + 0.5) / 20_000
+    x = np.interp(u, cdf, grid)
+    res = fit_nll("bwZ", shape, x, lo, hi, p0, bounds, sweeps=6)
+    assert abs(res.params[0] - w_true) / w_true < 0.02
+
+
+def test_nll_model_selection_picks_generating_family_and_agrees_with_chi2():
+    from copperhead_spark.finishing.fits import _weighted_lstsq
+    from copperhead_spark.finishing.nll import (
+        UNBINNED_FAMILIES,
+        select_best_model_nll,
+    )
+
+    lam_true, lo, hi = -0.045, 1.0, 105.0
+    x = _exp_sample(lam_true, lo, hi, 20_000)
+    winner, results = select_best_model_nll(x, lo, hi, sweeps=6)
+    assert winner.model == "exp"
+    # AIC argmin really is the minimum over finite families
+    assert winner.aic <= min(r.aic for r in results if np.isfinite(r.nll))
+
+    # chi2 twin: histogram the SAME sample, fit each family with a
+    # profiled norm (1 shape column), pick min chi2/ndf -> must agree
+    counts, edges = np.histogram(x, bins=50, range=(lo, hi))
+    ctr = (edges[:-1] + edges[1:]) / 2
+    sig = np.sqrt(np.maximum(counts, 1.0))
+    best_chi2, best_name = None, None
+    from copperhead_spark.finishing.nll import _golden_min, nll_of  # noqa: F401
+
+    for name, (shape, p0, bounds) in UNBINNED_FAMILIES.items():
+
+        def chi2_at(v):
+            basis = shape(ctr, v)[:, None]
+            if not np.all(np.isfinite(basis)):
+                return np.inf
+            _, c2, _ = _weighted_lstsq(basis, counts.astype(float), sig)
+            return c2
+
+        v = _golden_min(chi2_at, bounds[0][0], bounds[0][1])
+        c2 = chi2_at(v) / (len(ctr) - 2)
+        if best_chi2 is None or c2 < best_chi2:
+            best_chi2, best_name = c2, name
+    assert best_name == winner.model
