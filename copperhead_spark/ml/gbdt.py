@@ -106,11 +106,17 @@ def attach_gbdt_margin(
 
 
 def _tree_sql(tr: dict[str, np.ndarray]) -> str:
+    # Thresholds/leaves are emitted as CAST(<literal> AS DOUBLE): DuckDB
+    # parses a bare 4-decimal literal as DECIMAL(5,4) and would sum the
+    # margin in exact decimal arithmetic, diverging from the numpy float64
+    # kernel by ~1 ulp (r6 ADVICE).  Forcing DOUBLE keeps the oracle's
+    # margin arithmetic bit-identical to _margin's left-associated float64
+    # sum on both engines.
     def node(i: int) -> str:
         if i >= 2**DEPTH:
-            return repr(float(tr["leaf"][i - 2**DEPTH]))
+            return f"CAST({float(tr['leaf'][i - 2**DEPTH])!r} AS DOUBLE)"
         feat_expr = FEATURES[int(tr["feat"][i - 1])][1]
-        thr = repr(float(tr["thr"][i - 1]))
+        thr = f"CAST({float(tr['thr'][i - 1])!r} AS DOUBLE)"
         return (
             f"(CASE WHEN ({feat_expr}) < {thr} "
             f"THEN {node(2 * i)} ELSE {node(2 * i + 1)} END)"

@@ -214,12 +214,13 @@ _DRAIN_ORDER = (
     "ml_perceptron_train",
 )
 
-# Snapshot (start of round 6) of the 66 queries still never driver-checked,
-# in their r05 emit order (the 4 tail entries of _DRAIN_ORDER above plus the
-# 62 round-5 additions).  Same rationale as _DRAIN_ORDER: queries registered
-# in round 6+ queue BEHIND these regardless of which plan module they live
-# in, so the drain finishes on schedule (r06 window = first 50 below; the
-# remaining 16 + round-6 additions drain in r07).
+# Snapshot (start of round 6) of the round-5 additions still never
+# driver-checked, in their r05 emit order: 62 entries here; 4 more
+# never-checked names live at the tail of _DRAIN_ORDER above and are not
+# repeated.  Same rationale as _DRAIN_ORDER: queries registered in round
+# 6+ queue BEHIND these regardless of which plan module they live in, so
+# the drain finishes on schedule (r06 window = those 4 tail entries +
+# the first 46 below; the remaining 16 + round-6 additions drain in r07).
 _DRAIN_ORDER_R6 = (
     "j19_scd2_temporal_join",
     "dq_benford_profile",

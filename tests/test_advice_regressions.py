@@ -310,3 +310,55 @@ def test_shared_edges_cache_builds_once_per_session(spark):
     assert calls["n"] == 1
     assert a is b
     assert sorted(r.src for r in b.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_gbdt_oracle_margin_float64_bitexact():
+    """ADVICE r6 #1: the nested-CASE oracle must compute the margin in
+    float64, not DECIMAL — DuckDB parses bare 4-decimal literals as
+    DECIMAL(5,4) and the exact-decimal sum diverged ~1 ulp from the numpy
+    kernel.  _tree_sql now emits CAST(<literal> AS DOUBLE); DuckDB's
+    margin must be bit-identical to _margin's float64 sum."""
+    import duckdb
+    import numpy as np
+
+    from copperhead_spark.ml.gbdt import (
+        N_FOLDS,
+        _margin,
+        fold_trees,
+        gbdt_margin_sql,
+    )
+    from copperhead_spark.ml.inference import FEATURES
+
+    sql = gbdt_margin_sql(fold_key="k")
+    assert "AS DOUBLE" in sql and "DECIMAL" not in sql
+
+    rng = np.random.RandomState(7)
+    n = 256
+    feats = {name: rng.uniform(0.0, 1.0, n) for name, _ in FEATURES}
+    keys = rng.randint(0, 10_000, n)
+    duck = duckdb.connect()
+    try:
+        cols = ", ".join(
+            f"UNNEST(?::DOUBLE[]) AS {name}" for name, _ in FEATURES
+        )
+        duck.execute(
+            f"CREATE TABLE t AS SELECT UNNEST(?::BIGINT[]) AS k, {cols}",
+            [keys.tolist(), *[feats[name].tolist() for name, _ in FEATURES]],
+        )
+        # the FEATURES exprs reference lineitem columns; here the table
+        # already holds the computed features, so strip to bare names
+        for name, _ in FEATURES:
+            sql = sql.replace(
+                f"({dict(FEATURES)[name]})", name
+            )
+        got = np.array(
+            [r[0] for r in duck.execute(f"SELECT ({sql}) FROM t").fetchall()]
+        )
+    finally:
+        duck.close()
+    X = np.column_stack([feats[name] for name, _ in FEATURES])
+    want = np.empty(n)
+    for k in range(N_FOLDS):
+        m = (keys % N_FOLDS) == k
+        want[m] = _margin(fold_trees(k), X[m])
+    assert np.array_equal(got, want)  # bit-identical, no tolerance
