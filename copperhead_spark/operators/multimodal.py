@@ -166,12 +166,202 @@ def decode_media(
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame-sampling stub for video payloads: real implementation needs
-    ffmpeg bindings; the operator contract is one row per sampled frame
-    keyed (doc_id, frame_idx)."""
-    raise NotImplementedError(
-        "frame_sample needs an ffmpeg/pyav decoder (not in this image); "
-        "contract: explode payload -> (doc_id, frame_idx, frame_payload) "
-        "via mapInPandas, partitioned by doc_id"
+# ---------------------------------------------------------------------------
+# WAV/RIFF PCM audio decode (real codec, pure numpy — no torchaudio/ffmpeg)
+# ---------------------------------------------------------------------------
+
+
+def wav_samples(payload: bytes):
+    """Parse a RIFF/WAVE container and return
+    ``(samples, sample_rate, n_channels, bits_per_sample)`` where
+    ``samples`` is an int64 numpy array of interleaved PCM samples
+    (8-bit unsigned or 16-bit signed little-endian, per the fmt chunk).
+
+    Real chunk-walking parser: validates the RIFF magic, WAVE form type,
+    and a PCM ``fmt `` chunk before touching ``data``; unknown chunks
+    (LIST, fact, cue, ...) are skipped by their declared size with the
+    RIFF odd-size pad byte honored.  Every scan is bounded by
+    len(payload) so truncated/corrupt containers raise instead of
+    spinning an executor task (same hardening rule as ppm_pixels)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    end = min(len(payload), 8 + riff_size)
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        csize = struct.unpack_from("<I", payload, i + 4)[0]
+        body_start = i + 8
+        if body_start + csize > end:
+            raise ValueError(f"truncated {cid!r} chunk (declared {csize} bytes)")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            (audio_format, n_channels, sample_rate, _byte_rate,
+             block_align, bits) = struct.unpack_from("<HHIIHH", payload, body_start)
+            if audio_format != 1:
+                raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+            if bits not in (8, 16):
+                raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+            if block_align != n_channels * (bits // 8):
+                raise ValueError("block_align inconsistent with channels/bits")
+            fmt = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            data = payload[body_start : body_start + csize]
+        i = body_start + csize + (csize & 1)  # RIFF pads odd chunks
+    if fmt is None:
+        raise ValueError("no fmt chunk")
+    if data is None:
+        raise ValueError("no data chunk")
+    n_channels, sample_rate, bits = fmt
+    dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
+    n = len(data) // dt.itemsize
+    smp = np.frombuffer(data, dtype=dt, count=n).astype(np.int64)
+    return smp, sample_rate, n_channels, bits
+
+
+def wav_encode(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
+    """Encode mono PCM samples to a minimal RIFF/WAVE container (the
+    inverse of wav_samples, used by tests and the payload-construction
+    step of mm_wav_real_decode).  16-bit signed LE or 8-bit unsigned."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    data = (
+        arr.astype("<i2").tobytes() if bits == 16 else arr.astype("u1").tobytes()
     )
+    block_align = bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (real parser over uncompressed netpbm streams)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_extent(payload: bytes, start: int):
+    """Header-parse one binary netpbm frame beginning at ``start`` and
+    return ``(w, h, channels, data_offset, frame_end)`` without copying
+    the raster.  Shares ppm_pixels' grammar (whitespace-separated tokens,
+    ``#`` comments, bounded scans)."""
+    magic = payload[start : start + 2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm frame at {start}: {magic!r}")
+    tokens: list[int] = []
+    i, end = start + 2, len(payload)
+    while len(tokens) < 3:
+        if i >= end:
+            raise ValueError("truncated netpbm header")
+        c = payload[i : i + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated netpbm header")
+            i = nl + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < end and not payload[j : j + 1].isspace():
+                j += 1
+            if j >= end:
+                raise ValueError("truncated netpbm header")
+            tokens.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval >= 256:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    frame_end = i + w * h * ch
+    if frame_end > end:
+        raise ValueError("truncated netpbm raster")
+    return w, h, ch, i, frame_end
+
+
+def split_frames(payload: bytes) -> list[bytes]:
+    """Split an uncompressed video stream of back-to-back binary netpbm
+    frames (the netpbm analogue of a y4m stream) into per-frame byte
+    slices.  A real parser — each frame's extent comes from its own
+    header, so variable-size frames are fine; trailing garbage raises."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        *_, frame_end = _ppm_extent(payload, pos)
+        frames.append(payload[pos:frame_end])
+        pos = frame_end
+    return frames
+
+
+FRAME_SCHEMA = (
+    "doc_id long, n_frames long, frame_idx long, "
+    "width long, height long, pixel_sum long"
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame sampling over uncompressed netpbm streams: each
+    payload is parsed into frames (split_frames), every ``every_n``-th
+    frame is decoded (ppm_pixels) and emitted as one row keyed
+    (doc_id, frame_idx) with its dimensions and exact pixel sum.
+
+    mapInPandas, embarrassingly parallel — no shuffle; the row
+    multiplier is ceil(n_frames/every_n), so input splits stay balanced
+    at 100 TB without a repartition.  Compressed codecs (H.264 etc.)
+    stay out of scope in this image: plugging ffmpeg/pyav means swapping
+    split_frames+ppm_pixels for an ``av.open`` loop inside the SAME
+    mapInPandas contract — schema, batching, and sampling stride are
+    codec-agnostic and pinned by mm_video_frame_sample's oracle."""
+    import numpy as np
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                frames = split_frames(bytes(p))
+                for k in range(0, len(frames), every_n):
+                    px = ppm_pixels(frames[k])
+                    rows.append(
+                        (
+                            doc_id,
+                            len(frames),
+                            k,
+                            px.shape[1],
+                            px.shape[0],
+                            int(np.asarray(px, dtype=np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx",
+                    "width", "height", "pixel_sum",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

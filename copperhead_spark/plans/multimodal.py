@@ -435,3 +435,149 @@ def mm_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return decode_media(payloads, decoder=ppm_decode)
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV/RIFF PCM decode (retires the audio half of the codec gap)
+# ---------------------------------------------------------------------------
+
+_WAV_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(1, 33),
+           i -> CAST(32 + ascii(substring(rpad(substring(text, 1, 32), 32, ' '), i, 1)) % 95 - 79
+                AS BIGINT)) AS smp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(32 AS BIGINT) AS n_samples,
+       CAST(w AS BIGINT) AS window_idx,
+       CAST(list_aggregate(list_transform(range(1, 17),
+            j -> smp[w * 16 + j] * smp[w * 16 + j]), 'sum') AS BIGINT) AS energy
+FROM s, LATERAL (SELECT unnest(range(0, 2)) AS w) t
+"""
+
+
+@register("mm_wav_real_decode", oracle=_WAV_ORACLE, tags=("multimodal",))
+def mm_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec decode path, driver-checked (the audio twin of
+    mm_ppm_real_decode): each document's first 32 chars (space-padded,
+    clamped to signed samples 32 + codepoint % 95 - 79 in [-47, 48])
+    become the PCM track of a genuine RIFF/WAVE container (fmt chunk:
+    PCM, mono, 8 kHz, 16-bit signed LE) built by wav_encode, and the
+    chunk-walking parser (operators/multimodal.wav_samples — RIFF magic,
+    WAVE form, fmt validation, odd-size pad handling, bounded scans)
+    decodes it back before the windowed-energy feature (2 windows x 16
+    samples, sum of squares) is computed FROM THE DECODED SAMPLES.  The
+    oracle recomputes energy from the text independently, so header
+    framing, little-endian int16 two's-complement round trip (samples
+    are signed — sign handling is load-bearing), and window arithmetic
+    are all value-pinned.  The reference's analogue is its torchaudio-
+    style media ingestion; here the container format itself is parsed
+    with no codec library, mirroring the netpbm precedent.
+
+    Scale: one mapInPandas pass, embarrassingly parallel, no shuffle;
+    at 100 TB the same plan holds — per-batch numpy encode/decode keeps
+    bytes out of Python row objects."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        from copperhead_spark.operators.multimodal import wav_encode, wav_samples
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chars = str(text)[:32].ljust(32, " ")
+                smp = np.array(
+                    [32 + ord(c) % 95 - 79 for c in chars], dtype=np.int64
+                )
+                dec, rate, nch, bits = wav_samples(
+                    wav_encode(smp, sample_rate=8000, bits=16)
+                )
+                for w in range(len(dec) // 16):
+                    win = dec[w * 16 : (w + 1) * 16]
+                    rows.append(
+                        (doc_id, rate, nch, bits, len(dec), w, int((win * win).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "bits",
+                    "n_samples", "window_idx", "energy",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, bits long, "
+            "n_samples long, window_idx long, energy long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame sampling (retires the frame_sample stub)
+# ---------------------------------------------------------------------------
+
+_VFS_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         1 + strlen(text) % 4 AS n_frames,
+         list_transform(range(1, 33),
+           i -> ascii(substring(rpad(substring(text, 1, 32), 32, ' '), i, 1))) AS cp
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_frames, cp, unnest(range(0, n_frames)) AS k FROM m
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(k AS BIGINT) AS frame_idx,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(list_aggregate(list_transform(range(1, 33),
+            i -> 32 + (cp[i] + 7 * k) % 95), 'sum') AS BIGINT) AS pixel_sum
+FROM f
+WHERE k % 2 = 0
+"""
+
+
+@register("mm_video_frame_sample", oracle=_VFS_ORACLE, tags=("multimodal",))
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, driver-checked: each document becomes
+    an uncompressed video stream of 1 + strlen % 4 back-to-back binary
+    P5 frames (8x4, frame k's raster = chr(32 + (codepoint_i + 7k) % 95)
+    — printable ASCII, so the string->binary cast is byte-exact), built
+    entirely with SQL expressions; frame_sample (operators/multimodal.py)
+    then PARSES the stream frame by frame — each frame's extent comes
+    from its own header via _ppm_extent, not from assumed fixed sizes —
+    and decodes every 2nd frame to (dims, exact pixel sum).  The oracle
+    recomputes sampled-frame sums from the text independently, pinning
+    stream splitting, header parsing, raster decode, and the sampling
+    stride.  This retires the tree's last NotImplementedError: compressed
+    codecs (H.264 etc.) remain out of scope without ffmpeg, but the
+    operator contract — payload -> one row per sampled frame keyed
+    (doc_id, frame_idx) via mapInPandas — is now a real parser, and a
+    pyav swap touches only the frame iterator."""
+    from copperhead_spark.operators.multimodal import frame_sample
+
+    docs = table(spark, sf_dir, "documents")
+    header = "concat('P5', chr(10), '8 4', chr(10), '255', chr(10))"
+    raster = (
+        "concat_ws('', transform(sequence(1, 32), i -> "
+        "chr(32 + pmod(ascii(substring(rpad(substring(text, 1, 32), 32, ' '), i, 1))"
+        " + 7 * k, 95))))"
+    )
+    payloads = docs.selectExpr(
+        "doc_id",
+        f"CAST(concat_ws('', transform(sequence(0, octet_length(text) % 4),"
+        f" k -> concat({header}, {raster}))) AS BINARY) AS payload",
+    )
+    return frame_sample(payloads, every_n=2)

@@ -126,3 +126,110 @@ def test_resize_plan_matches_numpy_on_real_pixels(spark, tmp_path):
         # columns are not driver-hashable)
         assert r.pixels == ",".join(str(v) for v in expect), i
         assert r.pixel_sum == int(expect.sum())
+
+
+# ---------------------------------------------------------------------------
+# round 7: WAV/RIFF parser + netpbm-stream frame sampler (real codecs)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_round_trip_16bit_signed():
+    import numpy as np
+
+    from copperhead_spark.operators.multimodal import wav_encode, wav_samples
+
+    want = np.array([0, 1, -1, 32767, -32768, 47, -79], dtype=np.int64)
+    smp, rate, nch, bits = wav_samples(wav_encode(want, sample_rate=8000, bits=16))
+    assert (rate, nch, bits) == (8000, 1, 16)
+    assert np.array_equal(smp, want)  # sign + LE byte order exact
+
+
+def test_wav_round_trip_8bit_and_odd_pad():
+    import numpy as np
+
+    from copperhead_spark.operators.multimodal import wav_encode, wav_samples
+
+    want = np.array([0, 255, 128], dtype=np.int64)  # 3 bytes -> odd data chunk
+    payload = wav_encode(want, sample_rate=44100, bits=8)
+    assert len(payload) % 2 == 0  # RIFF pad byte appended
+    smp, rate, nch, bits = wav_samples(payload)
+    assert (rate, nch, bits) == (44100, 1, 8)
+    assert np.array_equal(smp, want)
+
+
+def test_wav_skips_unknown_chunks():
+    import struct
+
+    import numpy as np
+
+    from copperhead_spark.operators.multimodal import wav_encode, wav_samples
+
+    base = wav_encode(np.array([5, -5]), bits=16)
+    # splice a LIST chunk between fmt and data
+    fmt_end = base.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    smp, *_ = wav_samples(spliced)
+    assert list(smp) == [5, -5]
+
+
+def test_wav_malformed_raises():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from copperhead_spark.operators.multimodal import wav_encode, wav_samples
+
+    ok = wav_encode(np.array([1, 2, 3]), bits=16)
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        wav_samples(b"OggS" + ok[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        wav_samples(ok[:-3])  # data chunk shorter than declared
+    # non-PCM format code
+    bad = bytearray(ok)
+    fmt_off = ok.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_off, 3)  # IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        wav_samples(bytes(bad))
+    with pytest.raises(ValueError, match="fmt"):
+        wav_samples(ok[:12])  # no chunks at all
+
+
+def _p5(w, h, vals):
+    return f"P5\n{w} {h}\n255\n".encode() + bytes(vals)
+
+
+def test_split_frames_variable_sizes():
+    from copperhead_spark.operators.multimodal import split_frames
+
+    a = _p5(2, 2, [1, 2, 3, 4])
+    b = _p5(3, 1, [9, 8, 7])
+    assert split_frames(a + b) == [a, b]
+    assert split_frames(b"") == []
+
+
+def test_split_frames_trailing_garbage_raises():
+    import pytest
+
+    from copperhead_spark.operators.multimodal import split_frames
+
+    a = _p5(2, 2, [1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        split_frames(a + b"XX")
+    with pytest.raises(ValueError):
+        split_frames(a[:-1])  # truncated raster
+
+
+def test_frame_sample_stride_and_sums(spark):
+    from copperhead_spark.operators.multimodal import frame_sample
+
+    stream = _p5(2, 1, [10, 20]) + _p5(2, 1, [1, 1]) + _p5(1, 1, [7])
+    df = spark.createDataFrame([(1, bytearray(stream))], "doc_id long, payload binary")
+    rows = {r.frame_idx: r for r in frame_sample(df, every_n=2).collect()}
+    assert set(rows) == {0, 2}  # stride skips frame 1
+    assert rows[0].n_frames == 3 and rows[0].pixel_sum == 30
+    assert rows[2].width == 1 and rows[2].pixel_sum == 7
+    one = frame_sample(df, every_n=1).collect()
+    assert sorted(r.frame_idx for r in one) == [0, 1, 2]
