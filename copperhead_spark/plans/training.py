@@ -551,3 +551,171 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("orig_sum_c"),
         F.sum(F.col("c") * F.col("cents")).cast("long").alias("boot_sum_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# THE pretraining-corpus pipeline as ONE query: quality gate -> lang-ID
+# routing -> fuzzy dedup (among survivors) -> benchmark decontamination
+# -> temperature mixture -> sequence packing -> per-language audit.
+# Every stage is an already-oracle-checked operator; this registers the
+# six-stage COMPOSITION under one full-value oracle — the single query a
+# 100 TB pretraining customer actually runs between "raw crawl" and
+# "token shards".
+# ---------------------------------------------------------------------------
+
+_E2E_DECON_T = 0.5  # drop docs with >= 50% benchmark 8-gram containment
+_E2E_MIX_SALT = "15485863"  # mixture hash-uniform salt (distinct stream)
+
+
+def _pretrain_e2e_oracle() -> str:
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+    from copperhead_spark.plans.dedup import _LSH_ORACLE
+    from copperhead_spark.plans.text import _gopher_pass, _langid_case
+
+    u = hash_uniform_sql("doc_id", _E2E_MIX_SALT)
+    return f"""
+WITH RECURSIVE
+q AS (
+  SELECT doc_id, {_langid_case("duck")} AS plang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE {_gopher_pass("duck")}
+),
+pairs AS ({_LSH_ORACLE}),
+qe AS (
+  SELECT p.doc1 AS a, p.doc2 AS b FROM pairs p
+  JOIN q q1 ON q1.doc_id = p.doc1 JOIN q q2 ON q2.doc_id = p.doc2
+),
+edges AS (SELECT a, b FROM qe UNION ALL SELECT b AS a, a AS b FROM qe),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM q
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+cc AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+dd AS (SELECT q.* FROM q JOIN cc USING (doc_id) WHERE doc_id = component),
+cont AS ({_contamination_oracle()}),
+bad AS (SELECT DISTINCT doc_id FROM cont WHERE containment >= {_E2E_DECON_T}),
+s4 AS (
+  SELECT dd.* FROM dd
+  WHERE dd.doc_id % {_BENCH_MOD} <> 0
+    AND dd.doc_id NOT IN (SELECT doc_id FROM bad)
+),
+m AS (SELECT plang, COUNT(*) AS n FROM s4 GROUP BY plang),
+r AS (
+  SELECT plang, SQRT(CAST(n AS DOUBLE)) / SQRT(CAST(max_n AS DOUBLE)) AS rate
+  FROM m CROSS JOIN (SELECT MAX(n) AS max_n FROM m)
+),
+s5 AS (SELECT s4.* FROM s4 JOIN r USING (plang) WHERE {u} < r.rate),
+packed AS (
+  SELECT doc_id, plang, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS off
+  FROM (SELECT s5.*, doc_id % {_NSHARDS} AS shard FROM s5)
+)
+SELECT plang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT shard * {_PACK_STRIDE} + off // {_CTX}) AS BIGINT)
+         AS n_packs,
+       CAST(SUM(off % {_CTX}) AS BIGINT) AS offset_checksum,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM packed GROUP BY plang
+"""
+
+
+@register(
+    "pipeline_pretrain_corpus_e2e",
+    oracle=_pretrain_e2e_oracle(),
+    tags=("text", "training", "dedup", "pipeline"),
+)
+def pipeline_pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus assembly END TO END, one plan, one oracle:
+
+    1. Gopher-style quality gate (row predicate, zero shuffle);
+    2. lang-ID routing (marker-ratio argmax — the PREDICTED language,
+       not the labeled column, drives the mixture downstream, so the
+       router is load-bearing);
+    3. fuzzy dedup among survivors: LSH candidate pairs restricted to
+       quality-passed endpoints, hash-min connected components, keep
+       each cluster's min-doc_id canonical;
+    4. benchmark decontamination: drop the benchmark carve-out itself
+       plus any doc with >= {_E2E_DECON_T} 8-gram containment against a
+       benchmark doc (broadcast n-gram screen);
+    5. temperature mixture (T=2): per predicted language keep docs at
+       rate sqrt(n)/sqrt(max n) via a deterministic hash uniform;
+    6. sequence packing: per-shard token cumsum into {_CTX}-token packs.
+
+    The audit row per language pins every stage: n_docs/id_checksum move
+    if any filter shifts, offset_checksum pins each survivor's exact
+    byte position in the pack stream (any dedup/mixture change re-flows
+    every downstream offset in its shard), n_packs pins the pack count.
+
+    Scale: stages 1-2 fuse into the scan; stage 3 costs the banding
+    shuffle + O(diameter) CC rounds on the (tiny) pair graph; stage 4 is
+    a broadcast semi-join (corpus never shuffled); stage 5 is one
+    ~|langs|-row aggregate + broadcast filter; stage 6 is one shuffle on
+    {_NSHARDS} hash shards.  Net: three corpus-wide exchanges at 100 TB,
+    none keyed on a skewable value."""
+    from copperhead_spark.operators.graph import connected_components
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+    from copperhead_spark.plans.dedup import dedup_minhash_lsh_pairs
+    from copperhead_spark.plans.text import (
+        _doc_stats,
+        _GOPHER_SCALAR_PASS,
+        _langid_case,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    q = (
+        _doc_stats(docs, ["doc_id", f"({_langid_case('spark')}) AS plang"])
+        .filter(F.expr(_GOPHER_SCALAR_PASS))
+        .selectExpr("doc_id", "plang", "CAST(ntok AS BIGINT) AS n_tokens")
+    )
+    qids = q.select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
+    pairs_q = pairs.join(
+        qids.withColumnRenamed("doc_id", "doc1"), "doc1"
+    ).join(qids.withColumnRenamed("doc_id", "doc2"), "doc2")
+    cc = connected_components(
+        qids, pairs_q, node_col="doc_id", src_col="doc1", dst_col="doc2"
+    )
+    dd = (
+        q.join(cc, "doc_id")
+        .filter(F.col("doc_id") == F.col("component"))
+        .drop("component")
+    )
+    bad = (
+        text_contamination_screen(spark, sf_dir)
+        .filter(F.col("containment") >= _E2E_DECON_T)
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = dd.filter(F.col("doc_id") % _BENCH_MOD != 0).join(
+        bad, "doc_id", "left_anti"
+    )
+    m = s4.groupBy("plang").agg(F.count("*").alias("n"))
+    # scalar-subquery pattern (see sample_domain_mixture): the global max
+    # is one literal, not a constant-key join that would fold to a BNLJ
+    max_n = int(m.agg(F.max("n")).first()[0])
+    rates = m.selectExpr(
+        "plang",
+        f"SQRT(CAST(n AS DOUBLE)) / SQRT(CAST({max_n} AS DOUBLE)) AS rate",
+    )
+    u = hash_uniform_sql("doc_id", _E2E_MIX_SALT)
+    s5 = (
+        s4.join(F.broadcast(rates), "plang")
+        .filter(F.expr(f"{u} < rate"))
+        .withColumn("shard", F.col("doc_id") % _NSHARDS)
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    packed = s5.withColumn(
+        "off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.groupBy("plang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct(
+            F.col("shard") * _PACK_STRIDE + F.expr(f"off div {_CTX}")
+        ).cast("long").alias("n_packs"),
+        F.sum(F.col("off") % _CTX).cast("long").alias("offset_checksum"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
