@@ -452,6 +452,117 @@ def main() -> None:
             soak["graph_pagerank_10x_edges"] = t10g
             soak["graph_pagerank_scaling_vs_1x"] = round(t10g / (10 * t1g), 3)
 
+            # ---- skew soak (r5 task 6): the 10x soaks above all run
+            # near-uniform keys; a 100 TB web corpus is Zipf.  Build a
+            # power-law edge list at the SAME 10x edge count — src drawn
+            # by Pareto inverse-CDF floor(1/u), i.e. Zipf(alpha=2), so
+            # the hottest node owns ~50% of ALL edges — and run the same
+            # frontier-join pagerank and LPA loops.  The zipf-vs-uniform
+            # ratio at equal edge count isolates what the hot key costs;
+            # the decision-rule record shows what a production pipeline
+            # would DO about it (operators/skew.choose_skew_strategy fed
+            # by the dq_skew_profile numbers measured here).
+            from copperhead_spark.operators.skew import choose_skew_strategy
+            from copperhead_spark.plans.graph import _LP_ROUNDS, lpa_iterations
+
+            n_e10 = ed10.count()
+            zipf_ed = (
+                spark.range(n_e10)
+                .selectExpr(
+                    # u in (0,1]; floor(1/u) capped at 100k nodes
+                    "least(CAST(1.0 / ((CAST(pmod(xxhash64(id * 31), 1000000)"
+                    " AS DOUBLE) + 1.0) / 1000000.0) AS BIGINT), 100000) AS src",
+                    "pmod(xxhash64(id), 100000) + 200000 AS dst",
+                )
+                .selectExpr(
+                    "src", "dst", "COUNT(*) OVER (PARTITION BY src) AS deg"
+                )
+                .localCheckpoint()
+            )
+            zipf_deg = zipf_ed.select("src", "deg").distinct().localCheckpoint()
+            # profile the join key exactly as dq_skew_profile would
+            kcounts = zipf_ed.groupBy("src").count()
+            top_cnt, n_keys = (
+                kcounts.selectExpr(
+                    "max(count) AS top", "count(*) AS nk"
+                ).first()
+            )
+            soak["zipf_edges_n"] = n_e10
+            soak["zipf_top_src_share_ppm"] = int(top_cnt * 1_000_000 // n_e10)
+            strat, n_salts = choose_skew_strategy(
+                int(top_cnt), int(n_e10), int(n_keys)
+            )
+            # rule verdict for the frontier join (rank side is |nodes|-
+            # sized: broadcastable at bench SF, NOT at 100 TB -> the
+            # record carries the scale-relevant no-dim-info verdict)
+            soak["zipf_rule_is_salt"] = 1 if strat == "salt" else 0
+            soak["zipf_rule_n_salts"] = n_salts
+            t_zpr = _pr_time(zipf_ed, zipf_deg)
+            soak["graph_pagerank_zipf10x_edges"] = t_zpr
+            soak["graph_pagerank_zipf_vs_uniform10x"] = round(t_zpr / t10g, 3)
+            # did AQE's skew-join splitting engage?  (At bench SF the
+            # honest answer is no: skewedPartitionThresholdInBytes
+            # defaults to 256 MB and the hot partition here is ~MBs.
+            # The plan string is checked, not assumed.)
+            pr_df = pagerank_iterations(zipf_ed, zipf_deg, 1)
+            pr_df.write.format("noop").mode("overwrite").save()
+            plan_str = pr_df._jdf.queryExecution().executedPlan().toString()
+            soak["zipf_aqe_skew_engaged"] = 1 if "skew=true" in plan_str else 0
+
+            def _lpa_time(e, d) -> float:
+                _gc.collect()
+                spark._jvm.System.gc()
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    lpa_iterations(e, d, _LP_ROUNDS).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                return round(best, 4)
+
+            soak["graph_lpa_10x_edges"] = _lpa_time(ed10, deg10)
+            soak["graph_lpa_zipf10x_edges"] = _lpa_time(zipf_ed, zipf_deg)
+            soak["graph_lpa_zipf_vs_uniform10x"] = round(
+                soak["graph_lpa_zipf10x_edges"] / soak["graph_lpa_10x_edges"], 3
+            )
+
+            # hot-BUCKET LSH: every 10th doc replaced by ONE constant
+            # text -> one band bucket holds 10% of the corpus and the
+            # pair stage must emit C(n/10, 2) pairs through it.  Time +
+            # pair count + the bucket-occupancy profile and the rule's
+            # verdict (at scale the mitigation is bucket-size capping /
+            # salting the bucket join — the rule flags it).
+            docs1.selectExpr(
+                "doc_id",
+                "CASE WHEN doc_id % 10 = 0 THEN"
+                " 'hot viral boilerplate page body repeated verbatim across mirrors'"
+                " ELSE text END AS text",
+            ).write.mode("overwrite").parquet(f"{tmp}/lsh_hot/documents.parquet")
+            soak["dedup_minhash_lsh_pairs_hotkey"] = _time_query(
+                spark, qp, f"{tmp}/lsh_hot"
+            )
+            soak["lsh_pairs_n_hotkey"] = qp.builder(
+                spark, f"{tmp}/lsh_hot"
+            ).count()
+            sig_q = queries["dedup_minhash_signatures"]
+            bands = sig_q.builder(spark, f"{tmp}/lsh_hot").selectExpr(
+                "stack(4, "
+                "0, concat(mh0, '_', mh1), 1, concat(mh2, '_', mh3), "
+                "2, concat(mh4, '_', mh5), 3, concat(mh6, '_', mh7)"
+                ") AS (band, bk)"
+            )
+            bprof = bands.groupBy("band", "bk").count()
+            btop, bkeys, brows = bprof.selectExpr(
+                "max(count) AS top", "count(*) AS nk", "sum(count) AS nr"
+            ).first()
+            soak["lsh_hot_top_bucket_docs"] = int(btop)
+            bstrat, bsalts = choose_skew_strategy(
+                int(btop), int(brows), int(bkeys)
+            )
+            soak["lsh_hot_rule_is_salt"] = 1 if bstrat == "salt" else 0
+            soak["lsh_hot_rule_n_salts"] = bsalts
+
             # ---- ANN 10x soak: the full vector-store e2e (kmeans index
             # build -> IVF+PQ probe -> ADC -> exact rerank -> recall
             # gate) on 10x the embedding corpus (each replica slightly
@@ -511,10 +622,13 @@ def main() -> None:
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
         },
-        # 1-minute load > 2 at start means timings are contaminated by
-        # background work (the r04 a1_count_per_group watch item): treat
-        # round-over-round deltas from this run as suspect
-        "load_warning": load_start[0] > 2.0,
+        # start load > 2 on the 1-minute OR the 5-minute average means
+        # timings are contaminated by background work (the r04
+        # a1_count_per_group watch item).  The 5-minute check is r6's
+        # lesson: that record passed the 1-min gate (1.91) while the
+        # 5-min average was 3.0 — a box busy two minutes earlier — and
+        # regressed 6-12% on queries whose code never changed.
+        "load_warning": load_start[0] > 2.0 or load_start[1] > 2.0,
     }
     line = json.dumps(out)
     # sf-suffixed filename: a smoke run at sf0.001 must not clobber the
@@ -527,8 +641,8 @@ def main() -> None:
         # landed with load_warning: true and its two apparent regressions
         # were unadjudicable.  The stdout line still carries the data.
         print(
-            f"# load_warning: start load {load_start[0]:.2f} > 2.0 — "
-            f"refusing to write {fname}",
+            f"# load_warning: start load 1-min {load_start[0]:.2f} / "
+            f"5-min {load_start[1]:.2f} exceeds 2.0 — refusing to write {fname}",
             file=sys.stderr,
         )
     else:
@@ -540,6 +654,103 @@ def main() -> None:
                 fh.write(line + "\n")
         except OSError:
             pass  # read-only checkout: stdout line is still the contract
+    print(line)
+
+
+def _soak100_main() -> None:
+    """100M-event jagged-pipeline soak (r6 verdict task 7) — one decade
+    past the per-round 10M soak, run on demand (`python bench.py
+    --soak100`) because generation + two timed passes cost ~10 min,
+    which does not belong in every round's record.  Writes
+    BENCH_SOAK100.json: wall time, per-unit scaling vs the committed
+    10M number, JVM heap high-water, and stage-level shuffle/spill
+    bytes from the status store — the numbers that expose the next
+    resource ceiling before a real cluster does."""
+    spark = get_spark(app_name="copperhead-bench-soak100")
+    from copperhead_spark.fixtures import events_fixture_distributed
+    from copperhead_spark.pipeline import stage1_arrays, stage2_variations
+
+    n = 100_000_000
+    tmp = tempfile.mkdtemp(prefix="cph_soak100_")
+    out: dict = {"n_events": n}
+    try:
+        t0 = time.perf_counter()
+        events_fixture_distributed(spark, n).write.parquet(f"{tmp}/events")
+        out["gen_write_sec"] = round(time.perf_counter() - t0, 2)
+        ev = spark.read.parquet(f"{tmp}/events")
+        out["input_bytes"] = sum(
+            f.stat().st_size
+            for f in os.scandir(f"{tmp}/events")
+            if f.name.endswith(".parquet")
+        )
+        # warmup on a small slice so codegen is not in the timed window
+        events_fixture_distributed(spark, 5000).write.parquet(f"{tmp}/wu")
+        wu = spark.read.parquet(f"{tmp}/wu")
+        stage2_variations(stage1_arrays(wu)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = float("inf")
+        for _ in range(2):
+            _gc.collect()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            stage2_variations(stage1_arrays(ev)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out["pipeline_jagged_100000k_events"] = round(best, 4)
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        out["jvm_heap_used_gb"] = round(
+            (rt.totalMemory() - rt.freeMemory()) / 2**30, 2
+        )
+        out["jvm_heap_max_gb"] = round(rt.maxMemory() / 2**30, 2)
+        try:
+            store = spark._jsc.sc().statusStore()
+            # py4j cannot use Scala default args: fetch each default
+            # explicitly (stageList(statuses, quantiles, taskStatus,
+            # withSummaries, unsortedQuantiles) in Spark 4)
+            defaults = [
+                getattr(store, f"stageList$default${i}")() for i in range(2, 6)
+            ]
+            stages = store.stageList(spark._jvm.java.util.ArrayList(), *defaults)
+            spill_mem = spill_disk = sh_read = sh_write = 0
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                spill_mem += s.memoryBytesSpilled()
+                spill_disk += s.diskBytesSpilled()
+                sh_read += s.shuffleReadBytes()
+                sh_write += s.shuffleWriteBytes()
+            out["memory_spill_gb"] = round(spill_mem / 2**30, 3)
+            out["disk_spill_gb"] = round(spill_disk / 2**30, 3)
+            out["shuffle_read_gb"] = round(sh_read / 2**30, 3)
+            out["shuffle_write_gb"] = round(sh_write / 2**30, 3)
+        except Exception as exc:  # noqa: BLE001 - metrics are best-effort
+            out["status_store_err"] = str(exc)[:200]
+        out["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
+        # per-unit scaling vs the committed per-round 10x record
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+                )
+            ) as fh:
+                prior = json.load(fh)["soak"].get("pipeline_jagged_10000k_events")
+            if prior:
+                out["scaling_vs_10m"] = round(
+                    out["pipeline_jagged_100000k_events"] / (10 * prior), 3
+                )
+        except (OSError, ValueError, KeyError):
+            pass
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    line = json.dumps(out)
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SOAK100.json"
+        ),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
     print(line)
 
 
@@ -561,5 +772,7 @@ def _young_batch_main(sf_dir: str, names: list[str]) -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--young-batch":
         _young_batch_main(sys.argv[2], sys.argv[3].split(","))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--soak100":
+        _soak100_main()
     else:
         main()

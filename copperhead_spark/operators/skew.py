@@ -69,3 +69,47 @@ def salted_join(
     # hash-partitioning is the skew-spreading mechanism; without the hint
     # Spark would broadcast the replicated dim and skip the shuffle
     return fact_s.join(dim_s.hint("shuffle_hash"), cond).drop("_salt")
+
+
+# thresholds for choose_skew_strategy (ppm = parts-per-million so the
+# rule is integer-exact and loggable next to dq_skew_profile's output)
+PLAIN_MAX_RATIO_PPM = 20_000_000  # hot key <= 20x the mean: AQE alone
+BROADCAST_MAX_DIM_ROWS = 10_000_000  # dim side small enough to broadcast
+TARGET_ROWS_PER_TASK = 2_000_000  # post-split rows a single task should hold
+MAX_SALTS = 64
+
+
+def choose_skew_strategy(
+    top_cnt: int,
+    n_rows: int,
+    n_keys: int,
+    dim_rows: int | None = None,
+) -> tuple[str, int]:
+    """THE decision rule wiring dq_skew_profile (plans/sources.py) to a
+    join/agg strategy: feed it the profile's rank-1 row (``top_cnt``,
+    ``n_rows``, ``n_keys``) plus the other join side's row count and it
+    returns ``(strategy, n_salts)``:
+
+    - ``('plain', 1)`` — hot key <= {PLAIN_MAX_RATIO_PPM/1e6:.0f}x the
+      mean key frequency: default hash join/agg; AQE's skew-join split
+      absorbs this band at runtime (spark.sql.adaptive.skewJoin).
+    - ``('broadcast', 1)`` — heavier skew but the dim side fits a
+      broadcast: a map-side join has no shuffle, so key distribution is
+      irrelevant; always preferred when available.
+    - ``('salt', k)`` — heavy skew AND a non-broadcastable other side:
+      salted_join/salted_sum with k = ceil(top_cnt / TARGET_ROWS_PER_TASK)
+      clamped to [2, {MAX_SALTS}], so the hottest key's rows spread to
+      ~TARGET_ROWS_PER_TASK-row tasks and the dim replication factor
+      stays bounded.
+
+    The rule is deliberately a pure integer function of the profile so a
+    100 TB pipeline can evaluate it per-stage from metadata alone — see
+    bench.py's skew soak, which records the rule's verdict next to the
+    measured Zipf timings it was derived from."""
+    ratio_ppm = top_cnt * n_keys * 1_000_000 // max(n_rows, 1)
+    if ratio_ppm <= PLAIN_MAX_RATIO_PPM:
+        return ("plain", 1)
+    if dim_rows is not None and dim_rows <= BROADCAST_MAX_DIM_ROWS:
+        return ("broadcast", 1)
+    n_salts = max(2, min(MAX_SALTS, -(-top_cnt // TARGET_ROWS_PER_TASK)))
+    return ("salt", n_salts)

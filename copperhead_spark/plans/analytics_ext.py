@@ -808,3 +808,111 @@ def a21_two_phase_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("flag", "n", "k", "price_c AS p99_c")
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (the privacy gate training corpora with user-derived
+# rows must pass before release): any quasi-identifier combination
+# shared by fewer than K individuals re-identifies them.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST({_KANON_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE n < {_KANON_K}) AS BIGINT) AS n_small_groups,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < {_KANON_K}), 0) AS BIGINT)
+         AS n_risky_rows,
+       CAST(MIN(n) AS BIGINT) AS min_group_size
+FROM g
+""",
+    tags=("dq", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (mktsegment, nationkey) quasi-
+    identifier pair: how many equivalence classes exist, how many fall
+    below k={_KANON_K}, and how many rows those classes expose — the
+    go/no-go numbers a privacy review reads before a dataset ships.
+    One partial-agg groupBy on the quasi-identifier (bounded key space),
+    then a scalar rollup; the base table is scanned once and only the
+    two audited columns are read (column pruning)."""
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n")
+    )
+    small = F.col("n") < _KANON_K
+    return g.agg(
+        F.lit(_KANON_K).cast("long").alias("k"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.count_if(small).cast("long").alias("n_small_groups"),
+        F.coalesce(F.sum(F.when(small, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("n").cast("long").alias("min_group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic column profiler (the DQ pass every lake runs on ingest):
+# null count / distinct count / min / max per column, one scan.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register("dq_column_profile", oracle=_profile_oracle(), tags=("dq",))
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column ingest profile (rows / nulls / exact distinct / min /
+    max, stringified for a type-uniform audit row) over a representative
+    column set.  ONE scan: all per-column aggregates run in a single
+    global agg (Spark plans multi-distinct via expand — one pass over
+    the data, |columns| expanded rows per input row), then the 1-row
+    wide result unpivots via stack into the audit shape.  The oracle
+    computes each column's profile independently (UNION ALL of scalar
+    scans) — a genuinely different plan shape, so agreement pins the
+    expand/unpivot rewrite, not the arithmetic.
+
+    Floats stringify via the engines' float-repr: both sides print
+    shortest-roundtrip doubles for these value ranges (pinned by the
+    driver hash)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (col_name, n_nulls, n_distinct, min_s, max_s)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")

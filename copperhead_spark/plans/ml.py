@@ -157,3 +157,62 @@ def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower_median(F.col("l_extendedprice")).alias("med_price"),
         group_count(F.col("l_extendedprice")).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# model-calibration bins (reliability-diagram input): bin scored rows by
+# MARGIN (comparison-exact on both engines — the margin is a sum of
+# literal leaves, bit-identical by construction, so flooring it into
+# bins can never diverge; binning by the logistic PROBABILITY would put
+# a libm EXP inside the bin boundary).
+# ---------------------------------------------------------------------------
+
+_CAL_BINW = 20  # bin = floor(margin * 20): 0.05-wide margin bins
+
+
+def _calibration_oracle() -> str:
+    from copperhead_spark.ml.gbdt import gbdt_margin_sql
+
+    return f"""
+WITH scored AS (
+  SELECT CAST(FLOOR(({gbdt_margin_sql()}) * {_CAL_BINW}) AS BIGINT) AS bin,
+         ({_SIGMOID.format(m=f"({gbdt_margin_sql()})")}) AS prob,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+  FROM lineitem
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       {exact_sum_sql("prob", 4)} AS prob_sum
+FROM scored GROUP BY bin
+"""
+
+
+@register("ml_calibration_bins", oracle=_calibration_oracle(), tags=("ml", "F2"))
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table for the GBDT scorer: rows bucketed into
+    0.05-wide margin bins, per bin the row count, positive-label count
+    (l_returnflag = 'R' as the pseudo-label) and the fixed-point sum of
+    predicted probabilities — n_pos/n vs prob_sum/n per bin IS the
+    calibration curve.  The binning key is the raw margin, bit-identical
+    across engines (see module note), so bucket membership is exact;
+    only the probability SUM touches libm and it is absorbed at scale 4
+    (the gbdt/MLP recipe).  Map-only scoring + one partial-agg groupBy
+    on ~tens of bins: the 100 TB eval set crosses the wire as |bins|
+    rows."""
+    from copperhead_spark.ml.gbdt import attach_gbdt_margin
+
+    li = table(spark, sf_dir, "lineitem")
+    scored = attach_gbdt_margin(li, fold_col="l_orderkey", margin_col="margin")
+    return (
+        scored.selectExpr(
+            f"CAST(FLOOR(margin * {_CAL_BINW}) AS BIGINT) AS bin",
+            f"({_SIGMOID.format(m='margin')}) AS prob",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            exact_sum(F.col("prob"), 4).alias("prob_sum"),
+        )
+    )

@@ -806,3 +806,87 @@ def ml_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({_ridge_beta('num1', 'det', 'spark')} AS BIGINT) AS beta1_e9",
         f"CAST({_ridge_beta('num2', 'det', 'spark')} AS BIGINT) AS beta2_e9",
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling (contrastive-training data prep):
+# for each anchor vector, probe a fixed hash sequence of candidate ids
+# and keep the first 3 with a DIFFERENT label — reproducible negatives
+# with no RNG state, stable under partitioning and reruns.
+# ---------------------------------------------------------------------------
+
+_NEG_PROBES = 8
+_NEG_KEEP = 3
+_NEG_A = 2654435761  # Knuth multiplicative hash constant
+_NEG_B = 40503
+
+
+@register(
+    "ml_negative_sampling",
+    oracle=f"""
+WITH c AS (
+  SELECT e.vec_id, e.label AS a_label, t.j,
+         (e.vec_id * {_NEG_A} + t.j * {_NEG_B})
+           % (SELECT COUNT(*) FROM embeddings) AS cand
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(1, {_NEG_PROBES + 1})) AS j) t
+),
+f AS (
+  SELECT c.vec_id, c.cand, b.label AS neg_label,
+         ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY c.j) AS rn
+  FROM c JOIN embeddings b ON b.vec_id = c.cand
+  WHERE b.label <> c.a_label AND c.cand <> c.vec_id
+)
+SELECT vec_id, CAST(rn AS BIGINT) AS neg_rank,
+       CAST(cand AS BIGINT) AS neg_id,
+       CAST(neg_label AS BIGINT) AS neg_label
+FROM f WHERE rn <= {_NEG_KEEP}
+""",
+    tags=("ml", "training", "sampling"),
+)
+def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative mining: each anchor probes
+    {_NEG_PROBES} candidate ids from a multiplicative-hash sequence
+    (vec_id * {_NEG_A} + j * {_NEG_B} mod n), labels resolve through one
+    equi-join, same-label and self hits are rejected, and the first
+    {_NEG_KEEP} survivors (probe order) are the anchor's negatives —
+    the standard contrastive-pairs prep, made a pure function of the
+    data so the training set is auditable and re-creatable.
+
+    Scale: the candidate explode is map-side (x{_NEG_PROBES}); the label
+    resolve is ONE shuffle equi-join on candidate id (or a broadcast of
+    the (id, label) projection when labels fit); the per-anchor rank
+    partitions by anchor — bounded at {_NEG_PROBES} rows each.  The
+    corpus-size scalar is one bounded driver literal (the documented
+    scalar-subquery pattern)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cands = emb.selectExpr(
+        "vec_id",
+        "label AS a_label",
+        f"posexplode(transform(sequence(1, {_NEG_PROBES}),"
+        f" j -> (vec_id * {_NEG_A} + j * {_NEG_B}) % {n})) AS (j, cand)",
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("cand"), F.col("label").alias("neg_label")
+    )
+    f = (
+        cands.join(labels, "cand")
+        .filter(
+            (F.col("neg_label") != F.col("a_label"))
+            & (F.col("cand") != F.col("vec_id"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("j")
+            ),
+        )
+        .filter(F.col("rn") <= _NEG_KEEP)
+    )
+    return f.select(
+        "vec_id",
+        F.col("rn").cast("long").alias("neg_rank"),
+        F.col("cand").cast("long").alias("neg_id"),
+        F.col("neg_label").cast("long").alias("neg_label"),
+    )

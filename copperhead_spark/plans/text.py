@@ -890,3 +890,121 @@ def ml_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(IF(prec_e6 + rec_e6 > 0,"
         " (2 * prec_e6 * rec_e6) DIV (prec_e6 + rec_e6), 0) AS BIGINT) AS f1_e6",
     ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation stats (the doc-structure profile readability /
+# chunking policies read): regex sentence split, non-empty after trim.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(list_aggregate(list_transform(sents, x -> length(x)), 'sum')
+         AS BIGINT) AS total_chars,
+       CAST(list_aggregate(list_transform(sents,
+            x -> len(string_split(x, ' '))), 'max') AS BIGINT)
+         AS max_sentence_tokens
+FROM s WHERE len(sents) > 0
+""",
+    tags=("text",),
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence profile: split on terminal punctuation
+    ([.!?] — the common RE2/Java regex subset, same rule as the PII
+    patterns), trim, drop empties; emit sentence count, surviving
+    character mass, and the longest sentence's token count (the number
+    a chunking policy keys on).  Pure array-HOF projection — map-only,
+    fused into the scan, zero shuffle at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.selectExpr(
+        "doc_id",
+        "filter(transform(split(text, '[.!?]'), x -> trim(x)),"
+        " x -> length(x) > 0) AS sents",
+    ).filter(F.expr("size(sents) > 0"))
+    return s.selectExpr(
+        "doc_id",
+        "CAST(size(sents) AS BIGINT) AS n_sentences",
+        "CAST(aggregate(transform(sents, x -> length(x)),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v) AS BIGINT) AS total_chars",
+        "CAST(array_max(transform(sents, x -> size(split(x, ' '))))"
+        " AS BIGINT) AS max_sentence_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate (tokenizer-eval op): what fraction of
+# the corpus' token stream falls outside the top-K vocabulary.
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 50
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+WITH counts AS (
+  SELECT t.token, COUNT(*) AS n
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  GROUP BY t.token
+),
+vocab AS (
+  SELECT token FROM counts
+  ORDER BY n DESC, token ASC LIMIT {_OOV_VOCAB_K}
+),
+tok AS (
+  SELECT d.source, t.token
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+         AS BIGINT) AS n_oov,
+       CAST((COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab)))
+         * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+FROM tok GROUP BY source
+""",
+    tags=("text", "tokenize"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus' own top-
+    {_OOV_VOCAB_K} vocabulary (count desc, token asc tie-break — the
+    text_vocab_topk ordering): the number a tokenizer/vocab-size
+    decision reads.  Two passes over the token stream: (1) one
+    partial-agg groupBy(token) whose top-K runs on the aggregated
+    vocabulary table (TakeOrderedAndProject), (2) a map-side membership
+    test against the BROADCAST K-row vocab + one groupBy(source) — the
+    corpus token stream itself is never shuffled in pass 2, so the plan
+    holds at 100 TB with any K that fits a broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    flagged = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.col("_in_vocab").isNull().cast("long")
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        F.expr("CAST(sum(CAST(_in_vocab IS NULL AS BIGINT)) * 1000000"
+               " DIV count(*) AS BIGINT)").alias("oov_ppm"),
+    )

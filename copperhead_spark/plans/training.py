@@ -719,3 +719,135 @@ def pipeline_pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("off") % _CTX).cast("long").alias("offset_checksum"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption statistics (the denoising-objective prep step:
+# which token spans get masked, at what ratio).  Deterministic block
+# variant: tokens are grouped into fixed _SC_BLOCK-token blocks and a
+# whole block is masked iff its hash uniform < _SC_RATE — parallel and
+# engine-portable, where sequential span sampling would serialize.
+# ---------------------------------------------------------------------------
+
+_SC_BLOCK = 3
+_SC_RATE = 0.15
+_SC_SALT = "524287"
+
+
+def _sc_u(block_expr: str) -> str:
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+
+    return hash_uniform_sql(f"doc_id * 131071 + ({block_expr})", _SC_SALT)
+
+
+@register(
+    "text_span_corruption",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         list_filter(range(0, (n_tokens + {_SC_BLOCK} - 1) // {_SC_BLOCK}),
+                     b -> {_sc_u("b")} < {_SC_RATE}) AS masked_blocks
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(len(masked_blocks) AS BIGINT) AS n_spans,
+       CAST(list_aggregate(list_transform(masked_blocks,
+            b -> least(n_tokens - b * {_SC_BLOCK}, {_SC_BLOCK})), 'sum')
+         AS BIGINT) AS n_masked,
+       CAST(list_aggregate(masked_blocks, 'sum') AS BIGINT) AS block_checksum
+FROM b
+WHERE len(masked_blocks) > 0
+""",
+    tags=("text", "training"),
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption masking stats (T5/UL2 denoising prep): each doc's
+    tokens are cut into {_SC_BLOCK}-token blocks; a block is masked iff
+    its per-(doc, block) hash uniform < {_SC_RATE} — the mask is a pure
+    function of (doc_id, block), so shards can mask independently with
+    no RNG state, and a rerun or engine change reproduces the exact
+    corpus.  Emits spans/masked-token counts and a block-index checksum
+    (pins WHICH blocks masked, not just how many).  Map-only — the
+    lambda-HOF pipeline fuses into the scan; zero shuffle at any
+    scale."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        f"filter(sequence(0, CAST((n_tokens + {_SC_BLOCK} - 1) DIV {_SC_BLOCK}"
+        f" - 1 AS BIGINT)), b -> {_sc_u('b')} < {_SC_RATE}) AS masked_blocks",
+    )
+    return base.filter(F.expr("size(masked_blocks) > 0")).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "CAST(size(masked_blocks) AS BIGINT) AS n_spans",
+        f"CAST(aggregate(masked_blocks, CAST(0 AS BIGINT), (a, b) ->"
+        f" a + least(n_tokens - b * {_SC_BLOCK}, {_SC_BLOCK})) AS BIGINT)"
+        " AS n_masked",
+        "CAST(aggregate(masked_blocks, CAST(0 AS BIGINT), (a, b) -> a + b)"
+        " AS BIGINT) AS block_checksum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-curriculum bucketing: order the corpus into NTILE deciles by a
+# deterministic quality proxy and publish per-decile composition — the
+# "feed cleaner data later in training" curriculum table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_quality_curriculum",
+    oracle="""
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(NTILE(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS BIGINT)
+           AS decile
+  FROM documents
+)
+GROUP BY decile
+""",
+    tags=("training", "sampling", "W1"),
+)
+def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: NTILE(10) deciles over a deterministic
+    quality proxy (n_chars, doc_id tie-break so bucket boundaries are
+    engine-exact), with per-decile size/range/token-mass and an
+    id-checksum that pins the exact membership of every bucket.
+
+    Scale note: NTILE over a global ORDER BY is a single-partition sort
+    — correct here because the windowed relation is (doc_id, n_chars),
+    tens of bytes a row, NOT the corpus body (the 100 TB text never
+    enters the window; it is joined back by id if bodies are needed).
+    For corpora where even the id list overflows one task, the
+    production swap is bucketing by approx percentile edges
+    (a8_quantiles), at the cost of exact decile sizes."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    slim = docs.selectExpr(
+        "doc_id",
+        "n_chars",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+    ).withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return slim.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )

@@ -147,3 +147,30 @@ def test_hll_merge_equals_rebuild(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["est_merged"] == r["est_direct"], r
+
+
+def test_choose_skew_strategy_bands():
+    """VERDICT r6 task 3: the documented decision rule from
+    dq_skew_profile's output to a join strategy."""
+    from copperhead_spark.operators.skew import choose_skew_strategy
+
+    # uniform: 1000 keys x 1000 rows each, hot key = mean -> plain
+    assert choose_skew_strategy(1_000, 1_000_000, 1_000) == ("plain", 1)
+    # 20x mean is still AQE territory (inclusive bound)
+    assert choose_skew_strategy(20_000, 1_000_000, 1_000) == ("plain", 1)
+    # heavy skew, broadcastable dim -> broadcast regardless of heat
+    assert choose_skew_strategy(500_000, 1_000_000, 1_000, dim_rows=5_000) == (
+        "broadcast",
+        1,
+    )
+    # heavy skew, dim too big -> salt, k = ceil(top/2M) in [2, 64]
+    st, k = choose_skew_strategy(500_000, 1_000_000, 1_000, dim_rows=10**9)
+    assert st == "salt" and k == 2
+    st, k = choose_skew_strategy(9_000_000, 10_000_000, 1_000, dim_rows=10**9)
+    assert st == "salt" and k == 5
+    # salts clamp at 64 even for a key holding everything
+    st, k = choose_skew_strategy(10**9, 10**9, 10**6, dim_rows=10**9)
+    assert st == "salt" and k == 64
+    # unknown dim side: must not assume broadcastable
+    st, k = choose_skew_strategy(500_000, 1_000_000, 1_000)
+    assert st == "salt"
