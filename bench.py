@@ -666,13 +666,17 @@ def _soak100_main() -> None:
     10M number, JVM heap high-water, and stage-level shuffle/spill
     bytes from the status store — the numbers that expose the next
     resource ceiling before a real cluster does."""
+    load_start = os.getloadavg()
     spark = get_spark(app_name="copperhead-bench-soak100")
     from copperhead_spark.fixtures import events_fixture_distributed
     from copperhead_spark.pipeline import stage1_arrays, stage2_variations
 
     n = 100_000_000
     tmp = tempfile.mkdtemp(prefix="cph_soak100_")
-    out: dict = {"n_events": n}
+    out: dict = {
+        "n_events": n,
+        "load_avg_start": [round(x, 2) for x in load_start],
+    }
     try:
         t0 = time.perf_counter()
         events_fixture_distributed(spark, n).write.parquet(f"{tmp}/events")
@@ -704,6 +708,28 @@ def _soak100_main() -> None:
             (rt.totalMemory() - rt.freeMemory()) / 2**30, 2
         )
         out["jvm_heap_max_gb"] = round(rt.maxMemory() / 2**30, 2)
+        # GC share of the timed window: the 10M->100M per-unit rise has
+        # no spill/shuffle signature, so the first suspects are GC churn
+        # from the jagged-array row shape vs plain scan IO — measure it
+        gcs = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        gc_before_ms = sum(
+            gcs.get(i).getCollectionTime() for i in range(gcs.size())
+        )
+        _gc.collect()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        stage2_variations(stage1_arrays(ev)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        gc_run_sec = time.perf_counter() - t0
+        gc_after_ms = sum(
+            gcs.get(i).getCollectionTime() for i in range(gcs.size())
+        )
+        out["gc_probe_run_sec"] = round(gc_run_sec, 2)
+        out["gc_probe_gc_sec"] = round((gc_after_ms - gc_before_ms) / 1000, 2)
+        out["gc_share_pct"] = round(
+            100 * (gc_after_ms - gc_before_ms) / 1000 / gc_run_sec, 1
+        )
         try:
             store = spark._jsc.sc().statusStore()
             # py4j cannot use Scala default args: fetch each default
@@ -744,13 +770,22 @@ def _soak100_main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     line = json.dumps(out)
-    with open(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SOAK100.json"
-        ),
-        "w",
-    ) as fh:
-        fh.write(line + "\n")
+    if load_start[0] > 2.0 or load_start[1] > 2.0:
+        # same hard write-gate as the main record: a contaminated soak
+        # must not clobber a clean one (stdout still carries the data)
+        print(
+            f"# load_warning: start load {load_start[0]:.2f}/{load_start[1]:.2f}"
+            " > 2.0 — refusing to write BENCH_SOAK100.json",
+            file=sys.stderr,
+        )
+    else:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_SOAK100.json"
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
     print(line)
 
 

@@ -916,3 +916,116 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args})"
         " AS (col_name, n_nulls, n_distinct, min_s, max_s)",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit: orphan foreign keys per relationship —
+# the lakehouse constraint check engines without enforced FKs must run.
+# ---------------------------------------------------------------------------
+
+_RI_RELS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _RI_RELS:
+        parts.append(f"""
+SELECT '{name}' AS relationship,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT c.{ck}) AS BIGINT) AS n_orphan_keys,
+       CAST(COALESCE(SUM(DISTINCT c.{ck}), 0) AS BIGINT) AS orphan_key_checksum
+FROM {child} c
+WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})""")
+    return " UNION ALL ".join(parts)
+
+
+@register("dq_referential_integrity", oracle=_ri_oracle(), tags=("dq",))
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK audit over three parent/child relationships (including
+    one that genuinely fires: events.user_id has no enforced FK into
+    customer): per relationship the child row count, orphan rows,
+    distinct orphan keys, and a key checksum pinning the exact orphan
+    SET.  Spark side: per relationship, one LEFT ANTI join of the child
+    KEY PROJECTION against the parent key projection — at 100 TB the
+    parent key set broadcasts (or graduates to a bloom prefilter,
+    bloom_semijoin_reduction's pattern); the child table is scanned
+    once per relationship with only the key column read."""
+    out = None
+    for name, child, ck, parent, pk in _RI_RELS:
+        c = table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        n_child = c.count()
+        orphans = c.join(F.broadcast(p), "k", "left_anti")
+        row = orphans.agg(
+            F.lit(name).alias("relationship"),
+            F.lit(n_child).cast("long").alias("n_child_rows"),
+            F.count("*").cast("long").alias("n_orphan_rows"),
+            F.countDistinct("k").cast("long").alias("n_orphan_keys"),
+            F.coalesce(F.sum_distinct(F.col("k")), F.lit(0))
+            .cast("long")
+            .alias("orphan_key_checksum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (k-anonymity's companion): a quasi-identifier group
+# is risky if its SENSITIVE attribute takes too few distinct values,
+# even when the group itself is large.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+           AS BIGINT) AS n_sensitive
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST({_LDIV_L} AS BIGINT) AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE n_sensitive < {_LDIV_L}) AS BIGINT)
+         AS n_low_diversity,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n_sensitive < {_LDIV_L}), 0)
+         AS BIGINT) AS n_risky_rows,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+FROM g
+""",
+    tags=("dq", "privacy"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: per (mktsegment, nationkey) quasi-identifier
+    group, the distinct count of the sensitive attribute (account
+    balance in 1000-unit buckets — floor of a ratio of exact decimals,
+    engine-portable); groups with fewer than l={_LDIV_L} distinct
+    sensitive values leak the attribute even when k-anonymous.  Same
+    single-groupBy shape as dq_k_anonymity — the two audits share one
+    shuffle in a combined run."""
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(
+            F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")
+        ).alias("n_sensitive"),
+    )
+    low = F.col("n_sensitive") < _LDIV_L
+    return g.agg(
+        F.lit(_LDIV_L).cast("long").alias("l"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.count_if(low).cast("long").alias("n_low_diversity"),
+        F.coalesce(F.sum(F.when(low, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+    )

@@ -684,3 +684,111 @@ def retrieval_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "c_custkey", "c_nationkey", "bal_c")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ranking-quality evaluation: nDCG@10 of the BM25 ranking against a
+# deterministic pseudo-relevance label — the eval metric every retrieval
+# pipeline publishes.  All transcendental pieces (1/log2(rank+1)) are
+# PRECOMPUTED Python literals shared verbatim by both engines; each
+# gain term is fixed-pointed to e9 before summation so the metric is
+# integer-exact.  With binary relevance the ideal ranking's DCG depends
+# only on the NUMBER of relevant docs, so IDCG is a prefix-sum CASE
+# lookup on n_rel — no second aggregate, no scalar cross join.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_REL_T = 0.3  # rel(doc) = 1 iff hash_u(doc_id) < 0.3
+
+
+def _ndcg_discount_cases(rank_col: str) -> str:
+    """CASE mapping rank -> ROUND(1e9 / log2(rank + 1)) as integer
+    literals (identical text on both engines, no libm at query time)."""
+    import math
+
+    whens = " ".join(
+        f"WHEN {rank_col} = {r} THEN {round(1e9 / math.log2(r + 1))}"
+        for r in range(1, _NDCG_K + 1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _ndcg_idcg_cases(nrel_col: str) -> str:
+    """CASE mapping n_rel -> IDCG@k in e9 (prefix sums of the discount
+    literals): with 0/1 relevance the ideal list is just the relevant
+    docs first, so IDCG is a function of their count alone."""
+    import math
+
+    pref = 0
+    whens = []
+    for r in range(1, _NDCG_K + 1):
+        pref += round(1e9 / math.log2(r + 1))
+        whens.append(f"WHEN {nrel_col} = {r} THEN {pref}")
+    return f"CASE {' '.join(whens)} ELSE 0 END"
+
+
+def _ndcg_oracle() -> str:
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+
+    u = hash_uniform_sql("doc_id", "282589933")
+    return f"""
+WITH ranked AS (
+  SELECT rank, doc_id,
+         CASE WHEN {u} < {_NDCG_REL_T} THEN 1 ELSE 0 END AS rel
+  FROM ({_bm25_oracle()})
+  WHERE rank <= {_NDCG_K}
+),
+dcg AS (
+  SELECT CAST(SUM(rel * ({_ndcg_discount_cases("rank")})) AS BIGINT) AS dcg_e9,
+         CAST(SUM(rel) AS BIGINT) AS n_rel
+  FROM ranked
+)
+SELECT CAST({_NDCG_K} AS BIGINT) AS k, n_rel, dcg_e9,
+       CAST({_ndcg_idcg_cases("n_rel")} AS BIGINT) AS idcg_e9,
+       CAST(CASE WHEN n_rel > 0
+                 THEN dcg_e9 * 1000000 // ({_ndcg_idcg_cases("n_rel")})
+                 ELSE 0 END AS BIGINT) AS ndcg_ppm
+FROM dcg
+"""
+
+
+@register("retrieval_ndcg_eval", oracle=_ndcg_oracle(), tags=("retrieval", "eval"))
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{_NDCG_K} of the BM25 ranking against a deterministic hash
+    pseudo-relevance label (rel = 1 iff hash_u(doc_id) < {_NDCG_REL_T} —
+    reproducible 'ground truth' standing in for human judgments): DCG
+    uses integer e9 discount literals precomputed in Python (no
+    query-time libm anywhere); IDCG, with binary labels, is a prefix-sum
+    CASE on the relevant-doc count; the final ratio ships in ppm — the
+    retrieval twin of dedup_lsh_recall / sim_ivf_recall: the quality
+    claim itself is oracle-checked.  Scale: the eval runs on the
+    top-{_NDCG_K} slice (driver-sized, ONE aggregate row, no scalar
+    cross join); the corpus cost is text_bm25_topk's map-only scoring
+    pass."""
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+
+    u = hash_uniform_sql("doc_id", "282589933")
+    ranked = (
+        text_bm25_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _NDCG_K)
+        .selectExpr(
+            "rank",
+            "doc_id",
+            f"CASE WHEN {u} < {_NDCG_REL_T} THEN 1 ELSE 0 END AS rel",
+        )
+    )
+    dcg = ranked.agg(
+        F.expr(
+            f"CAST(SUM(rel * ({_ndcg_discount_cases('rank')})) AS BIGINT)"
+        ).alias("dcg_e9"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    return dcg.selectExpr(
+        f"CAST({_NDCG_K} AS BIGINT) AS k",
+        "n_rel",
+        "dcg_e9",
+        f"CAST({_ndcg_idcg_cases('n_rel')} AS BIGINT) AS idcg_e9",
+        "CAST(CASE WHEN n_rel > 0"
+        f" THEN dcg_e9 * 1000000 DIV ({_ndcg_idcg_cases('n_rel')})"
+        " ELSE 0 END AS BIGINT) AS ndcg_ppm",
+    )

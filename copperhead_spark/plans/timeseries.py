@@ -1010,3 +1010,60 @@ def t14_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("typ")
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal (hour-of-day) profile: the per-season baseline anomaly
+# detectors and capacity planners subtract before looking at residuals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t15_seasonal_profile",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(ROUND(value * 10000) AS BIGINT) AS v4
+  FROM events
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n FROM h GROUP BY 1
+)
+SELECT h.event_type, hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v4) AS BIGINT) AS value_sum_4,
+       CAST(COUNT(*) * 24 * 1000000 // MAX(type_n) AS BIGINT)
+         AS share_vs_uniform_ppm
+FROM h JOIN tot USING (event_type)
+GROUP BY 1, 2
+""",
+    tags=("T1", "timeseries"),
+)
+def t15_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per event type: per (type, hour)
+    the event count, exact fixed-point value mass, and the hour's
+    traffic share relative to a uniform 24-hour spread (ppm, integer) —
+    the seasonal index an anomaly detector divides out before flagging
+    residuals (t13_cusum / events_spike_detection consume exactly this
+    shape).  Two partial-agg exchanges on tiny key spaces (type, then
+    type x 24); the per-type totals come back via a BROADCAST join, so
+    the event stream is shuffled once and only (type, hod) rows move
+    after that."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.selectExpr(
+        "event_type",
+        "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod",
+        "CAST(ROUND(value * 10000) AS BIGINT) AS v4",
+    )
+    tot = h.groupBy("event_type").agg(F.count("*").cast("long").alias("type_n"))
+    return (
+        h.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v4").cast("long").alias("value_sum_4"),
+            F.expr("CAST(COUNT(*) * 24 * 1000000 DIV MAX(type_n) AS BIGINT)")
+            .alias("share_vs_uniform_ppm"),
+        )
+    )
