@@ -1542,3 +1542,97 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_new_id", F.lit(-1)).alias("max_new_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# filtered ANN (the vector-DB composition every production deployment
+# needs: metadata predicate + approximate search).  PRE-filter variant:
+# the predicate restricts the candidate set BEFORE the probe join, so
+# every query still gets k results from the filtered universe — the
+# semantics post-filtering (filter after top-k) cannot guarantee.
+# ---------------------------------------------------------------------------
+
+_FANN_PRED_SQL = "label % 3 = 0"  # the metadata constraint under test
+
+
+def _filtered_ivf_oracle() -> str:
+    cents = _ivf_centroids()
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {_dot_duck("embedding", "embedding")} AS qn,
+         unnest({_ivf_probes_duck(cents)}) AS probe
+  FROM embeddings WHERE vec_id < {_NQ}
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS ce,
+         {_dot_duck("embedding", "embedding")} AS cn,
+         {_ivf_assign_duck(cents)} AS cid
+  FROM embeddings WHERE vec_id >= {_NQ} AND {_FANN_PRED_SQL}
+),
+scored AS (
+  SELECT query_id, cand_id,
+         CAST({_dot_duck("qe", "ce")} AS DOUBLE)
+           / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS cosine
+  FROM q JOIN c ON q.probe = c.cid
+)
+SELECT query_id, cand_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+  ) AS rn FROM scored
+) WHERE rn <= {_TOPK}
+"""
+
+
+@register(
+    "sim_filtered_ivf_topk",
+    oracle=_filtered_ivf_oracle(),
+    tags=("similarity", "retrieval"),
+)
+def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN top-k: sim_ivf_topk's exact plan with a metadata
+    predicate ({_FANN_PRED_SQL}) PRE-filtering the candidate side — the
+    filter lands in the candidate projection, so Catalyst pushes it to
+    the parquet scan (PushedFilters) and the probe join, rerank window,
+    and top-k all run on the filtered universe: every query is
+    guaranteed k results satisfying the predicate (post-filtering top-k
+    output cannot promise that).  This is the composition a production
+    vector store runs for every 'search within tenant/category/date'
+    request.  Scale: identical to sim_ivf_topk — the predicate only
+    SHRINKS the scanned cells; selectivity beyond what nprobe recall
+    tolerates is handled by raising nprobe, a literal knob."""
+    cents = _ivf_centroids()
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NQ).selectExpr(
+        "vec_id AS query_id",
+        "embedding AS qe",
+        f"{_norm2_spark('embedding')} AS qn",
+        f"explode({_ivf_probes_spark(cents)}) AS cid",
+    )
+    c = (
+        emb.filter(F.col("vec_id") >= _NQ)
+        .filter(F.expr(_FANN_PRED_SQL))
+        .selectExpr(
+            "vec_id AS cand_id",
+            "embedding AS ce",
+            f"{_norm2_spark('embedding')} AS cn",
+            f"{_ivf_assign_spark(cents)} AS cid",
+        )
+    )
+    scored = c.join(F.broadcast(q), "cid").selectExpr(
+        "query_id",
+        "cand_id",
+        f"CAST({_dot_spark('qe', 'ce')} AS DOUBLE)"
+        " / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            "query_id", "cand_id", "cosine", F.col("rn").cast("long").alias("rank")
+        )
+    )
