@@ -1552,7 +1552,13 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics post-filtering (filter after top-k) cannot guarantee.
 # ---------------------------------------------------------------------------
 
-_FANN_PRED_SQL = "label % 3 = 0"  # the metadata constraint under test
+# the metadata constraint under test — a plain comparison, deliberately:
+# parquet accepts simple predicates (=, <, IN, IsNotNull) for scan-level
+# pushdown; an arithmetic predicate (label % 3 = 0) evaluates in the
+# scan stage's FilterExec instead — still before the probe join, but
+# without row-group pruning.  Production filtered-ANN schemas put the
+# filterable attribute in pushable form (or a partition column).
+_FANN_PRED_SQL = "label < 4"
 
 
 def _filtered_ivf_oracle() -> str:
