@@ -383,3 +383,84 @@ def test_perceptron_trajectory_partition_independent(spark_prop, sf_dir):
     finally:
         spark_prop.conf.set("spark.sql.shuffle.partitions", prev)
     assert sorted(map(tuple, base)) == sorted(map(tuple, odd))
+
+
+# ---------------------------------------------------------------------------
+# round 7: codec parsers (WAV/RIFF, netpbm frame streams) — pure-python
+# properties, no Spark session needed
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200),
+    st.sampled_from([8000, 16000, 44100, 48000]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property_16bit(samples, rate):
+    import numpy as np
+
+    from copperhead_spark.operators.multimodal import wav_encode, wav_samples
+
+    smp, r, nch, bits = wav_samples(
+        wav_encode(np.array(samples, dtype=np.int64), sample_rate=rate, bits=16)
+    )
+    assert (r, nch, bits) == (rate, 1, 16)
+    assert list(smp) == samples
+
+
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property_8bit(samples):
+    import numpy as np
+
+    from copperhead_spark.operators.multimodal import wav_encode, wav_samples
+
+    smp, r, nch, bits = wav_samples(
+        wav_encode(np.array(samples, dtype=np.int64), bits=8)
+    )
+    assert bits == 8
+    assert list(smp) == samples
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # w
+            st.integers(min_value=1, max_value=4),  # h
+            st.booleans(),  # P6 (rgb) vs P5
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_split_frames_property(shapes, rng):
+    """Concatenating arbitrary valid P5/P6 frames and splitting recovers
+    exactly the input slices, for any frame sizes and channel mixes."""
+    from copperhead_spark.operators.multimodal import ppm_pixels, split_frames
+
+    frames = []
+    for w, h, rgb in shapes:
+        ch = 3 if rgb else 1
+        magic = b"P6" if rgb else b"P5"
+        raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        frames.append(magic + f"\n{w} {h}\n255\n".encode() + raster)
+    got = split_frames(b"".join(frames))
+    assert got == frames
+    for f, (w, h, rgb) in zip(got, shapes):
+        px = ppm_pixels(f)
+        assert px.shape == ((h, w, 3) if rgb else (h, w))
+
+
+@given(st.binary(min_size=1, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_wav_parser_never_hangs_on_garbage(payload):
+    """Arbitrary bytes either parse or raise ValueError — never loop,
+    never return corrupt state (the bounded-scan hardening rule)."""
+    from copperhead_spark.operators.multimodal import wav_samples
+
+    try:
+        wav_samples(payload)
+    except ValueError:
+        pass
