@@ -86,6 +86,12 @@ HEADLINE = [
     # iteration, grid-bucketed spatial radius join
     "emb_power_iteration",
     "geo_grid_radius_join",
+    # round-7 addition: filtered ANN (metadata predicate pushed into the
+    # IVF candidate scan — the production vector-store request shape).
+    # The round's other flagship, pipeline_pretrain_corpus_e2e, is ~12s
+    # at sf0.1 (it composes LSH+CC+decontamination+packing) and is
+    # measured once per record in the soak section instead of 4x here.
+    "sim_filtered_ivf_topk",
 ]
 
 # fresh-context batch width for the young pass: small enough that no
@@ -593,6 +599,15 @@ def main() -> None:
             soak["pipeline_ann_query_e2e_10x_vecs"] = t10a
             soak["pipeline_ann_query_e2e_scaling_vs_1x"] = round(
                 t10a / (10 * t1a), 3
+            )
+
+            # ---- the r7 flagship: six-stage pretraining-corpus assembly
+            # (quality -> lang-ID -> fuzzy dedup -> decontamination ->
+            # mixture -> packing) measured once per record — too heavy
+            # for the 4x headline loop (~12s at sf0.1), exactly right as
+            # a tracked soak number.
+            soak["pipeline_pretrain_corpus_e2e"] = _time_query(
+                spark, queries["pipeline_pretrain_corpus_e2e"], sf_dir
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
