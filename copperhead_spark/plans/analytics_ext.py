@@ -1029,3 +1029,107 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_risky_rows"),
         F.min("n_sensitive").cast("long").alias("min_diversity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pseudonymization with referential consistency (the GDPR-pipeline
+# transform): replace the customer key everywhere with a keyed bijection
+# and PROVE joins still line up.  pseud(k) = (k%P * A + SALT*B) % P is an
+# affine map mod a prime — a bijection on [0, P), so distinct keys stay
+# distinct and equijoins are preserved exactly.
+# ---------------------------------------------------------------------------
+
+_PSE_P = 2_147_483_647
+_PSE_SALT = 6_700_417
+
+
+def _pseud(col: str) -> str:
+    # the salt offset is pre-multiplied in Python: SALT * 1664525 as two
+    # int literals overflows Spark's ANSI INT multiply (a single big
+    # literal parses as BIGINT on both engines)
+    return (
+        f"(((CAST({col} AS BIGINT) % {_PSE_P}) * 1013904223"
+        f" + {_PSE_SALT * 1664525}) % {_PSE_P} + {_PSE_P}) % {_PSE_P}"
+    )
+
+
+@register(
+    "dq_pseudonymization",
+    oracle=f"""
+WITH mo AS (SELECT {_pseud("o_custkey")} AS pk, o_orderkey FROM orders),
+mc AS (SELECT {_pseud("c_custkey")} AS pk FROM customer),
+orig AS (
+  SELECT COUNT(*) AS n_joined
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+masked AS (SELECT COUNT(*) AS n_joined_masked FROM mo JOIN mc USING (pk))
+SELECT CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+         AS n_keys_orig,
+       CAST((SELECT COUNT(DISTINCT pk) FROM mo) AS BIGINT) AS n_keys_masked,
+       CAST((SELECT n_joined FROM orig) AS BIGINT) AS n_joined_orig,
+       CAST((SELECT n_joined_masked FROM masked) AS BIGINT) AS n_joined_masked,
+       CAST((SELECT SUM(pk) FROM mc) AS BIGINT) AS pseudonym_checksum
+""",
+    tags=("dq", "privacy"),
+)
+def dq_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization audit: the customer key is replaced in BOTH
+    orders and customer by the same affine-mod-prime bijection (salted —
+    rotate the salt to re-key a release), then the audit row proves the
+    transform is analysis-preserving: distinct-key count unchanged
+    (bijection ⇒ no collisions) and the orders⋈customer row count
+    identical before and after masking.  The checksum pins the exact
+    pseudonym set, so a salt or formula drift hash-fails.
+
+    Plan shape: each audit metric is a 1-row aggregate; the five are
+    UNIONed as (metric, value) rows and pivoted into the audit row —
+    everything stays engine-side (no driver collects, no scalar cross
+    joins), and the union's branches share the two scans.  Masking
+    itself is a map-side expression — at 100 TB the audit costs the
+    same equi-join the unmasked pipeline already runs."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    mo = orders.selectExpr(f"{_pseud('o_custkey')} AS pk", "o_orderkey")
+    mc = cust.selectExpr(f"{_pseud('c_custkey')} AS pk")
+
+    def metric(df, name, agg):
+        return df.agg(agg.cast("long").alias("v")).selectExpr(
+            f"'{name}' AS k", "v"
+        )
+
+    parts = (
+        metric(orders.select("o_custkey").distinct(), "n_keys_orig", F.count("*"))
+        .unionByName(
+            metric(mo.select("pk").distinct(), "n_keys_masked", F.count("*"))
+        )
+        .unionByName(
+            metric(
+                orders.join(cust, orders.o_custkey == cust.c_custkey),
+                "n_joined_orig",
+                F.count("*"),
+            )
+        )
+        .unionByName(metric(mo.join(mc, "pk"), "n_joined_masked", F.count("*")))
+        .unionByName(metric(mc, "pseudonym_checksum", F.sum("pk")))
+    )
+    return (
+        parts.groupBy()
+        .pivot(
+            "k",
+            [
+                "n_keys_orig",
+                "n_keys_masked",
+                "n_joined_orig",
+                "n_joined_masked",
+                "pseudonym_checksum",
+            ],
+        )
+        .agg(F.first("v"))
+        .selectExpr(
+            "n_keys_orig",
+            "n_keys_masked",
+            "n_joined_orig",
+            "n_joined_masked",
+            "pseudonym_checksum",
+        )
+    )

@@ -520,3 +520,85 @@ def seq_dfa_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# marketing attribution: each conversion credited to the FIRST and LAST
+# preceding touch (click) of the same user — the two canonical
+# attribution models, computed in one windowed pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_first_last",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(ROUND(value * 10000) AS BIGINT) AS v4,
+         CASE WHEN event_type = 'click'
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS click_k
+  FROM events
+),
+w AS (
+  SELECT *,
+         FIRST_VALUE(click_k IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS first_k,
+         LAST_VALUE(click_k IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_k
+  FROM e
+)
+SELECT COALESCE(first_k, -1) AS first_touch_k,
+       COALESCE(last_k, -1) AS last_touch_k,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(v4) AS BIGINT) AS value_sum_4
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+""",
+    tags=("sessions", "W4"),
+)
+def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution in ONE windowed
+    pass: per user (ordered by ts with event_id tie-break — fully
+    deterministic), every row carries the first and the latest preceding
+    click's campaign key (running FIRST/LAST ... IGNORE NULLS over the
+    unbounded-preceding frame); conversions ('purchase') then roll up per
+    (first_touch, last_touch) cell with exact fixed-point revenue.
+    -1 marks conversions with no preceding click (organic).  Scale: one
+    shuffle on user_id (bounded per-user partitions), map-side JSON
+    extraction, and a tiny final rollup — the same shape a 100 TB
+    clickstream attribution job runs nightly."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "CAST(ROUND(value * 10000) AS BIGINT) AS v4",
+        "CASE WHEN event_type = 'click'"
+        " THEN CAST(get_json_object(props, '$.k') AS BIGINT) END AS click_k",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "first_k", F.first("click_k", ignorenulls=True).over(w)
+    ).withColumn("last_k", F.last("click_k", ignorenulls=True).over(w))
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("first_k"), F.lit(-1)).alias("first_touch_k"),
+            F.coalesce(F.col("last_k"), F.lit(-1)).alias("last_touch_k"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("v4").cast("long").alias("value_sum_4"),
+        )
+    )
