@@ -698,9 +698,22 @@ def main() -> None:
         # never become the committed record — the r5 "quiet-box" record
         # landed with load_warning: true and its two apparent regressions
         # were unadjudicable.  The stdout line still carries the data.
+        # name the gate that actually tripped (r7 ADVICE: the ratio gate
+        # can fire on a clean start load, so a start-load message there
+        # is a false diagnostic)
+        causes = []
+        if load_start[0] > 2.0 or load_start[1] > 2.0:
+            causes.append(
+                f"start load 1-min {load_start[0]:.2f} / "
+                f"5-min {load_start[1]:.2f} exceeds 2.0"
+            )
+        if aged_vs_young is not None and aged_vs_young > 1.0:
+            causes.append(
+                f"aged_vs_young ratio {aged_vs_young:.3f} > 1.0 "
+                "(mid-run burst: warm-aged pass slower than cold-young)"
+            )
         print(
-            f"# load_warning: start load 1-min {load_start[0]:.2f} / "
-            f"5-min {load_start[1]:.2f} exceeds 2.0 — refusing to write {fname}",
+            f"# load_warning: {'; '.join(causes)} — refusing to write {fname}",
             file=sys.stderr,
         )
     else:

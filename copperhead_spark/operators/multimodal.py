@@ -234,6 +234,11 @@ def wav_encode(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
 
     import numpy as np
 
+    if bits not in (8, 16):
+        # mirror wav_samples' validation: silently encoding 8-bit data
+        # under a different declared width would produce a
+        # self-inconsistent container (r7 ADVICE)
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
     arr = np.asarray(samples)
     data = (
         arr.astype("<i2").tobytes() if bits == 16 else arr.astype("u1").tobytes()

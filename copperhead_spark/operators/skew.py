@@ -113,3 +113,6 @@ def choose_skew_strategy(
         return ("broadcast", 1)
     n_salts = max(2, min(MAX_SALTS, -(-top_cnt // TARGET_ROWS_PER_TASK)))
     return ("salt", n_salts)
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

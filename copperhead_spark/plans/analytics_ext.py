@@ -1133,3 +1133,6 @@ def dq_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pseudonym_checksum",
         )
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

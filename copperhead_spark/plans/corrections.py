@@ -167,3 +167,6 @@ def j17_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         "CAST(LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo) AS BIGINT) AS overlap_e6",
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -1062,3 +1062,6 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc1", "doc2", "inter",
         "CAST((inter * 1000000) DIV uni AS BIGINT) AS jaccard_e6",
     ).orderBy("doc1", "doc2")
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

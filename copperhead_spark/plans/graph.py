@@ -1421,3 +1421,6 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             walk.select("walker", F.lit(t).cast("long").alias("step"), "node")
         )
     return out
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -227,3 +227,6 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [div_round_half_away(w[i] * 1_000_000, m) for i in range(1, _DIM + 1)]
         out.extend((t, i, v[i - 1]) for i in range(1, _DIM + 1))
     return spark.createDataFrame(out, "iter long, dim long, v_e6 long")
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -640,3 +640,6 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_records") >= 2)
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

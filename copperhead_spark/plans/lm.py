@@ -154,3 +154,6 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.lit(float(_LP_SCALE)))
         ).alias("avg_nll"),
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

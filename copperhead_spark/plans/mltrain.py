@@ -890,3 +890,6 @@ def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand").cast("long").alias("neg_id"),
         F.col("neg_label").cast("long").alias("neg_label"),
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

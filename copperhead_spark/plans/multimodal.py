@@ -465,7 +465,7 @@ FROM s, LATERAL (SELECT unnest(range(0, 2)) AS w) t
 def mm_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-codec decode path, driver-checked (the audio twin of
     mm_ppm_real_decode): each document's first 32 chars (space-padded,
-    clamped to signed samples 32 + codepoint % 95 - 79 in [-47, 48])
+    clamped to signed samples 32 + codepoint % 95 - 79 in [-47, 47])
     become the PCM track of a genuine RIFF/WAVE container (fmt chunk:
     PCM, mono, 8 kHz, 16-bit signed LE) built by wav_encode, and the
     chunk-walking parser (operators/multimodal.wav_samples — RIFF magic,
@@ -581,3 +581,6 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" k -> concat({header}, {raster}))) AS BINARY) AS payload",
     )
     return frame_sample(payloads, every_n=2)
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

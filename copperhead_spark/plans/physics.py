@@ -146,3 +146,6 @@ def pipeline_hmm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_fixture_distributed(spark, 20_000)
     return stage2_variations(stage1_arrays(ev))
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

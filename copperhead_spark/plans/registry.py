@@ -298,27 +298,34 @@ def _row_green(row: dict) -> bool:
     return bool(row.get("rows_match"))
 
 
-def _driver_status() -> dict[str, bool]:
-    """name -> latest driver verdict (True=green) from CORRECTNESS_r*.json
-    at the repo root; later rounds overwrite earlier ones.  Used to
-    auto-rotate the driver's 50-query window: the gate reads the FIRST 50
-    registered queries each round, so red retries and never-checked
-    queries must lead.  Round 4 taught the hard way that "has any row" is
-    not "verified": a red row (e.g. approx_aggregates, red since r02)
-    would never re-enter the window under key-presence rotation."""
+def _driver_status() -> dict[str, tuple[bool, int]]:
+    """name -> (latest driver verdict, round of that verdict) from
+    CORRECTNESS_r*.json at the repo root; later rounds overwrite earlier
+    ones.  Used to auto-rotate the driver's 50-query window: the gate
+    reads the FIRST 50 registered queries each round, so red retries and
+    never-checked queries must lead.  Round 4 taught the hard way that
+    "has any row" is not "verified": a red row (e.g. approx_aggregates,
+    red since r02) would never re-enter the window under key-presence
+    rotation.  Round 7 added the round number: once every query is green,
+    tier 3 re-verifies the STALEST greens first (r8 verdict task 3 —
+    without it the window re-checked the same head greens forever while
+    r02-era greens sat un-re-verified)."""
     import glob
     import json
+    import re
 
     root = __file__
     for _ in range(3):  # plans/ -> copperhead_spark/ -> repo root
         root = __import__("os").path.dirname(root)
-    status: dict[str, bool] = {}
+    status: dict[str, tuple[bool, int]] = {}
     # lexicographic sort orders r01..r99 correctly; later files win
     for path in sorted(glob.glob(f"{root}/CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 for name, row in json.load(fh).items():
-                    status[name] = _row_green(row)
+                    status[name] = (_row_green(row), rnd)
         except (OSError, ValueError):
             continue
     return status
@@ -349,19 +356,25 @@ def all_queries() -> dict[str, Query]:
     ]
     priority += [n for n in _REGISTRY if n not in set(priority)]
     status = _driver_status()
-    # four tiers, stable within each: (0) checked but latest driver row
-    # RED — retries lead so a red never lingers more than one round,
-    # (1) never-checked WITH an oracle (full value verification),
-    # (2) never-checked rows-only (weaker check, so they take slots only
-    # once tier 1 drains), (3) latest-green verified queries.
+    # four tiers, stable within each except tier 3: (0) checked but
+    # latest driver row RED — retries lead so a red never lingers more
+    # than one round, (1) never-checked WITH an oracle (full value
+    # verification), (2) never-checked rows-only (weaker check, so they
+    # take slots only once tier 1 drains), (3) latest-green verified
+    # queries ordered STALEST green round first (r8: with all 282 green,
+    # a static tier 3 re-verified the same head forever; oldest-first
+    # makes the 50-slot window a genuine ~6-round re-verification cycle).
     ordered: dict[str, Query] = {}
-    for tier in (
-        lambda n: n in status and not status[n],
+    tiers = (
+        lambda n: n in status and not status[n][0],
         lambda n: n not in status and _REGISTRY[n].oracle is not None,
         lambda n: n not in status,
         lambda n: True,
-    ):
-        for name in priority:
-            if name not in ordered and tier(name):
-                ordered[name] = _REGISTRY[name]
+    )
+    for i, tier in enumerate(tiers):
+        names = [n for n in priority if n not in ordered and tier(n)]
+        if i == 3:  # every remaining name has a green status row
+            names.sort(key=lambda n: (status[n][1], priority.index(n)))
+        for name in names:
+            ordered[name] = _REGISTRY[name]
     return ordered

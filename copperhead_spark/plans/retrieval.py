@@ -792,3 +792,6 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" THEN dcg_e9 * 1000000 DIV ({_ndcg_idcg_cases('n_rel')})"
         " ELSE 0 END AS BIGINT) AS ndcg_ppm",
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -555,3 +555,6 @@ def fin4_unbinned_nll_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_finite_families bigint, winner_model string,"
         " slope_in_range_ok bigint, nll_gain_ok bigint",
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -602,3 +602,6 @@ def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("v4").cast("long").alias("value_sum_4"),
         )
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

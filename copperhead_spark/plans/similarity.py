@@ -1642,3 +1642,6 @@ def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "cand_id", "cosine", F.col("rn").cast("long").alias("rank")
         )
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -910,3 +910,6 @@ def s21_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_changed_vs_prev",
         F.when(F.col("gen") == 2, F.lit(diff_n)).otherwise(F.lit(0)).cast("long"),
     ).orderBy("gen")
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -537,3 +537,6 @@ def stream_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("date").alias("valid_to"),
         F.col("valid_to").isNull().cast("long").alias("is_current"),
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -1008,3 +1008,6 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(CAST(_in_vocab IS NULL AS BIGINT)) * 1000000"
                " DIV count(*) AS BIGINT)").alias("oov_ppm"),
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -1067,3 +1067,6 @@ def t15_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_vs_uniform_ppm"),
         )
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

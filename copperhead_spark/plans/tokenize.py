@@ -366,3 +366,6 @@ def pipeline_tokenizer_train_encode(spark: SparkSession, sf_dir: str) -> DataFra
     docs, tok = _token_stream(spark, sf_dir)
     vocab = encode_vocab_arrow(tok.select("w").distinct(), merges)
     return _assemble_per_doc(docs, tok, vocab)
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -694,8 +694,10 @@ def pipeline_pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = s4.groupBy("plang").agg(F.count("*").alias("n"))
     # scalar-subquery pattern (see sample_domain_mixture): the global max
-    # is one literal, not a constant-key join that would fold to a BNLJ
-    max_n = int(m.agg(F.max("n")).first()[0])
+    # is one literal, not a constant-key join that would fold to a BNLJ.
+    # max(n) is NULL when every doc was filtered out upstream — treat as
+    # 0 so the query returns an empty frame instead of raising int(None).
+    max_n = int(m.agg(F.max("n")).first()[0] or 0)
     rates = m.selectExpr(
         "plang",
         f"SQRT(CAST(n AS DOUBLE)) / SQRT(CAST({max_n} AS DOUBLE)) AS rate",
@@ -851,3 +853,6 @@ def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -606,3 +606,6 @@ def w10_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_prio_5"),
     )
+
+from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
+inline_doc_consts(globals())

@@ -362,3 +362,78 @@ def test_gbdt_oracle_margin_float64_bitexact():
         m = (keys % N_FOLDS) == k
         want[m] = _margin(fold_trees(k), X[m])
     assert np.array_equal(got, want)  # bit-identical, no tolerance
+
+
+def test_wav_encode_rejects_unsupported_bits():
+    """r7 ADVICE: wav_encode silently encoded 8-bit data while declaring
+    the requested width for bits not in (8, 16) — a self-inconsistent
+    container.  It must fail fast, mirroring wav_samples' validation."""
+    import pytest
+
+    from copperhead_spark.operators.multimodal import wav_encode, wav_samples
+
+    with pytest.raises(ValueError, match="8/16-bit"):
+        wav_encode([0, 1, 2], bits=24)
+    # the supported widths still round-trip
+    for bits, samples in ((16, [-47, 0, 47]), (8, [0, 128, 255])):
+        out, _rate, _nch, got_bits = wav_samples(wav_encode(samples, bits=bits))
+        assert got_bits == bits and list(out) == samples
+
+
+def test_docstring_placeholders_resolved():
+    """r7 ADVICE: docstrings embedding {CONST} placeholders rendered the
+    braces literally under help().  inline_doc_consts now rewrites every
+    resolvable placeholder at import time; this sweeps all plan/operator
+    modules and asserts no resolvable placeholder survives."""
+    import glob
+    import importlib
+    import re
+    import types
+
+    pat = re.compile(r"\{(_?[A-Z][A-Z0-9_]*)\}")
+    unresolved = []
+    for path in sorted(
+        glob.glob("copperhead_spark/plans/*.py")
+        + glob.glob("copperhead_spark/operators/*.py")
+    ):
+        name = path[:-3].replace("/", ".")
+        mod = importlib.import_module(name)
+        for obj in vars(mod).values():
+            if (
+                isinstance(obj, types.FunctionType)
+                and obj.__module__ == name
+                and obj.__doc__
+            ):
+                for ph in pat.findall(obj.__doc__):
+                    if isinstance(
+                        getattr(mod, ph, None), (int, float, str, tuple, list)
+                    ):
+                        unresolved.append((name, obj.__name__, ph))
+    assert unresolved == []
+
+
+def test_pretrain_e2e_empty_corpus_returns_empty(spark, tmp_path):
+    """r7 ADVICE: if every document is filtered before the mixture stage,
+    int(max(None)) raised TypeError.  An all-filtered corpus must yield
+    an empty result instead."""
+    import pandas as pd
+
+    from copperhead_spark.plans.registry import all_queries
+
+    # every doc fails the Gopher gate (too short), so stage 1 empties the
+    # corpus and the mixture stage sees max(n) = NULL
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["x", "y z", "w"],
+            "lang": ["en", "en", "fr"],
+            "source": ["web", "web", "web"],
+            "n_chars": [1, 3, 1],
+        }
+    )
+    d = str(tmp_path / "sfempty")
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = all_queries()["pipeline_pretrain_corpus_e2e"].builder(spark, d)
+    assert out.count() == 0

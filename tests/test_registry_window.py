@@ -16,6 +16,7 @@ dict and eject the rotation.
 import glob
 import json
 import os
+import re
 
 from copperhead_spark.plans.registry import (
     _DRAIN_ORDER,
@@ -28,13 +29,18 @@ from copperhead_spark.plans.registry import (
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 
-def _latest_status() -> dict[str, bool]:
-    status: dict[str, bool] = {}
+def _latest_rows() -> dict[str, tuple[bool, int]]:
+    status: dict[str, tuple[bool, int]] = {}
     for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
         with open(path) as fh:
             for name, row in json.load(fh).items():
-                status[name] = _row_green(row)
+                status[name] = (_row_green(row), rnd)
     return status
+
+
+def _latest_status() -> dict[str, bool]:
+    return {n: g for n, (g, _) in _latest_rows().items()}
 
 
 def test_row_green_semantics():
@@ -111,7 +117,25 @@ def test_drain_order_pins_new_queries_behind_snapshot():
 
 
 def test_module_and_test_status_agree():
-    assert _driver_status() == _latest_status()
+    assert _driver_status() == _latest_rows()
+
+
+def test_tier3_is_staleness_sorted():
+    """Within the verified-green tail (tier 3), queries are ordered by
+    OLDEST green round first, so the driver's 50-slot window genuinely
+    re-verifies the stalest greens each round instead of re-checking the
+    same head forever (r8 verdict task 3).  A full re-verification cycle
+    over ~280 greens at 50/round is ~6 rounds."""
+    rows = _latest_rows()
+    names = list(all_queries())
+    tier3 = [n for n in names if n in rows and rows[n][0]]
+    # tier 3 forms a contiguous tail (reds + unchecked lead)
+    assert names[len(names) - len(tier3):] == tier3
+    rounds = [rows[n][1] for n in tier3]
+    assert rounds == sorted(rounds), (
+        "tier 3 not staleness-sorted: a fresher-green query precedes a "
+        "staler one"
+    )
 
 
 def test_no_registered_name_lost_by_reordering():
