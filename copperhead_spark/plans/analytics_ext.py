@@ -811,6 +811,96 @@ def a21_two_phase_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact GLOBAL deciles without a global sort: the two-phase histogram +
+# in-bin order-statistic pattern (a21), generalized to all nine NTILE
+# cut points at once — the 100 TB twin of w6_ntile_deciles' caveat.
+# ---------------------------------------------------------------------------
+
+_DEC_BIN = 16  # n_chars bin width; ~35 bins over the documents range
+
+_DECILES_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+ds AS (SELECT unnest(range(1, 10)) AS d)
+SELECT CAST(d AS BIGINT) AS decile,
+       CAST(d * (n // 10) + LEAST(d, n % 10) AS BIGINT) AS k,
+       v AS boundary_chars,
+       doc_id AS boundary_doc
+FROM r JOIN ds ON rn = d * (n // 10) + LEAST(d, n % 10)
+ORDER BY decile
+"""
+
+
+@register("a22_two_phase_deciles", oracle=_DECILES_ORACLE, tags=("A8", "W6", "quantiles"))
+def a22_two_phase_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global decile boundaries (the nine NTILE(10) cut points —
+    order statistics at k_d = d*(n div 10) + least(d, n mod 10)) without
+    any global sort: the registered scale twin that retires
+    w6_ntile_deciles' documented caveat (NTILE needs its whole partition
+    ordered, which a global NTILE cannot have at 100 TB).  Phase 1
+    histograms values into {_DEC_BIN}-wide bins (one partial-agg
+    shuffle), walks the |bins|-sized cumulative frame, and each bin row
+    EMITS the deciles it contains via a filtered-sequence explode — nine
+    constants derived map-side, no constant-key join, no BNLJ.  Phase 2
+    broadcast-joins the up-to-nine candidate bins back to the rows and
+    ranks only ~n/|bins| rows per (bin, decile).  The oracle is the
+    brute-force ROW_NUMBER order statistic, so the two-phase plan is
+    proven value-identical, including ties at bin borders (total order
+    by (n_chars, doc_id) on both engines)."""
+    docs = table(spark, sf_dir, "documents")
+    v = docs.selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS v")
+    h = (
+        v.withColumn("bin", F.expr(f"v DIV {_DEC_BIN}"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = h.select(
+        "bin",
+        (F.sum("c").over(wb) - F.col("c")).alias("before"),
+        F.sum("c").over(wb).alias("cum"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    k_of = "d * (n DIV 10) + least(d, n % 10)"
+    cand = (
+        cum.select(
+            "bin",
+            "before",
+            "n",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(1, 9),"
+                    f" d -> before < {k_of} AND {k_of} <= cum)"
+                )
+            ).alias("d"),
+        )
+        .withColumn("k", F.expr(f"CAST({k_of} AS BIGINT)"))
+    )
+    inbin = v.withColumn("bin", F.expr(f"v DIV {_DEC_BIN}")).join(
+        F.broadcast(cand), "bin"
+    )
+    wr = Window.partitionBy("bin", "d").orderBy("v", "doc_id")
+    return (
+        inbin.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+        .selectExpr(
+            "CAST(d AS BIGINT) AS decile",
+            "k",
+            "v AS boundary_chars",
+            "doc_id AS boundary_doc",
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-anonymity audit (the privacy gate training corpora with user-derived
 # rows must pass before release): any quasi-identifier combination
 # shared by fewer than K individuals re-identifies them.

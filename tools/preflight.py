@@ -34,7 +34,15 @@ def main() -> int:
             lo = int(part[0] or 0)
             hi = int(part[1]) if len(part) > 1 and part[1] else None
 
-    spark = get_spark(app_name="copperhead-preflight")
+    # Hard no-silent-fallback gate (r8 verdict task 2): a janino compile
+    # failure normally logs one ERROR and silently drops the stage to
+    # interpreted evaluation — invisible to the plan-TEXT audit and a
+    # real tax at scale.  With fallback=false the failure THROWS, so any
+    # compile-fallback anywhere in the registry turns a preflight row red.
+    spark = get_spark(
+        app_name="copperhead-preflight",
+        extra_conf={"spark.sql.codegen.fallback": "false"},
+    )
     duck = make_duckdb(sf_dir)
     registry = all_queries()
     if names is not None:
