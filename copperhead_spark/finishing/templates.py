@@ -7,8 +7,9 @@ dataset-group, renames/decorrelates systematics, writes ROOT TH1s and a
 text datacard.  Here the histogram DataFrame IS the template store: group
 summation is a second groupBy (done in Spark before collect), and this
 module formats the collected table into template arrays and a
-reference-shaped text datacard.  ROOT file output needs uproot (absent
-in this image) and is gated."""
+reference-shaped text datacard.  ROOT TH1 output uses uproot when
+present; in this image it falls back to the pure-python TH1F writer
+(sources/rootio.py), so the sink runs and is round-trip-tested here."""
 
 from __future__ import annotations
 
@@ -48,20 +49,46 @@ def to_template_arrays(grouped: pd.DataFrame, nbins: int) -> dict:
     return out
 
 
-def write_root_templates(templates: dict, out_path: str) -> None:
+def write_root_templates(
+    templates: dict, out_path: str, xlo: float = 0.0, xhi: float | None = None
+) -> None:
+    """TH1 sink (S8, io.py:230-235 save_template): uproot when present
+    (stock-ROOT-readable output), else the pure-python TH1F writer
+    (sources/rootio.py — real TKey/TArray layouts, streamer-free; see
+    that module's honesty note).  Bin contents land in bins 1..nbins
+    with empty under/overflow, matching the reference's TH1 conversion."""
     try:
         import uproot  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "ROOT template output needs uproot; collected template arrays are "
-            "available via to_template_arrays for any writer"
-        ) from e
-    import uproot
 
-    with uproot.recreate(out_path) as f:  # pragma: no cover - uproot absent
-        for key, t in templates.items():
-            name = "_".join(map(str, key if isinstance(key, tuple) else (key,)))
-            f[name] = (t["values"], np.arange(len(t["values"]) + 1))
+        with uproot.recreate(out_path) as f:  # pragma: no cover - uproot absent
+            for key, t in templates.items():
+                name = "_".join(map(str, key if isinstance(key, tuple) else (key,)))
+                f[name] = (t["values"], np.arange(len(t["values"]) + 1))
+        return
+    except ImportError:
+        pass
+    from copperhead_spark.sources.rootio import write_th1f
+
+    hists = []
+    for key, t in templates.items():
+        name = "_".join(map(str, key if isinstance(key, tuple) else (key,)))
+        nbins = len(t["values"])
+        contents = np.zeros(nbins + 2)
+        contents[1:-1] = t["values"]
+        sumw2 = np.zeros(nbins + 2)
+        sumw2[1:-1] = t.get("sumw2", np.zeros(nbins))
+        hists.append(
+            dict(
+                name=name,
+                title=name,
+                nbins=nbins,
+                xlo=xlo,
+                xhi=float(nbins) if xhi is None else xhi,
+                contents=contents,
+                sumw2=sumw2,
+            )
+        )
+    write_th1f(out_path, hists)
 
 
 def make_datacard(

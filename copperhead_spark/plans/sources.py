@@ -911,5 +911,191 @@ def s21_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("gen") == 2, F.lit(diff_n)).otherwise(F.lit(0)).cast("long"),
     ).orderBy("gen")
 
+# ---------------------------------------------------------------------------
+# S1/S8: ROOT ingestion + TH1 sink, pure-python (sources/rootio.py).
+# The fixture .root file is written by our own encoder (the wav_encode
+# precedent) from the parquet lineitem, so the DuckDB oracle reading the
+# ORIGINAL parquet pins the full encode -> TKey/TBasket walk -> chunked
+# mapInArrow decode path: any byte-level defect anywhere flips the hash.
+# ---------------------------------------------------------------------------
+
+_S1_BRANCHES = ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+_S1_BASKET = 4096  # entries per basket
+_S1_CHUNK = 7000  # entries per mapInArrow task; deliberately not a
+#                   basket multiple so chunk boundaries split baskets
+
+
+def _root_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Write (once per process) the flat-tree ROOT fixture from lineitem;
+    returns (path, n_entries).  Driver-side by design: real NanoAOD files
+    arrive from outside the engine — the encoder is test scaffolding, the
+    SCAN is the operator under test."""
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import list_trees, write_flat_tree
+
+    out_dir = scratch_dir("rootfix", sf_dir)
+    path = os.path.join(out_dir, "events.root")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        pdf = (
+            table(spark, sf_dir, "lineitem")
+            .select(*_S1_BRANCHES)
+            .toPandas()
+        )
+        write_flat_tree(
+            path,
+            "Events",
+            {
+                "l_orderkey": pdf["l_orderkey"].to_numpy(np.int64),
+                "l_linenumber": pdf["l_linenumber"].to_numpy(np.int32),
+                "l_quantity": pdf["l_quantity"].to_numpy(np.float64),
+                "l_extendedprice": pdf["l_extendedprice"].to_numpy(np.float64),
+            },
+            basket_entries=_S1_BASKET,
+        )
+    return path, list_trees(path)[0][1]
+
+
+@register(
+    "s1_root_scan",
+    oracle=f"""
+SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       {exact_sum_sql("l_quantity")} AS sum_qty,
+       {exact_sum_sql("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("S1", "S2", "root"),
+)
+def s1_root_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROOT chunked TTree scan (S1, run_stage1.py:153-166: coffea Runner
+    over 'Events' with chunksize): lineitem is encoded into a real-layout
+    uncompressed flat-branch .root file (TFile header, TKey records,
+    big-endian TBaskets — sources/rootio.py), then scanned back through
+    the production path: plan_chunks entry ranges ({_S1_CHUNK}/task, NOT
+    a basket multiple, so every task slices baskets at both ends) ->
+    mapInArrow fan-out -> pure-python byte decode of ONLY the
+    whitelisted branches' overlapping baskets (S2 source pruning at the
+    basket level).  The oracle aggregates the ORIGINAL parquet, so one
+    wrong byte, one mis-sliced basket, or one dropped/duplicated chunk
+    entry anywhere in encode->walk->decode flips the value hash.  Scale:
+    one task per chunk exactly like the reference's chunked Runner; a
+    1000-file NanoAOD dataset fans out to files x chunks independent
+    tasks, each decoding ~{_S1_CHUNK} entries regardless of file size."""
+    from copperhead_spark.sources.root_ingest import read_nanoaod, rootio_decoder
+
+    path, n = _root_fixture(spark, sf_dir)
+    df = read_nanoaod(
+        spark,
+        [(path, n)],
+        _S1_BRANCHES,
+        tree="Events",
+        chunk_size=_S1_CHUNK,
+        decoder=rootio_decoder,
+    )
+    return df.groupBy(
+        F.col("l_linenumber").cast("long").alias("linenumber")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+_S8_NBINS = 20
+_S8_XLO, _S8_XHI = 0.0, 100_000.0  # extendedprice tops out ~112k -> real overflow
+_S8_BINW = (_S8_XHI - _S8_XLO) / _S8_NBINS
+
+
+@register(
+    "s8_th1_template_sink",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN l_extendedprice >= {_S8_XHI} THEN {_S8_NBINS + 1}
+              ELSE CAST(FLOOR(l_extendedprice / {_S8_BINW}) AS BIGINT) + 1 END AS bin,
+         l_quantity AS w
+  FROM lineitem
+),
+agg AS (
+  SELECT bin,
+         CAST(CAST({exact_sum_sql("w")} AS REAL) AS DOUBLE) AS content,
+         {exact_sum_sql("w * w", 4)} AS sumw2
+  FROM b GROUP BY bin
+)
+SELECT g.bin, COALESCE(a.content, 0.0) AS content, COALESCE(a.sumw2, 0.0) AS sumw2
+FROM (SELECT unnest(range(0, {_S8_NBINS + 2})) AS bin) g
+LEFT JOIN agg a ON g.bin = a.bin
+ORDER BY g.bin
+""",
+    tags=("S8", "FIN2", "root"),
+)
+def s8_th1_template_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TH1 template sink round-trip (S8, io.py:230-235 save_template): a
+    weighted histogram of l_extendedprice (weight = quantity, {_S8_NBINS}
+    bins on [{_S8_XLO}, {_S8_XHI}) plus real under/overflow cells) is
+    aggregated in Spark, written as a TH1F record by the pure-python
+    writer (sources/rootio.py: TKey + axis triple + TArrayF contents +
+    TArrayD Sumw2), read BACK from the file bytes, and returned — so the
+    driver's value hash pins the full byte round-trip, including the
+    float32 quantization a real TArrayF imposes (the oracle applies the
+    identical CAST(.. AS REAL) step; Sumw2 stays float64 and must come
+    back bit-exact).  Spark does the heavy pass (one partial-agg groupBy
+    at any SF); only the |bins|-sized template crosses the driver, same
+    as the reference's collected-template flow (make_templates.py)."""
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import read_th1f, write_th1f
+
+    li = table(spark, sf_dir, "lineitem")
+    hist = (
+        li.selectExpr(
+            f"CASE WHEN l_extendedprice >= {_S8_XHI} THEN {_S8_NBINS + 1}"
+            f" ELSE CAST(FLOOR(l_extendedprice / {_S8_BINW}) AS BIGINT) + 1 END"
+            " AS bin",
+            "l_quantity AS w",
+        )
+        .groupBy("bin")
+        .agg(
+            exact_sum(F.col("w")).alias("content"),
+            exact_sum(F.col("w") * F.col("w"), 4).alias("sumw2"),
+        )
+        .collect()
+    )
+    contents = np.zeros(_S8_NBINS + 2)
+    sumw2 = np.zeros(_S8_NBINS + 2)
+    for row in hist:
+        contents[int(row["bin"])] = row["content"]
+        sumw2[int(row["bin"])] = row["sumw2"]
+    out_dir = scratch_dir("th1sink", sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "templates.root")
+    write_th1f(
+        path,
+        [
+            dict(
+                name="price_qty",
+                title="quantity-weighted extendedprice",
+                nbins=_S8_NBINS,
+                xlo=_S8_XLO,
+                xhi=_S8_XHI,
+                contents=contents,
+                sumw2=sumw2,
+            )
+        ],
+    )
+    h = read_th1f(path)["price_qty"]
+    rows = [
+        (i, float(h["contents"][i]), float(h["sumw2"][i]))
+        for i in range(_S8_NBINS + 2)
+    ]
+    return spark.createDataFrame(
+        rows, "bin long, content double, sumw2 double"
+    ).orderBy("bin")
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())

@@ -10,9 +10,13 @@ DataFrame of (file, entry_start, entry_stop) chunk specs — the exact
 analogue of the reference's chunked Runner — with uproot doing the
 columnar decode inside each Arrow batch.
 
-uproot/awkward are not installed in this image, so the decode step is
-gated: the chunk-planning and Spark plumbing are real and tested; the
-byte-level ROOT decode raises ImportError with instructions.
+uproot/awkward are not installed in this image; for uncompressed
+flat-branch trees the byte-level decode is done by the pure-python
+reader in sources/rootio.py (real TFile/TKey/TBasket layouts,
+basket-level pruning), so the whole path — chunk planning, mapInArrow
+fan-out, columnar decode — runs and is oracle-checked end-to-end here
+(s1_root_scan).  Compressed/jagged NanoAOD still routes through the
+uproot decoder when that library is present.
 """
 
 from __future__ import annotations
@@ -34,6 +38,25 @@ def plan_chunks(
             chunks.append((path, start, min(start + chunk_size, n)))
             start += chunk_size
     return chunks
+
+
+def rootio_decoder(
+    path: str, tree: str, branches: Sequence[str], start: int, stop: int
+):
+    """Pure-python byte decode (sources/rootio.py) for uncompressed
+    flat-branch trees — the decoder that runs in THIS image (r8: retires
+    the uproot gate for the flat subset).  Column pruning and basket-level
+    entry-range pruning happen inside read_flat_tree, so each mapInArrow
+    task touches only its chunk's baskets of the whitelisted branches.
+    Compressed/jagged NanoAOD still needs the uproot decoder below."""
+    import pyarrow as pa
+
+    from copperhead_spark.sources.rootio import read_flat_tree
+
+    cols = read_flat_tree(
+        path, tree, list(branches), entry_start=start, entry_stop=stop
+    )
+    return pa.table({b: cols[b] for b in branches})
 
 
 def _uproot_decoder(path: str, tree: str, branches: Sequence[str], start: int, stop: int):
@@ -75,16 +98,14 @@ def read_nanoaod(
     deterministic fake; see tests/test_tabular_io.py).  Production uses
     the uproot decoder, the only code path this image cannot run."""
     if decoder is None:
-        decoder = _uproot_decoder
-        # fail fast on the driver before launching executors
+        # prefer uproot (full NanoAOD: compression, jagged branches);
+        # fall back to the pure-python flat-tree decoder (rootio.py)
         try:
             import uproot  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "ROOT ingestion needs uproot (`pip install uproot awkward`); "
-                "in this environment convert NanoAOD to parquet offline and "
-                "use catalog.table / spark.read.parquet instead"
-            ) from e
+
+            decoder = _uproot_decoder
+        except ImportError:
+            decoder = rootio_decoder
 
     import pyarrow as pa  # noqa: F401  (mapInArrow contract)
     from pyspark.sql.pandas.types import from_arrow_schema

@@ -10,6 +10,8 @@ import math
 import duckdb
 import numpy as np
 import pytest
+from struct import error as struct_error
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -464,3 +466,108 @@ def test_wav_parser_never_hangs_on_garbage(payload):
         wav_samples(payload)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# rootio (pure-python ROOT reader/writer, sources/rootio.py) — the S1/S8
+# codec pair, property-tested like the WAV/netpbm parsers above.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["f8", "f4", "i8", "i4"]),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t,  # distinct (dtype, salt) -> distinct branches
+    ),
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_rootio_flat_tree_roundtrip_property(branch_specs, n, basket):
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import (
+        list_trees,
+        read_flat_tree,
+        write_flat_tree,
+    )
+
+    rng = np.random.RandomState(n * 7 + basket)
+    cols = {}
+    for i, (dt, _salt) in enumerate(branch_specs):
+        if dt.startswith("f"):
+            cols[f"b{i}_{dt}"] = rng.uniform(-1e6, 1e6, n).astype(dt)
+        else:
+            cols[f"b{i}_{dt}"] = rng.randint(-(2**30), 2**30, n).astype(dt)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t.root"
+        write_flat_tree(path, "Events", cols, basket_entries=basket)
+        assert list_trees(path) == [("Events", n)]
+        back = read_flat_tree(path)
+        for k, v in cols.items():
+            assert back[k].dtype.kind == v.dtype.kind
+            assert np.array_equal(back[k], v), k
+        # arbitrary entry window slices exactly, across basket boundaries
+        lo = n // 3
+        hi = min(n, lo + max(1, basket + 1))
+        first = next(iter(cols))
+        win = read_flat_tree(path, "Events", [first], lo, hi)
+        assert np.array_equal(win[first], cols[first][lo:hi])
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_rootio_reader_never_hangs_on_garbage(payload):
+    """Arbitrary bytes either parse or raise ValueError/KeyError — the
+    sequential key walk is strictly advancing, so garbage can never loop
+    (the bounded-scan hardening rule the WAV parser follows)."""
+    import tempfile
+
+    from copperhead_spark.sources.rootio import read_flat_tree, read_th1f
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/g.root"
+        with open(path, "wb") as fh:
+            fh.write(payload)
+        for fn in (read_flat_tree, read_th1f):
+            try:
+                fn(path)
+            except (ValueError, KeyError, struct_error):
+                pass
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=0, max_size=42),
+)
+@settings(max_examples=40, deadline=None)
+def test_rootio_th1f_roundtrip_property(nbins, values):
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import read_th1f, write_th1f
+
+    contents = np.zeros(nbins + 2)
+    for i, v in enumerate(values[: nbins + 2]):
+        contents[i] = v
+    sumw2 = np.abs(contents) * 0.5
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/h.root"
+        write_th1f(path, [dict(name="h", title="t", nbins=nbins,
+                               xlo=-2.5, xhi=7.5, contents=contents,
+                               sumw2=sumw2)])
+        h = read_th1f(path)["h"]
+        assert (h["nbins"], h["xlo"], h["xhi"], h["title"]) == (nbins, -2.5, 7.5, "t")
+        # contents go through the real TArrayF float32 quantization
+        assert np.array_equal(h["contents"], contents.astype(np.float32).astype(np.float64))
+        # Sumw2 is a TArrayD: bit-exact
+        assert np.array_equal(h["sumw2"], sumw2)

@@ -146,16 +146,66 @@ def test_read_nanoaod_mapinarrow_roundtrip(spark):
     assert got.pt_fp == want_pt
 
 
-def test_read_nanoaod_without_decoder_is_gated(spark):
-    import pytest
+def test_read_nanoaod_default_decoder_reads_rootio_files(spark, tmp_path):
+    """With uproot absent the default decoder is the pure-python rootio
+    reader (r8: the S1 gate is retired for flat trees): a multi-file,
+    multi-basket, multi-chunk scan must reproduce every value, with
+    chunk boundaries that split baskets."""
+    import numpy as np
 
     from copperhead_spark.sources.root_ingest import read_nanoaod
+    from copperhead_spark.sources.rootio import list_trees, write_flat_tree
 
-    try:
-        import uproot  # noqa: F401
-    except ImportError:
-        with pytest.raises(ImportError, match="uproot"):
-            read_nanoaod(spark, [("/fake/f1.root", 10)], branches=("event",))
+    files = []
+    rng = np.random.RandomState(7)
+    for i, n in enumerate((1000, 1537)):
+        path = str(tmp_path / f"f{i}.root")
+        write_flat_tree(
+            path,
+            "Events",
+            {
+                "event": np.arange(n, dtype=np.int64) + i * 10_000,
+                "pt": rng.uniform(0, 100, n),
+            },
+            basket_entries=300,
+        )
+        assert list_trees(path) == [("Events", n)]
+        files.append((path, n))
+
+    df = read_nanoaod(spark, files, ("event", "pt"), chunk_size=450)
+    rows = df.orderBy("event").collect()
+    assert len(rows) == 2537
+    events = [r.event for r in rows]
+    assert events == list(range(1000)) + [10_000 + k for k in range(1537)]
+    assert all(0 <= r.pt <= 100 for r in rows)
+
+
+def test_write_root_templates_pure_python_roundtrip(tmp_path):
+    """S8 sink: without uproot, write_root_templates writes rootio TH1F
+    records; reading them back recovers values (float32-quantized, as a
+    real TArrayF stores them) and Sumw2 (float64, bit-exact)."""
+    import numpy as np
+
+    from copperhead_spark.finishing.templates import write_root_templates
+    from copperhead_spark.sources.rootio import read_th1f
+
+    templates = {
+        ("sig", "h-peak"): {
+            "values": np.array([1.5, 2.25, 0.0, 4.125]),
+            "sumw2": np.array([0.5, 1.0, 0.0, 2.0]),
+        },
+        "bkg": {"values": np.array([3.0, 1.0, 0.25, 0.0])},
+    }
+    out = str(tmp_path / "templates.root")
+    write_root_templates(templates, out)
+    back = read_th1f(out)
+    assert set(back) == {"sig_h-peak", "bkg"}
+    h = back["sig_h-peak"]
+    assert h["nbins"] == 4
+    assert np.array_equal(h["contents"][1:-1], [1.5, 2.25, 0.0, 4.125])
+    assert h["contents"][0] == h["contents"][-1] == 0.0
+    assert np.array_equal(h["sumw2"][1:-1], [0.5, 1.0, 0.0, 2.0])
+    assert np.array_equal(back["bkg"]["contents"][1:-1], [3.0, 1.0, 0.25, 0.0])
 
 
 def test_zorder_layout_prunes_2d_range_predicate(spark, sf_dir, tmp_path):
