@@ -860,6 +860,86 @@ def _soak100_main() -> None:
     print(line)
 
 
+def _pretrain10x_main() -> None:
+    """Multi-scale soak for the pretraining-corpus flagship (r8 verdict
+    task 1): time pipeline_pretrain_corpus_e2e at 1x, 3x and 10x the
+    sf0.1 documents corpus in ONE gate-clean record, run on demand
+    (`python bench.py --pretrain10x`) so the adjudication does not
+    depend on the per-round record's box being quiet for the whole run.
+    Replicas are Caesar-shifted per copy (the 3x-clean recipe in main):
+    true-duplicate density stays ~1x per replica and cross-replica LSH
+    pairs ~0 — the 100 TB shape, where corpus growth adds documents, not
+    proportionally more duplicates of the same documents.  Writes
+    BENCH_PRETRAIN10X.json under the same start-load hard gate as
+    BENCH_SOAK100.json."""
+    load_start = os.getloadavg()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="copperhead-bench-pretrain10x")
+    queries = all_queries()
+    q = queries["pipeline_pretrain_corpus_e2e"]
+    tmp = tempfile.mkdtemp(prefix="cph_pre10x_")
+    out: dict = {
+        "sf_dir": sf_dir,
+        "load_avg_start": [round(x, 2) for x in load_start],
+    }
+    _al = "abcdefghijklmnopqrstuvwxyz"
+    try:
+        docs1 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        out["n_docs_1x"] = docs1.count()
+        for mult in (3, 10):
+            (
+                docs1.selectExpr(
+                    f"explode(sequence(0, {mult - 1})) AS rep",
+                    "doc_id", "text", "lang", "source", "n_chars",
+                )
+                .selectExpr(
+                    f"doc_id * {mult} + rep AS doc_id",
+                    f"translate(text, '{_al}',"
+                    f" substring(repeat('{_al}', 2), rep + 1, 26)) AS text",
+                    "lang", "source", "n_chars",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/x{mult}/documents.parquet")
+            )
+        # warmup: one full run at 1x so codegen/UDF import is outside
+        # every timed window
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t1 = _time_query(spark, q, sf_dir)
+        t3 = _time_query(spark, q, f"{tmp}/x3")
+        t10 = _time_query(spark, q, f"{tmp}/x10")
+        out["pipeline_pretrain_corpus_e2e_1x"] = t1
+        out["pipeline_pretrain_corpus_e2e_3x"] = t3
+        out["pipeline_pretrain_corpus_e2e_10x"] = t10
+        out["scaling_3x_per_unit"] = round(t3 / (3 * t1), 3)
+        out["scaling_10x_per_unit"] = round(t10 / (10 * t1), 3)
+        out["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    line = json.dumps(out)
+    # sf-suffixed filename below the canonical scale (the r5 clobber
+    # lesson, same rule as BENCH_LOCAL.json): a sf0.01 smoke run must
+    # never pose as the committed sf0.1 adjudication record.
+    base = os.path.basename(sf_dir.rstrip("/"))
+    fname = (
+        "BENCH_PRETRAIN10X.json"
+        if base == "sf0.1"
+        else f"BENCH_PRETRAIN10X_{base}.json"
+    )
+    if load_start[0] > 2.0 or load_start[1] > 2.0:
+        print(
+            f"# load_warning: start load {load_start[0]:.2f}/{load_start[1]:.2f}"
+            f" > 2.0 — refusing to write {fname}",
+            file=sys.stderr,
+        )
+    else:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    print(line)
+
+
 def _young_batch_main(sf_dir: str, names: list[str]) -> None:
     """Child-process entry for the young pass: time the given queries in
     a brand-new JVM and print one JSON line {name: sec}.  The first
@@ -880,5 +960,7 @@ if __name__ == "__main__":
         _young_batch_main(sys.argv[2], sys.argv[3].split(","))
     elif len(sys.argv) >= 2 and sys.argv[1] == "--soak100":
         _soak100_main()
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--pretrain10x":
+        _pretrain10x_main()
     else:
         main()

@@ -1224,5 +1224,61 @@ def dq_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# ---------------------------------------------------------------------------
+# time-to-convert distribution: hours from a user's FIRST event to their
+# FIRST purchase, bucketed — the latency histogram growth teams read
+# next to the attribution table (events_attribution_first_last).
+# ---------------------------------------------------------------------------
+
+_TTC_HOUR_US = 3_600_000_000
+
+
+@register(
+    "events_time_to_convert",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS first_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv_us
+  FROM events GROUP BY user_id
+)
+SELECT (conv_us - first_us) // {_TTC_HOUR_US} AS hours_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(conv_us - first_us) AS BIGINT) AS min_us,
+       CAST(MAX(conv_us - first_us) AS BIGINT) AS max_us
+FROM u
+WHERE conv_us IS NOT NULL
+GROUP BY 1
+""",
+    tags=("events", "sessions", "A13"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: per user, the gap from their first
+    event of any type to their first 'purchase' (non-converters drop
+    out), bucketed into whole hours with per-bucket user counts and
+    exact min/max gaps.  Two partial-agg groupBys — (user) then (bucket)
+    — and the conditional MIN folds the 'first purchase' lookup into the
+    same pass as 'first event', so the events table is scanned ONCE and
+    shuffles once on user_id (at 100 TB the second shuffle moves
+    |users| rows, then |buckets|).  All arithmetic is integer epoch
+    microseconds: no timezone, no float, bit-exact."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("conv_us"),
+    )
+    gap = F.col("conv_us") - F.col("first_us")
+    return (
+        u.filter(F.col("conv_us").isNotNull())
+        .groupBy(F.expr(f"(conv_us - first_us) DIV {_TTC_HOUR_US}").alias("hours_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.min(gap).cast("long").alias("min_us"),
+            F.max(gap).cast("long").alias("max_us"),
+        )
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())

@@ -1422,5 +1422,82 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return out
 
+# ---------------------------------------------------------------------------
+# degree assortativity: do high-degree nodes attach to high-degree nodes?
+# (Newman 2002) — the one-number mixing diagnostic run before deciding a
+# partitioning/salting strategy for a graph workload.
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+j AS (
+  SELECT ds.deg AS dx, dd.deg AS dy
+  FROM edges e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n, sx, sy, sxx, syy, sxy,
+       CAST(ROUND(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         * 1e9) AS BIGINT) / 1e9 AS r
+FROM s
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORT_ORACLE, tags=("graph",))
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the symmetrized customer<->supplier graph:
+    the Pearson correlation of (deg(src), deg(dst)) over directed edges,
+    computed ENTIRELY from BIGINT sufficient statistics (degrees are
+    integers, so n/sx/sy/sxx/syy/sxy are exact; only the final Pearson
+    ratio touches doubles, from identical integers on both engines via
+    the identical expression — bit-exact modulo the shared e9 rounding).
+    Plan: the session-cached edge list already carries deg(src) from its
+    degree window; deg(dst) arrives by one broadcast of the |nodes|-sized
+    degree table; then a single partial-agg reduction to ONE row.  At
+    100 TB the same plan holds (sufficient stats are the textbook
+    map-side-combine shape); BIGINT headroom: sxy <= |E| * max_deg^2 —
+    switch the three product sums to DECIMAL(38,0) past ~1e18."""
+    ed, deg = _edges_deg(spark, sf_dir)
+    j = ed.select("dst", F.col("deg").alias("dx")).join(
+        F.broadcast(deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy"))),
+        "dst",
+    )
+    s = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    return s.selectExpr(
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        "CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " * 1e9) AS BIGINT) / 1e9 AS r",
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())

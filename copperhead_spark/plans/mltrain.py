@@ -891,5 +891,124 @@ def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neg_label").cast("long").alias("neg_label"),
     )
 
+# ---------------------------------------------------------------------------
+# logistic regression via IRLS (Newton-Raphson), 2 steps: the iterative
+# trainer missing from the perceptron/OLS/NB/stump family.  Every data
+# pass reduces to five BIGINT fixed-point sufficient statistics (the
+# OLS/ridge recipe), so cross-engine parity is exact: step 0's weights
+# are closed-form (beta=0 -> p=0.5 -> w=1/4, no libm anywhere), step 1's
+# per-row sigmoid goes through the same ROUND(x*1e6) absorption the
+# MLP/GBDT oracles use, and the Newton solve itself is pure IEEE double
+# arithmetic over identical integers with identical expression shape on
+# both engines (driver python mirrors the oracle's CTE text op-for-op).
+# ---------------------------------------------------------------------------
+
+_LOGREG_X = "CAST(l_discount * 10 AS DOUBLE)"
+_LOGREG_Y = "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+
+# Newton update from scaled stats (the 1e6 scales cancel in H^-1 g):
+#   [b0,b1] += [[s0,s1],[s1,s2]]^-1 [g0,g1]
+_LOGREG_SOLVE = """
+  b0 + (CAST(s2 AS DOUBLE) * CAST(g0 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(g1 AS DOUBLE))
+       / (CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS b0,
+  b1 + (CAST(s0 AS DOUBLE) * CAST(g1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(g0 AS DOUBLE))
+       / (CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS b1
+"""
+
+_LOGREG_ORACLE = f"""
+WITH d AS (
+  SELECT {_LOGREG_X} AS x, {_LOGREG_Y} AS y FROM lineitem
+),
+st0 AS (
+  SELECT COUNT(*) * 250000 AS s0,
+         SUM(CAST(ROUND(0.25e0 * x * 1e6) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(0.25e0 * x * x * 1e6) AS BIGINT)) AS s2,
+         SUM(CAST(ROUND((y - 0.5e0) * 1e6) AS BIGINT)) AS g0,
+         SUM(CAST(ROUND((y - 0.5e0) * x * 1e6) AS BIGINT)) AS g1,
+         CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1
+  FROM d
+),
+beta1 AS (SELECT {_LOGREG_SOLVE} FROM st0),
+p1 AS (
+  SELECT d.y, d.x,
+         CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-(b.b0 + b.b1 * d.x))) AS p,
+         b.b0, b.b1
+  FROM d, beta1 b
+),
+st1 AS (
+  SELECT SUM(CAST(ROUND(p * (1e0 - p) * 1e6) AS BIGINT)) AS s0,
+         SUM(CAST(ROUND(p * (1e0 - p) * x * 1e6) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(p * (1e0 - p) * x * x * 1e6) AS BIGINT)) AS s2,
+         SUM(CAST(ROUND((y - p) * 1e6) AS BIGINT)) AS g0,
+         SUM(CAST(ROUND((y - p) * x * 1e6) AS BIGINT)) AS g1,
+         MIN(b0) AS b0, MIN(b1) AS b1
+  FROM p1
+),
+beta2 AS (SELECT {_LOGREG_SOLVE} FROM st1)
+SELECT (SELECT COUNT(*) FROM d) AS n,
+       CAST(ROUND(b0 * 1e9) AS BIGINT) / 1e9 AS b0,
+       CAST(ROUND(b1 * 1e9) AS BIGINT) / 1e9 AS b1
+FROM beta2
+"""
+
+
+def _logreg_solve_py(b0, b1, s0, s1, s2, g0, g1):
+    """Driver-side twin of _LOGREG_SOLVE: same casts, same operation
+    order, so the doubles are bit-identical to the oracle's CTE."""
+    den = float(s0) * float(s2) - float(s1) * float(s1)
+    return (
+        b0 + (float(s2) * float(g0) - float(s1) * float(g1)) / den,
+        b1 + (float(s0) * float(g1) - float(s1) * float(g0)) / den,
+    )
+
+
+@register("ml_logreg_irls", oracle=_LOGREG_ORACLE, tags=("ml", "iterative"))
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (intercept + one feature: does discount
+    predict returns?) trained by TWO Newton/IRLS steps.  Each step is
+    one map-side partial-agg pass producing five BIGINT fixed-point
+    sufficient statistics; the driver sees 5 scalars per step (the
+    HITS-half-step precedent) and the 2x2 Newton solve is driver
+    arithmetic mirroring the oracle bit-for-bit.  Step 0 is libm-free
+    (beta=0 gives w=1/4 exactly); step 1's sigmoid is absorbed by the
+    ROUND(.*1e6) recipe.  Scale: per iteration the 100 TB table crosses
+    the wire as five BIGINTs — the textbook distributed-GLM shape
+    (Spark MLlib's own LogisticRegression aggregates gradients the same
+    way); k more features cost a (k+1)^2 stat matrix, not a shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.selectExpr(f"{_LOGREG_X} AS x", f"{_LOGREG_Y} AS y")
+    st0 = d.selectExpr(
+        "COUNT(*) * 250000 AS s0",
+        "SUM(CAST(ROUND(0.25e0 * x * 1e6) AS BIGINT)) AS s1",
+        "SUM(CAST(ROUND(0.25e0 * x * x * 1e6) AS BIGINT)) AS s2",
+        "SUM(CAST(ROUND((y - 0.5e0) * 1e6) AS BIGINT)) AS g0",
+        "SUM(CAST(ROUND((y - 0.5e0) * x * 1e6) AS BIGINT)) AS g1",
+        "COUNT(*) AS n",
+    ).first()
+    b0, b1 = _logreg_solve_py(
+        0.0, 0.0, st0.s0, st0.s1, st0.s2, st0.g0, st0.g1
+    )
+    # step 1: beta enters as double literals (F.lit keeps the exact bits)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+    w = p * (F.lit(1.0) - p)
+    st1 = d.agg(
+        F.sum(F.round(w * 1e6).cast("long")).alias("s0"),
+        F.sum(F.round(w * F.col("x") * 1e6).cast("long")).alias("s1"),
+        F.sum(F.round(w * F.col("x") * F.col("x") * 1e6).cast("long")).alias("s2"),
+        F.sum(F.round((F.col("y") - p) * 1e6).cast("long")).alias("g0"),
+        F.sum(F.round((F.col("y") - p) * F.col("x") * 1e6).cast("long")).alias("g1"),
+    ).first()
+    b0, b1 = _logreg_solve_py(b0, b1, st1.s0, st1.s1, st1.s2, st1.g0, st1.g1)
+    return spark.range(1).selectExpr(
+        f"CAST({st0.n} AS BIGINT) AS n",
+        f"CAST(ROUND(CAST({b0!r} AS DOUBLE) * 1e9) AS BIGINT) / 1e9 AS b0",
+        f"CAST(ROUND(CAST({b1!r} AS DOUBLE) * 1e9) AS BIGINT) / 1e9 AS b1",
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())

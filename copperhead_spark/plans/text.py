@@ -1009,5 +1009,124 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                " DIV count(*) AS BIGINT)").alias("oov_ppm"),
     )
 
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup: the crawl-curation step that collapses
+# scheme-case / www / default-port / utm-tracking / fragment variants of
+# the same page before any content dedup runs (a large crawl's rawest
+# duplicate source).  The corpus has no URLs, so each doc synthesizes a
+# messy variant deterministically (the WAV payload-construction
+# precedent) and the oracle recomputes the same canonicalization with
+# DuckDB's string/list functions — value parity proves the ALGORITHM,
+# not a shared implementation.
+# ---------------------------------------------------------------------------
+
+# raw URL: scheme case flips by doc parity; host mixes case and carries
+# www. + the https default port; path has a trailing slash; the query
+# mixes utm_* junk with a real param; fragment varies per doc
+_URL_RAW_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,"
+    " 'WWW.Example-', source, '.COM:443/articles/',"
+    " CAST(doc_id % 50 AS STRING), '/?utm_source=feed&utm_id=',"
+    " CAST(doc_id AS STRING), '&ref=', lang, '#frag-', CAST(doc_id AS STRING))"
+)
+_URL_RAW_DUCK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,"
+    " 'WWW.Example-', source, '.COM:443/articles/',"
+    " CAST(doc_id % 50 AS VARCHAR), '/?utm_source=feed&utm_id=',"
+    " CAST(doc_id AS VARCHAR), '&ref=', lang, '#frag-', CAST(doc_id AS VARCHAR))"
+)
+
+_URL_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_URL_RAW_DUCK} AS url FROM documents),
+s1 AS (  -- strip fragment, split off the fixed-length scheme
+  SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM raw
+),
+s2 AS (
+  SELECT doc_id, url,
+         split_part(substring(nofrag, 9), '/', 1) AS hostport,
+         substring(substring(nofrag, 9), length(split_part(substring(nofrag, 9), '/', 1)) + 1) AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, url,
+         regexp_replace(replace(lower(hostport), ':443', ''), '^www[.]', '') AS host,
+         split_part(rest, '?', 1) AS path0,
+         CASE WHEN strpos(rest, '?') > 0
+              THEN substring(rest, strpos(rest, '?') + 1) ELSE '' END AS query
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, url, host,
+         CASE WHEN length(path0) > 1 AND ends_with(path0, '/')
+              THEN substring(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+         array_to_string(list_filter(string_split(query, '&'),
+                                     x -> NOT starts_with(x, 'utm_')), '&') AS q
+  FROM s3
+),
+canon AS (
+  SELECT doc_id, url,
+         concat('https://', host, path,
+                CASE WHEN q <> '' THEN concat('?', q) ELSE '' END) AS canonical
+  FROM s4
+)
+SELECT canonical,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       MIN(doc_id) AS representative
+FROM canon GROUP BY canonical
+"""
+
+
+@register("text_url_canonicalize", oracle=_URL_ORACLE, tags=("text", "dedup", "M5"))
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup on the canonical form: strip
+    the fragment, lowercase scheme+host, drop the https default port and
+    the www. prefix, strip the trailing slash, and remove utm_* tracking
+    params while preserving real ones (order-preserving list filter) —
+    then group raw variants per canonical URL.  Everything is built-in
+    string/array functions (one map-side projection + one groupBy on the
+    canonical key), so the 100 TB crawl canonicalizes inside the scan
+    with whole-stage codegen and shuffles once on the canonical URL —
+    the same plan shape as dedup_exact_groups."""
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.selectExpr("doc_id", f"{_URL_RAW_SPARK} AS url")
+    s1 = raw.selectExpr("doc_id", "url", "substring_index(url, '#', 1) AS nofrag")
+    s2 = s1.selectExpr(
+        "doc_id",
+        "url",
+        "substring_index(substring(nofrag, 9), '/', 1) AS hostport",
+        "substring(substring(nofrag, 9),"
+        " length(substring_index(substring(nofrag, 9), '/', 1)) + 1) AS rest",
+    )
+    s3 = s2.selectExpr(
+        "doc_id",
+        "url",
+        "regexp_replace(replace(lower(hostport), ':443', ''), '^www[.]', '') AS host",
+        "substring_index(rest, '?', 1) AS path0",
+        "CASE WHEN instr(rest, '?') > 0"
+        " THEN substring(rest, instr(rest, '?') + 1) ELSE '' END AS query",
+    )
+    s4 = s3.selectExpr(
+        "doc_id",
+        "url",
+        "host",
+        "CASE WHEN length(path0) > 1 AND endswith(path0, '/')"
+        " THEN substring(path0, 1, length(path0) - 1) ELSE path0 END AS path",
+        "array_join(filter(split(query, '&'),"
+        " x -> NOT startswith(x, 'utm_')), '&') AS q",
+    )
+    canon = s4.selectExpr(
+        "doc_id",
+        "url",
+        "concat('https://', host, path,"
+        " CASE WHEN q != '' THEN concat('?', q) ELSE '' END) AS canonical",
+    )
+    return canon.groupBy("canonical").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("url").cast("long").alias("n_raw_variants"),
+        F.min("doc_id").alias("representative"),
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())
