@@ -92,6 +92,12 @@ HEADLINE = [
     # at sf0.1 (it composes LSH+CC+decontamination+packing) and is
     # measured once per record in the soak section instead of 4x here.
     "sim_filtered_ivf_topk",
+    # round-8 additions: the ROOT chunked-scan path (encode fixture ->
+    # TKey/TBasket walk -> mapInArrow decode -> aggregate, the S1
+    # operator the uproot gate used to block) and the iterative
+    # sufficient-stats logistic trainer
+    "s1_root_scan",
+    "ml_logreg_irls",
 ]
 
 # fresh-context batch width for the young pass: small enough that no

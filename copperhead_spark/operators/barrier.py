@@ -12,7 +12,10 @@ per row, and no exchange is introduced.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def project_once(df: DataFrame, *exprs: str) -> DataFrame:
@@ -20,3 +23,24 @@ def project_once(df: DataFrame, *exprs: str) -> DataFrame:
     name) so each is evaluated exactly once per row and downstream
     references see plain attributes."""
     return df.selectExpr(f"inline(array(struct({', '.join(exprs)})))")
+
+
+_CGB_IDS = itertools.count()
+
+
+def codegen_barrier(df: DataFrame, tag: str = "cgb") -> DataFrame:
+    """Split the whole-stage-codegen SPAN here (r8: the janino 64 KB fix).
+
+    Array-HOF lambdas cannot be method-split by CodegenContext (lambda
+    variables are locals), so when several HOF-heavy projections fuse
+    into one span, the span's single processNext() exceeds janino's
+    64 KB per-method limit and Spark silently drops the WHOLE span to
+    interpreted evaluation (one ERROR log, no plan change — the
+    stage1+derive pipeline ran interpreted through r7 without anyone
+    seeing it).  ``observe`` inserts a CollectMetricsExec, which does
+    not implement CodegenSupport: the plan splits into two spans at
+    this point, each with its own (now under-64KB) processNext, at the
+    cost of ONE count accumulator per partition — no shuffle, no
+    materialization, and the optimizer cannot eliminate an observed
+    metric.  Names must be unique per query, hence the counter."""
+    return df.observe(f"{tag}_{next(_CGB_IDS)}", F.count(F.lit(1)))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from copperhead_spark.operators.aggregates import sign_product
+from copperhead_spark.operators.barrier import codegen_barrier
 from copperhead_spark.operators.histogram import histogram
 from copperhead_spark.operators.jagged import (
     dr_clean_anti_join,
@@ -169,7 +170,15 @@ def stage1(events: DataFrame) -> DataFrame:
 
 def _derive_and_label(flat: DataFrame) -> DataFrame:
     """Shared stage-1 tail: pair kinematics, region labels, weight ledger
-    (identical for the exploded-child and array-native front halves)."""
+    (identical for the exploded-child and array-native front halves).
+
+    The codegen_barrier is load-bearing: fused with the array-native
+    front half, this tail's kinematics push the single whole-stage span
+    past janino's 64 KB method limit and the ENTIRE pipeline silently
+    ran interpreted (discovered r8 by the fallback=false preflight gate;
+    see operators/barrier.codegen_barrier).  Splitting here keeps both
+    spans compiled."""
+    flat = codegen_barrier(flat, "cgb_derive")
     flat = _pair_kinematics(flat, "mu1_", "mu2_", "dimuon_", MU_MASS, MU_MASS)
     flat = _pair_kinematics_jets(flat)
 

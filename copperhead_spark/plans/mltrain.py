@@ -892,6 +892,191 @@ def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
+# KS statistic and average precision over a BINNED score: the two
+# companion metrics to ml_auc_rank, computed from per-bin integer counts
+# so the 100 TB eval set crosses the wire as |distinct scores| rows and
+# every number is bit-reproducible (the binned-score histogram is the
+# same scale pattern the AUC docstring prescribes for global metrics).
+# ---------------------------------------------------------------------------
+
+# overflow-safe fixed-point division: (a DIV b)*m + ((a MOD b)*m) DIV b;
+# integer division spells `//` in DuckDB and `DIV` in Spark SQL
+def _fpdiv(a: str, b: str, m: int, idiv: str = "//") -> str:
+    return (
+        f"(({a}) {idiv} ({b})) * {m}"
+        f" + ((({a}) % ({b})) * {m}) {idiv} ({b})"
+    )
+
+
+_KS_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS score,
+         CAST(l_returnflag = 'R' AS BIGINT) AS y
+  FROM lineitem
+),
+b AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT score,
+         CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cpos,
+         CAST(SUM(neg) OVER (ORDER BY score) AS BIGINT) AS cneg,
+         CAST(SUM(pos) OVER () AS BIGINT) AS npos,
+         CAST(SUM(neg) OVER () AS BIGINT) AS nneg
+  FROM b
+),
+d AS (
+  SELECT score, npos, nneg,
+         ABS(cpos * nneg - cneg * npos) AS gap_num
+  FROM c
+)
+SELECT MIN(npos) + MIN(nneg) AS n, MIN(npos) AS npos, MIN(nneg) AS nneg,
+       CAST({_fpdiv("MAX(gap_num)", "MIN(npos) * MIN(nneg)", 1_000_000)}
+            AS BIGINT) AS ks_e6,
+       MIN(CASE WHEN gap_num = (SELECT MAX(gap_num) FROM d) THEN score END)
+         AS ks_threshold
+FROM d
+"""
+
+
+@register("ml_ks_statistic", oracle=_KS_ORACLE, tags=("ml", "evaluation"))
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kolmogorov-Smirnov separation of a binned score (discount
+    cents vs 'was returned'): max over thresholds of |CDF_pos - CDF_neg|,
+    computed as the INTEGER max of |cpos*nneg - cneg*npos| over the
+    per-score cumulative counts, fixed-point-divided by npos*nneg at 1e-6
+    (the ml_auc_rank overflow-safe decomposition) — plus the argmax
+    threshold (min score on ties).  One partial-agg groupBy on the score
+    bin, then windows over |bins| rows: the classic two-sample test at
+    any scale, because the cumulative walk happens on the histogram, not
+    the rows."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.selectExpr(
+            "CAST(ROUND(l_discount * 100) AS BIGINT) AS score",
+            "CAST(l_returnflag = 'R' AS BIGINT) AS y",
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+        )
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = b.select(
+        "score",
+        F.sum("pos").over(wa).cast("long").alias("npos"),
+        F.sum("neg").over(wa).cast("long").alias("nneg"),
+        F.abs(
+            F.sum("pos").over(wc) * F.sum("neg").over(wa)
+            - F.sum("neg").over(wc) * F.sum("pos").over(wa)
+        )
+        .cast("long")
+        .alias("gap_num"),
+    )
+    mx = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d2 = d.withColumn("max_gap", F.max("gap_num").over(mx))
+    return d2.agg(
+        (F.min("npos") + F.min("nneg")).alias("n"),
+        F.min("npos").alias("npos"),
+        F.min("nneg").alias("nneg"),
+        F.expr(
+            f"CAST({_fpdiv('MAX(gap_num)', 'MIN(npos) * MIN(nneg)', 1_000_000, 'DIV')}"
+            " AS BIGINT)"
+        ).alias("ks_e6"),
+        F.min(
+            F.when(F.col("gap_num") == F.col("max_gap"), F.col("score"))
+        ).alias("ks_threshold"),
+    )
+
+
+_PR_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS score,
+         CAST(l_returnflag = 'R' AS BIGINT) AS y
+  FROM lineitem
+),
+b AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s GROUP BY score
+),
+c AS (  -- descending score: each bin's cumulative tp and predicted-pos
+  SELECT pos AS dtp,
+         CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         CAST(SUM(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS pp,
+         CAST(SUM(pos) OVER () AS BIGINT) AS npos,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM b
+),
+t AS (
+  SELECT npos, n,
+         CAST({_fpdiv("dtp * tp", "pp", 1_000_000_000)} AS BIGINT) AS term_e9
+  FROM c
+)
+SELECT MIN(n) AS n, MIN(npos) AS npos,
+       CAST({_fpdiv("SUM(term_e9)", "MIN(npos)", 1)} AS BIGINT) AS ap_e9
+FROM t
+"""
+
+
+@register("ml_pr_auc", oracle=_PR_ORACLE, tags=("ml", "evaluation"))
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (step-interpolated PR-AUC) of the binned
+    score: bins walked in DESCENDING score order, AP = sum_g
+    dTP_g * precision_g / TP_total with precision_g = TP_g / PP_g — every
+    term an integer floor division at 1e-9 via the overflow-safe
+    decomposition, so the metric is a deterministic integer function of
+    the per-bin counts (the documented exact convention; both engines
+    evaluate the identical formula).  Same scale shape as
+    ml_ks_statistic: one histogram groupBy, windows over |bins| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.selectExpr(
+            "CAST(ROUND(l_discount * 100) AS BIGINT) AS score",
+            "CAST(l_returnflag = 'R' AS BIGINT) AS y",
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = b.select(
+        F.col("pos").alias("dtp"),
+        F.sum("pos").over(wd).cast("long").alias("tp"),
+        F.sum("cnt").over(wd).cast("long").alias("pp"),
+        F.sum("pos").over(wa).cast("long").alias("npos"),
+        F.sum("cnt").over(wa).cast("long").alias("n"),
+    )
+    t = c.selectExpr(
+        "npos",
+        "n",
+        f"CAST({_fpdiv('dtp * tp', 'pp', 1_000_000_000, 'DIV')} AS BIGINT) AS term_e9",
+    )
+    return t.agg(
+        F.min("n").alias("n"),
+        F.min("npos").alias("npos"),
+        F.expr(
+            f"CAST({_fpdiv('SUM(term_e9)', 'MIN(npos)', 1, 'DIV')} AS BIGINT)"
+        ).alias("ap_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # logistic regression via IRLS (Newton-Raphson), 2 steps: the iterative
 # trainer missing from the perceptron/OLS/NB/stump family.  Every data
 # pass reduces to five BIGINT fixed-point sufficient statistics (the
