@@ -140,11 +140,26 @@ def _time_pipeline(spark, ev) -> float:
     return round(best, 4)
 
 
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (jiffies) from /proc/stat — on a
+    microVM host, CPU stolen by co-tenants slows every measurement
+    UNIFORMLY, which none of the in-VM gates (start load, aged/young
+    ratio) can see: no process shows up, both passes slow equally.
+    Recording the per-run steal share makes the r6/r8 'everything is
+    1.3x slower, nothing changed' pattern adjudicable from the record."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])  # cpu: ... steal is field 8
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     load_start = os.getloadavg()
+    steal0, wall0 = _steal_jiffies(), time.perf_counter()
 
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
@@ -681,6 +696,16 @@ def main() -> None:
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
         },
+        # hypervisor steal share over the whole run (% of one vCPU-second
+        # stolen per vCPU-second elapsed, USER_HZ=100): >~2% means a host
+        # co-tenant taxed every measurement uniformly — the contamination
+        # mode the start-load and aged/young gates cannot see
+        "cpu_steal_pct": round(
+            100
+            * (_steal_jiffies() - steal0)
+            / (max(time.perf_counter() - wall0, 1e-9) * (os.cpu_count() or 1) * 100),
+            2,
+        ),
         "aged_vs_young_ratio": aged_vs_young,
         # start load > 2 on the 1-minute OR the 5-minute average means
         # timings are contaminated by background work (the r04

@@ -1499,5 +1499,124 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# modularity of the LPA communities: the one-number quality score of a
+# partition (Newman-Girvan Q), composed on top of the label-propagation
+# loop — "did the community detection actually find structure?"
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    # Q = sum_c (intra_c * 2m - deg_c^2) / (2m)^2, all-integer numerator;
+    # the final 1e-9 fixed point uses the sign-split decomposition
+    # because DuckDB's // floors while Spark's DIV truncates — they only
+    # agree on non-negative operands.
+    fp = (
+        "((ABS(s) // den) * 1000000 + ((ABS(s) % den) * 1000000) // den)"
+    )
+    return f"""
+WITH lpa AS (SELECT node, community FROM ({_lpa_oracle()}) t),
+e0 AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m FROM edges),
+el AS (
+  SELECT ls.community AS cs, ld.community AS cd
+  FROM edges e JOIN lpa ls ON e.src = ls.node JOIN lpa ld ON e.dst = ld.node
+),
+intra AS (
+  SELECT cs AS community, CAST(COUNT(*) AS BIGINT) AS intra
+  FROM el WHERE cs = cd GROUP BY 1
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+degc AS (
+  SELECT l.community, CAST(SUM(d.d) AS BIGINT) AS deg_sum
+  FROM deg d JOIN lpa l ON d.node = l.node GROUP BY 1
+),
+c AS (
+  SELECT dc.community, COALESCE(i.intra, 0) AS intra, dc.deg_sum,
+         COALESCE(i.intra, 0) * (SELECT two_m FROM m)
+           - dc.deg_sum * dc.deg_sum AS contrib
+  FROM degc dc LEFT JOIN intra i USING (community)
+),
+g AS (
+  SELECT community, intra, deg_sum, contrib,
+         SUM(contrib) OVER () AS s,
+         (SELECT two_m FROM m) * (SELECT two_m FROM m) AS den
+  FROM c
+)
+SELECT community, intra, deg_sum, contrib,
+       CAST(CASE WHEN s >= 0 THEN {fp} ELSE -{fp} END AS BIGINT) AS q_e6
+FROM g
+"""
+
+
+@register("graph_modularity", oracle=_modularity_oracle(), tags=("graph", "evaluation"))
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the LPA partition: per community the
+    intra-edge count, total degree, and integer contribution
+    intra*2m - deg^2; the global Q rides every row as a 1e-6 fixed-point
+    of sum(contrib)/(2m)^2 — the whole computation is BIGINT (the
+    assortativity recipe), so the score is bit-reproducible on top of an
+    ITERATIVE upstream.  The 1e-6 scale keeps (s % den) * 1e6 inside BIGINT up to
+    ~2e6 directed edges at this den. Sign-split final division because DuckDB's //
+    floors while Spark's DIV truncates (they agree only for
+    non-negative operands).  Plan: the converged |nodes|-sized label
+    frontier is localCheckpointed and BROADCAST to both edge endpoints
+    (never shuffling the edge list), then two partial-agg rollups to
+    |communities| rows; the window walks those few rows.  BIGINT
+    headroom: contrib <= 2m * max(intra, deg^2/2m) — promote to
+    DECIMAL(38,0) past ~1e9 directed edges."""
+    ed, deg = _edges_deg(spark, sf_dir)
+    lbl = lpa_iterations(ed, deg, _LP_ROUNDS).localCheckpoint()
+    two_m = ed.count()
+    ls = lbl.select(F.col("node").alias("src"), F.col("lbl").alias("cs"))
+    ld = lbl.select(F.col("node").alias("dst"), F.col("lbl").alias("cd"))
+    intra = (
+        ed.select("src", "dst")
+        .join(F.broadcast(ls), "src")
+        .join(F.broadcast(ld), "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.count("*").cast("long").alias("intra"))
+    )
+    degc = (
+        deg.join(F.broadcast(lbl.withColumnRenamed("node", "src")), "src")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.sum("deg").cast("long").alias("deg_sum"))
+    )
+    c = degc.join(intra, "community", "left").select(
+        "community",
+        F.coalesce(F.col("intra"), F.lit(0)).cast("long").alias("intra"),
+        "deg_sum",
+        (
+            F.coalesce(F.col("intra"), F.lit(0)).cast("long")
+            * F.lit(two_m).cast("long")
+            - F.col("deg_sum") * F.col("deg_sum")
+        )
+        .cast("long")
+        .alias("contrib"),
+    )
+    wa = Window.orderBy("community").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fp = (
+        "((ABS(s) DIV den) * 1000000 + ((ABS(s) % den) * 1000000) DIV den)"
+    )
+    return (
+        c.withColumn("s", F.sum("contrib").over(wa).cast("long"))
+        .withColumn("den", F.lit(two_m).cast("long") * F.lit(two_m).cast("long"))
+        .selectExpr(
+            "community",
+            "intra",
+            "deg_sum",
+            "contrib",
+            f"CAST(CASE WHEN s >= 0 THEN {fp} ELSE -{fp} END AS BIGINT) AS q_e6",
+        )
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())
