@@ -769,6 +769,7 @@ def _soak100_main() -> None:
     bytes from the status store — the numbers that expose the next
     resource ceiling before a real cluster does."""
     load_start = os.getloadavg()
+    steal0, wall0 = _steal_jiffies(), time.perf_counter()
     spark = get_spark(app_name="copperhead-bench-soak100")
     from copperhead_spark.fixtures import events_fixture_distributed
     from copperhead_spark.pipeline import stage1_arrays, stage2_variations
@@ -855,6 +856,11 @@ def _soak100_main() -> None:
         except Exception as exc:  # noqa: BLE001 - metrics are best-effort
             out["status_store_err"] = str(exc)[:200]
         out["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
+        out["cpu_steal_pct"] = round(
+            100 * (_steal_jiffies() - steal0)
+            / (max(time.perf_counter() - wall0, 1e-9) * (os.cpu_count() or 1) * 100),
+            2,
+        )
         # per-unit scaling vs the committed per-round 10x record
         try:
             with open(
@@ -904,6 +910,7 @@ def _pretrain10x_main() -> None:
     BENCH_PRETRAIN10X.json under the same start-load hard gate as
     BENCH_SOAK100.json."""
     load_start = os.getloadavg()
+    steal0, wall0 = _steal_jiffies(), time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="copperhead-bench-pretrain10x")
     queries = all_queries()
@@ -944,6 +951,11 @@ def _pretrain10x_main() -> None:
         out["scaling_3x_per_unit"] = round(t3 / (3 * t1), 3)
         out["scaling_10x_per_unit"] = round(t10 / (10 * t1), 3)
         out["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
+        out["cpu_steal_pct"] = round(
+            100 * (_steal_jiffies() - steal0)
+            / (max(time.perf_counter() - wall0, 1e-9) * (os.cpu_count() or 1) * 100),
+            2,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     line = json.dumps(out)

@@ -19,7 +19,7 @@ from copperhead_spark.plans.registry import all_queries
 # SURVEY §2 ID -> (description, [query names], "other coverage" note)
 INVENTORY: list[tuple[str, str, list[str], str]] = [
     # 2.1 scans / sources / sinks
-    ("S1", "ROOT NanoAOD chunked scan", [], "sources/root_ingest.py (mapInArrow chunk plan; decode gated on uproot)"),
+    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode; uproot optional)"),
     ("S2", "Source column pruning", ["p1_conjunctive_filter"], "Catalyst column pruning (ReadSchema verified in plan audit)"),
     ("S3", "Partitioned parquet sink", ["s3_partitioned_sink_roundtrip"], "sources/parquet_io.py"),
     ("S4", "Partitioned scan + repartition", ["s4_partition_pruned_scan"], "AQE coalescing in session defaults"),
@@ -27,7 +27,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "sources/layout.py optimize_layout (target file sizing, range-clustered files for min/max pruning); explicit path-list scan"),
     ("S6", "Metadata pre-scan aggregate", ["s6_metadata_prescan"], ""),
     ("S7", "Histogram sink/source", ["a5_weighted_histogram"], "histogram is a DataFrame -> plain parquet sink; no pickles"),
-    ("S8", "ROOT TH1 template sink", [], "finishing/templates.py (to_template_arrays; ROOT write gated on uproot)"),
+    ("S8", "ROOT TH1 template sink", ["s8_th1_template_sink"], "finishing/templates.py + sources/rootio.py write_th1f (TArrayF/TArrayD byte layout; uproot optional)"),
     ("S9", "Output overwrite management", ["s3_partitioned_sink_roundtrip"], "dynamic partition overwrite (idempotency probed)"),
     ("S10", "CSV/JSON/ORC lookup + interchange IO", ["s10_csv_lookup_join"], "sources/tabular_io.py (JSON/ORC round-trips in tests/test_tabular_io.py)"),
     ("S11", "Schema-evolution scan (mergeSchema)", ["s11_schema_evolution_scan"],
