@@ -1076,6 +1076,77 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIFT_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS score,
+         CAST(l_returnflag = 'R' AS BIGINT) AS y
+  FROM lineitem
+),
+b AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT score, pos, cnt,
+         CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS ctp,
+         CAST(SUM(cnt) OVER (ORDER BY score DESC) AS BIGINT) AS cpp,
+         CAST(SUM(pos) OVER () AS BIGINT) AS npos,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM b
+)
+SELECT score, pos, cnt, ctp, cpp,
+       CAST({_fpdiv("ctp * 1000000", "npos", 1)} AS BIGINT) AS recall_e6,
+       CAST({_fpdiv("cpp * 1000000", "n", 1)} AS BIGINT) AS pop_share_e6,
+       CAST({_fpdiv("ctp * n", "cpp * npos", 1_000_000)} AS BIGINT) AS lift_e6
+FROM c
+"""
+
+
+@register("ml_lift_gains_table", oracle=_LIFT_ORACLE, tags=("ml", "evaluation"))
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of the binned score: targeting the
+    top-k score bins captures recall_e6 of the positives using
+    pop_share_e6 of the population, at lift_e6 = recall/share — the
+    campaign-targeting readout beside KS and average precision, every
+    number an exact integer function of the per-bin counts (overflow-
+    safe fixed-point division throughout; ctp*n <= n^2, so promote to
+    DECIMAL past ~3e9 rows).  Same scale shape as ml_ks_statistic: one
+    histogram groupBy, windows over |bins| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.selectExpr(
+            "CAST(ROUND(l_discount * 100) AS BIGINT) AS score",
+            "CAST(l_returnflag = 'R' AS BIGINT) AS y",
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = b.select(
+        "score",
+        "pos",
+        "cnt",
+        F.sum("pos").over(wd).cast("long").alias("ctp"),
+        F.sum("cnt").over(wd).cast("long").alias("cpp"),
+        F.sum("pos").over(wa).cast("long").alias("npos"),
+        F.sum("cnt").over(wa).cast("long").alias("n"),
+    )
+    return c.selectExpr(
+        "score", "pos", "cnt", "ctp", "cpp",
+        f"CAST({_fpdiv('ctp * 1000000', 'npos', 1, 'DIV')} AS BIGINT) AS recall_e6",
+        f"CAST({_fpdiv('cpp * 1000000', 'n', 1, 'DIV')} AS BIGINT) AS pop_share_e6",
+        f"CAST({_fpdiv('ctp * n', 'cpp * npos', 1_000_000, 'DIV')} AS BIGINT) AS lift_e6",
+    )
+
+
 # ---------------------------------------------------------------------------
 # logistic regression via IRLS (Newton-Raphson), 2 steps: the iterative
 # trainer missing from the perceptron/OLS/NB/stump family.  Every data
