@@ -10,19 +10,22 @@ DataFrame of (file, entry_start, entry_stop) chunk specs — the exact
 analogue of the reference's chunked Runner — with uproot doing the
 columnar decode inside each Arrow batch.
 
-uproot/awkward are not installed in this image; for uncompressed
-flat-branch trees the byte-level decode is done by the pure-python
-reader in sources/rootio.py (real TFile/TKey/TBasket layouts,
+uproot/awkward are not installed in this image; for rootio-written
+trees — flat or jagged (NanoAOD counts+payload layout), optionally
+zlib-compressed — the byte-level decode is done by the pure-python
+reader in sources/rootio.py (real TFile/TKey/TBasket/ZL-frame layouts,
 basket-level pruning), so the whole path — chunk planning, mapInArrow
-fan-out, columnar decode — runs and is oracle-checked end-to-end here
-(s1_root_scan).  Compressed/jagged NanoAOD still routes through the
-uproot decoder when that library is present.
+fan-out, columnar decode into flat and list columns — runs and is
+oracle-checked end-to-end here (s1_root_scan, s1_root_scan_jagged,
+pipeline_root_to_th1_e2e).  Stock-ROOT files (TStreamerInfo metadata)
+still route through the uproot decoder when that library is present.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -43,20 +46,36 @@ def plan_chunks(
 def rootio_decoder(
     path: str, tree: str, branches: Sequence[str], start: int, stop: int
 ):
-    """Pure-python byte decode (sources/rootio.py) for uncompressed
-    flat-branch trees — the decoder that runs in THIS image (r8: retires
-    the uproot gate for the flat subset).  Column pruning and basket-level
-    entry-range pruning happen inside read_flat_tree, so each mapInArrow
-    task touches only its chunk's baskets of the whitelisted branches.
-    Compressed/jagged NanoAOD still needs the uproot decoder below."""
+    """Pure-python byte decode (sources/rootio.py) — the decoder that
+    runs in THIS image.  Flat branches come back as plain columns;
+    jagged (NanoAOD counts+payload) branches as Arrow list columns,
+    zlib "ZL" baskets transparently inflated (r9: retires the uproot
+    gate for compressed/jagged rootio-written trees; real stock-ROOT
+    files still need the uproot decoder below — rootio's metadata is a
+    CSTreeIndex record, not TStreamerInfo).  Column pruning and
+    basket-level entry-range pruning happen inside read_tree, so each
+    mapInArrow task touches only its chunk's baskets of the whitelisted
+    branches."""
     import pyarrow as pa
 
-    from copperhead_spark.sources.rootio import read_flat_tree
+    from copperhead_spark.sources.rootio import read_tree
 
-    cols = read_flat_tree(
+    cols = read_tree(
         path, tree, list(branches), entry_start=start, entry_stop=stop
     )
-    return pa.table({b: cols[b] for b in branches})
+    arrays = {}
+    for b in branches:
+        v = cols[b]
+        if isinstance(v, tuple):
+            counts, values = v
+            offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            arrays[b] = pa.LargeListArray.from_arrays(
+                pa.array(offsets), pa.array(values)
+            )
+        else:
+            arrays[b] = pa.array(v)
+    return pa.table(arrays)
 
 
 def _uproot_decoder(path: str, tree: str, branches: Sequence[str], start: int, stop: int):

@@ -6,43 +6,67 @@ TH1s (/root/reference/python/io.py:230-235).  uproot is absent from this
 image, so — following the WAV/netpbm precedent (operators/multimodal.py)
 — this module implements the subset of the PUBLIC ROOT on-disk format
 (https://root.cern/doc/master/classTFile.html header docs; the same
-layout uproot's source documents) needed to round-trip flat-branch
-TTrees and TH1F histograms without any library:
+layout uproot's source documents) needed to round-trip NanoAOD-shaped
+TTrees (flat AND jagged branches, optionally zlib-compressed) and TH1F
+histograms without any library:
 
 REAL per the public spec (byte-for-byte):
   - the 100-byte TFile header: "root" magic, fVersion, fBEGIN=100, fEND,
-    fSeekFree/fNbytesFree, fNbytesName, fUnits=4, fCompress=0, fUUID;
+    fSeekFree/fNbytesFree, fNbytesName, fUnits=4, fCompress, fUUID;
   - the TKey record layout (v4, 32-bit seeks): fNbytes, fVersion,
     fObjlen, fDatime, fKeylen, fCycle, fSeekKey, fSeekPdir, then
     ClassName/Name/Title as TStrings (1-byte length, 255 -> 4-byte ext);
+    a compressed record is detected exactly as uproot detects it:
+    fNbytes - fKeylen != fObjlen;
+  - the 9-byte "ZL" compression frame (ROOT's RZip layout): b"ZL",
+    method byte 8 (deflate), 3-byte little-endian compressed size,
+    3-byte little-endian uncompressed size, then the raw zlib stream;
+    payloads over 0xffffff bytes span multiple frames (kMAXZIPBUF);
   - TString encoding, big-endian everything;
   - the TBasket record: a TKey (class "TBasket", name = branch, title =
     tree) followed by fVersion/fBufferSize/fNevBufSize/fNevBuf/fLast/
     fHeaderOnly and the raw BIG-ENDIAN leaf array — exactly how a real
-    uncompressed flat-branch basket lays out its payload;
+    flat-branch basket lays out its payload.  A jagged (variable-length)
+    branch stores its flat value payload the same way and its per-entry
+    multiplicities in a separate counts branch — the NanoAOD layout
+    (nMuon + Muon_pt/...; /root/reference/config/branches.py:2-73);
   - leaf type letters as in TTree draw specs: D=float64, F=float32,
-    L=int64, I=int32.
+    L=int64, I=int32, O=bool (1 byte).
 
 SIMPLIFIED (documented, honest): real ROOT describes TTree/TH1 object
 structure through self-describing TStreamerInfo records; implementing
 that machinery is what uproot is for.  Instead (a) tree metadata is one
-"CSTreeIndex"-class key (version, entries, branch names + leaf letters)
-and (b) the reader recovers the key directory by the SEQUENTIAL KEY WALK
-from fBEGIN to fEND — the same scan TFile::Recover performs on files
-whose directory is missing — so no TDirectory/KeysList deserialization
-is needed.  TH1F records (class "TH1F") carry name/title TStrings, the
-axis triple, a TArrayF of bin contents (under/overflow included) and a
-TArrayD of Sumw2, i.e. the payload a real TH1F streamer carries minus
-the TAttLine/TAttFill/TAttMarker cosmetics.  A file from this writer is
-therefore NOT readable by stock ROOT (no streamers); every structure it
-shares with the real format follows the public spec so swapping in
-uproot touches only the decoder function (sources/root_ingest.py).
+"CSTreeIndex"-class key — v2 carries (entries, basket_entries, branch
+name + leaf letter + counts-branch name per branch), standing in for the
+TBranch fBasketEntry tables real readers get from streamers, so basket
+entry spans are known WITHOUT decompressing basket payloads — and (b)
+the reader recovers the key directory by the SEQUENTIAL KEY WALK from
+fBEGIN to fEND — the same scan TFile::Recover performs on files whose
+directory is missing — so no TDirectory/KeysList deserialization is
+needed.  Real baskets of variable-size entries also embed an
+fEntryOffsetLen offset table; here the counts branch alone carries that
+information (it is sufficient: NanoAOD readers reconstruct offsets from
+counts the same way).  TH1F records (class "TH1F") carry name/title
+TStrings, the axis triple, a TArrayF of bin contents (under/overflow
+included) and a TArrayD of Sumw2, i.e. the payload a real TH1F streamer
+carries minus the TAttLine/TAttFill/TAttMarker cosmetics.  A file from
+this writer is therefore NOT readable by stock ROOT (no streamers);
+every structure it shares with the real format follows the public spec
+so swapping in uproot touches only the decoder function
+(sources/root_ingest.py).
+
+Reads are mmap-backed: the key walk touches only header pages, and a
+pruned basket's payload bytes are never paged in — a 1000-chunk
+mapInArrow fan-out over one large file costs each task O(its chunk), not
+O(file) (r9: closes the ADVICE read-amplification item).
 """
 
 from __future__ import annotations
 
+import mmap
 import os
 import struct
+import zlib
 
 import numpy as np
 
@@ -51,11 +75,14 @@ FBEGIN = 100
 _FVERSION = 62406  # layout version the header advertises (6.24/06)
 _KEY_VERSION = 4
 _TREE_INDEX_CLASS = "CSTreeIndex"
+_MAXZIP = 0xFFFFFF  # max bytes one ZL frame covers (ROOT kMAXZIPBUF)
+_BASKET_HDR = 19  # fVersion/fBufferSize/fNevBufSize/fNevBuf/fLast + flag
 
-# ROOT leaf type letters -> big-endian numpy dtypes
-LEAF_DTYPES = {"D": ">f8", "F": ">f4", "L": ">i8", "I": ">i4"}
+# ROOT leaf type letters -> big-endian numpy dtypes ("O" = 1-byte bool)
+LEAF_DTYPES = {"D": ">f8", "F": ">f4", "L": ">i8", "I": ">i4", "O": "u1"}
 _NUMPY_LEAF = {np.dtype("float64"): "D", np.dtype("float32"): "F",
-               np.dtype("int64"): "L", np.dtype("int32"): "I"}
+               np.dtype("int64"): "L", np.dtype("int32"): "I",
+               np.dtype("bool"): "O"}
 
 
 # ---------------------------------------------------------------------------
@@ -70,7 +97,7 @@ def _tstring(s: str) -> bytes:
     return struct.pack(">BI", 255, len(b)) + b
 
 
-def _read_tstring(buf: bytes, pos: int) -> tuple[str, int]:
+def _read_tstring(buf, pos: int) -> tuple[str, int]:
     if pos >= len(buf):
         raise ValueError("truncated TString")
     n = buf[pos]
@@ -82,23 +109,75 @@ def _read_tstring(buf: bytes, pos: int) -> tuple[str, int]:
         pos += 4
     if pos + n > len(buf):
         raise ValueError("truncated TString body")
-    return buf[pos : pos + n].decode(), pos + n
+    return bytes(buf[pos : pos + n]).decode(), pos + n
+
+
+def _zl_frames(data: bytes, level: int) -> bytes | None:
+    """Compress ``data`` into ROOT "ZL" frame(s); None when compression
+    does not pay (ROOT likewise stores such records uncompressed)."""
+    out = []
+    for off in range(0, len(data), _MAXZIP):
+        chunk = data[off : off + _MAXZIP]
+        c = zlib.compress(chunk, level)
+        out.append(
+            b"ZL"
+            + bytes([8])  # method: deflate
+            + len(c).to_bytes(3, "little")
+            + len(chunk).to_bytes(3, "little")
+            + c
+        )
+    framed = b"".join(out)
+    return framed if len(framed) < len(data) else None
+
+
+def _zl_decompress(raw, objlen: int) -> bytes:
+    """Inverse of _zl_frames: walk frames until ``objlen`` bytes are
+    recovered.  Strictly advancing; malformed input raises ValueError."""
+    out, pos = [], 0
+    got = 0
+    while got < objlen:
+        if pos + 9 > len(raw):
+            raise ValueError("truncated compression frame header")
+        if bytes(raw[pos : pos + 2]) != b"ZL" or raw[pos + 2] != 8:
+            raise ValueError(
+                f"unsupported compression frame {bytes(raw[pos:pos + 2])!r} "
+                "(only ZL/deflate frames are written by this module)"
+            )
+        csize = int.from_bytes(raw[pos + 3 : pos + 6], "little")
+        usize = int.from_bytes(raw[pos + 6 : pos + 9], "little")
+        if csize <= 0 or pos + 9 + csize > len(raw):
+            raise ValueError("truncated compression frame body")
+        try:
+            chunk = zlib.decompress(bytes(raw[pos + 9 : pos + 9 + csize]))
+        except zlib.error as e:
+            raise ValueError(f"corrupt deflate stream: {e}") from None
+        if len(chunk) != usize:
+            raise ValueError("compression frame size mismatch")
+        out.append(chunk)
+        got += usize
+        pos += 9 + csize
+    if got != objlen:
+        raise ValueError("decompressed size does not match fObjlen")
+    return b"".join(out)
 
 
 def _key_bytes(
-    classname: str, name: str, title: str, seek_key: int, objlen: int
+    classname: str, name: str, title: str, seek_key: int, data: bytes,
+    objlen: int | None = None,
 ) -> bytes:
-    """Serialize a v4 TKey header; fNbytes spans header + data
-    (uncompressed: fNbytes == fKeylen + fObjlen)."""
+    """Serialize a v4 TKey header for ``data`` as stored on disk;
+    ``objlen`` is the uncompressed object length (== len(data) unless the
+    payload was compressed, exactly the fNbytes/fObjlen split real ROOT
+    writes)."""
     names = _tstring(classname) + _tstring(name) + _tstring(title)
     keylen = 26 + len(names)
-    nbytes = keylen + objlen
+    nbytes = keylen + len(data)
     return (
         struct.pack(
             ">ihiIhhii",
             nbytes,
             _KEY_VERSION,
-            objlen,
+            len(data) if objlen is None else objlen,
             0,  # fDatime: zero keeps the writer deterministic
             keylen,
             1,  # fCycle
@@ -111,10 +190,10 @@ def _key_bytes(
 
 class _Key:
     __slots__ = ("nbytes", "objlen", "keylen", "seek", "classname", "name",
-                 "title", "data_pos")
+                 "title", "data_pos", "datalen")
 
 
-def _read_key(buf: bytes, pos: int) -> _Key:
+def _read_key(buf, pos: int) -> _Key:
     if pos + 26 > len(buf):
         raise ValueError("truncated TKey header")
     nbytes, version, objlen, _dt, keylen, _cyc, seek, _pdir = struct.unpack_from(
@@ -122,19 +201,34 @@ def _read_key(buf: bytes, pos: int) -> _Key:
     )
     if version > 1000:
         raise ValueError("64-bit (large-file) TKeys not supported")
+    if keylen < 26 or nbytes < keylen or objlen < 0:
+        raise ValueError("malformed TKey lengths")
     k = _Key()
     k.nbytes, k.objlen, k.keylen, k.seek = nbytes, objlen, keylen, seek
+    k.datalen = nbytes - keylen
     p = pos + 26
     k.classname, p = _read_tstring(buf, p)
     k.name, p = _read_tstring(buf, p)
     k.title, p = _read_tstring(buf, p)
+    if p > pos + keylen:
+        raise ValueError("TKey names overrun fKeylen")
     k.data_pos = pos + keylen
-    if k.data_pos + k.objlen > len(buf):
+    if k.data_pos + k.datalen > len(buf):
         raise ValueError(f"truncated key data for {k.name!r}")
     return k
 
 
-def _walk_keys(buf: bytes):
+def _payload(buf, k: _Key) -> bytes | memoryview:
+    """Object bytes of a key: raw view when stored uncompressed (mmap
+    pages only touched on access), decompressed copy otherwise (the
+    uproot detection rule: compressed iff fNbytes - fKeylen != fObjlen)."""
+    raw = memoryview(buf)[k.data_pos : k.data_pos + k.datalen]
+    if k.datalen == k.objlen:
+        return raw
+    return _zl_decompress(raw, k.objlen)
+
+
+def _walk_keys(buf):
     """Sequential key scan from fBEGIN to fEND (the TFile::Recover walk).
     Bounded: every iteration advances by at least one header, and a
     non-positive record length (a freed gap marker) is skipped by its
@@ -155,25 +249,38 @@ def _walk_keys(buf: bytes):
         pos += nbytes
 
 
+def _open_buf(path: str):
+    """mmap the file read-only: the key walk and pruned baskets never
+    page in payload bytes (empty files get a plain read — mmap rejects
+    length 0, and they fail the magic check anyway)."""
+    with open(path, "rb") as fh:
+        if os.fstat(fh.fileno()).st_size == 0:
+            return b""
+        return mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+
+
 # ---------------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------------
 
 
-def _header(fend: int, nbytes_name: int) -> bytes:
+def _file_header(fend: int, nbytes_name: int, compress: int) -> bytes:
     h = MAGIC + struct.pack(
         ">iiiiiii", _FVERSION, FBEGIN, fend, fend, 0, 0, nbytes_name
     )
     h += struct.pack(">B", 4)  # fUnits
-    h += struct.pack(">i", 0)  # fCompress: uncompressed
+    h += struct.pack(">i", compress)
     h += struct.pack(">ii", 0, 0)  # fSeekInfo/fNbytesInfo: no streamers
     h += struct.pack(">H", 1) + b"\x00" * 16  # fUUID (version + null uuid)
     return h.ljust(FBEGIN, b"\x00")
 
 
 class _Writer:
-    def __init__(self, path: str):
+    def __init__(self, path: str, compress: int = 0):
+        if not 0 <= compress <= 9:
+            raise ValueError("compress must be a zlib level 0..9")
         self.path = path
+        self.compress = compress
         self.records: list[bytes] = []
         name = os.path.basename(path)
         # the TFile directory record: fName/fTitle then the TDirectory
@@ -184,21 +291,150 @@ class _Writer:
             + struct.pack(">hIIii", 5, 0, 0, 0, 0)
             + struct.pack(">iii", FBEGIN, 0, 0)
         )
-        self._nbytes_name = len(_key_bytes("TFile", name, "", FBEGIN, 0)) + len(
-            _tstring(name) + _tstring("")
-        )
-        self.add("TFile", name, "", dirdata)
+        self._nbytes_name = len(
+            _key_bytes("TFile", name, "", FBEGIN, b"")
+        ) + len(_tstring(name) + _tstring(""))
+        self.add("TFile", name, "", dirdata, compressible=False)
 
-    def add(self, classname: str, name: str, title: str, data: bytes) -> None:
+    def add(
+        self, classname: str, name: str, title: str, data: bytes,
+        compressible: bool = True,
+    ) -> None:
+        objlen = len(data)
+        if self.compress and compressible and objlen > 64:
+            framed = _zl_frames(data, self.compress)
+            if framed is not None:
+                data = framed
         seek = FBEGIN + sum(len(r) for r in self.records)
-        self.records.append(_key_bytes(classname, name, title, seek, len(data)) + data)
+        self.records.append(
+            _key_bytes(classname, name, title, seek, data, objlen) + data
+        )
 
     def close(self) -> None:
         body = b"".join(self.records)
         fend = FBEGIN + len(body)
         with open(self.path, "wb") as fh:
-            fh.write(_header(fend, self._nbytes_name))
+            fh.write(_file_header(fend, self._nbytes_name, self.compress))
             fh.write(body)
+
+
+def _as_leaf(bname: str, arr, ndim: int = 1) -> tuple[np.ndarray, str]:
+    a = np.asarray(arr)
+    if a.ndim != ndim:
+        raise ValueError(f"branch {bname!r}: need a 1-D array")
+    if a.dtype not in _NUMPY_LEAF:
+        raise ValueError(f"branch {bname!r}: unsupported dtype {a.dtype}")
+    return a, _NUMPY_LEAF[a.dtype]
+
+
+def _basket_bytes(payload_arr: np.ndarray, letter: str, nev: int) -> bytes:
+    payload = payload_arr.astype(LEAF_DTYPES[letter]).tobytes()
+    return (
+        struct.pack(
+            ">hiiii",
+            3,  # fVersion
+            len(payload),  # fBufferSize
+            payload_arr.dtype.itemsize,  # fNevBufSize
+            nev,  # fNevBuf (entries, not values)
+            len(payload),  # fLast
+        )
+        + b"\x00"  # fHeaderOnly
+        + payload
+    )
+
+
+def write_tree(
+    path: str,
+    tree: str,
+    columns: dict[str, np.ndarray],
+    jagged: dict[str, tuple[str, np.ndarray]] | None = None,
+    basket_entries: int = 8192,
+    title: str = "",
+    compress: int = 0,
+) -> None:
+    """Write a TTree with flat branches (``columns``: one value per
+    entry) and jagged branches (``jagged``: name -> (counts_branch,
+    flat values array) — the NanoAOD nMuon/Muon_pt layout, where the
+    int counts branch in ``columns`` gives each entry's multiplicity).
+    One CSTreeIndex v2 record carries entries/basket grid/branch table;
+    per-branch TBasket records hold at most ``basket_entries`` ENTRIES
+    each (a jagged basket holds all values of its entry window), zlib
+    "ZL"-compressed when ``compress`` > 0.  Baskets are interleaved
+    branch-major in entry order, matching how a real writer flushes
+    per-branch baskets as entries accumulate."""
+    jagged = jagged or {}
+    if not columns and not jagged:
+        raise ValueError("write_tree: no branches")
+    if basket_entries < 1:
+        raise ValueError("basket_entries must be >= 1")
+    overlap = set(columns) & set(jagged)
+    if overlap:
+        raise ValueError(f"branches defined both flat and jagged: {sorted(overlap)}")
+
+    n = None
+    flat: dict[str, np.ndarray] = {}
+    letters: dict[str, str] = {}
+    for bname, arr in columns.items():
+        a, letters[bname] = _as_leaf(bname, arr)
+        if n is None:
+            n = len(a)
+        elif len(a) != n:
+            raise ValueError("branches differ in length")
+        flat[bname] = a
+    jag: dict[str, tuple[str, np.ndarray]] = {}
+    counts_of: dict[str, str] = {}
+    for bname, spec in jagged.items():
+        cname, values = spec
+        if cname not in flat:
+            raise ValueError(
+                f"jagged branch {bname!r}: counts branch {cname!r} must be "
+                "a flat integer column"
+            )
+        if letters[cname] not in ("I", "L"):
+            raise ValueError(f"counts branch {cname!r} must be int32/int64")
+        counts = flat[cname]
+        if len(counts) and counts.min() < 0:
+            raise ValueError(f"counts branch {cname!r} has negative entries")
+        v, letters[bname] = _as_leaf(bname, values)
+        if int(counts.sum()) != len(v):
+            raise ValueError(
+                f"jagged branch {bname!r}: sum(counts) = {int(counts.sum())} "
+                f"!= len(values) = {len(v)}"
+            )
+        jag[bname] = (cname, v)
+        counts_of[bname] = cname
+    if n is None:  # jagged-only tree is impossible (counts must be flat)
+        raise ValueError("write_tree: no flat branches")
+
+    w = _Writer(path, compress=compress)
+    idx = struct.pack(">hqii", 2, n, basket_entries, len(letters))
+    for bname in letters:
+        idx += (
+            _tstring(bname)
+            + letters[bname].encode()
+            + _tstring(counts_of.get(bname, ""))
+        )
+    w.add(_TREE_INDEX_CLASS, tree, title, idx, compressible=False)
+
+    voff = {bname: 0 for bname in jag}
+    for start in range(0, max(n, 1), basket_entries):
+        stop = min(start + basket_entries, n)
+        if stop <= start:
+            break
+        for bname, a in flat.items():
+            w.add(
+                "TBasket", bname, tree,
+                _basket_bytes(a[start:stop], letters[bname], stop - start),
+            )
+        for bname, (cname, v) in jag.items():
+            nvals = int(flat[cname][start:stop].sum())
+            lo = voff[bname]
+            voff[bname] = lo + nvals
+            w.add(
+                "TBasket", bname, tree,
+                _basket_bytes(v[lo : lo + nvals], letters[bname], stop - start),
+            )
+    w.close()
 
 
 def write_flat_tree(
@@ -207,66 +443,22 @@ def write_flat_tree(
     columns: dict[str, np.ndarray],
     basket_entries: int = 8192,
     title: str = "",
+    compress: int = 0,
 ) -> None:
-    """Write a flat (one value per entry) TTree: one CSTreeIndex record
-    (entries + branch names/leaf letters) and per-branch TBasket records
-    of at most ``basket_entries`` entries each, big-endian payloads.
-    Baskets are interleaved branch-major in entry order, matching how a
-    real writer flushes per-branch baskets as entries accumulate."""
-    if not columns:
-        raise ValueError("write_flat_tree: no branches")
-    n = None
-    arrays: dict[str, np.ndarray] = {}
-    letters: dict[str, str] = {}
-    for bname, arr in columns.items():
-        a = np.asarray(arr)
-        if a.ndim != 1:
-            raise ValueError(f"branch {bname!r}: flat trees need 1-D arrays")
-        if a.dtype not in _NUMPY_LEAF:
-            raise ValueError(f"branch {bname!r}: unsupported dtype {a.dtype}")
-        if n is None:
-            n = len(a)
-        elif len(a) != n:
-            raise ValueError("branches differ in length")
-        arrays[bname] = a
-        letters[bname] = _NUMPY_LEAF[a.dtype]
-
-    w = _Writer(path)
-    idx = struct.pack(">hqi", 1, n, len(arrays))
-    for bname in arrays:
-        idx += _tstring(bname) + letters[bname].encode()
-    w.add(_TREE_INDEX_CLASS, tree, title, idx)
-
-    for start in range(0, max(n, 1), basket_entries):
-        stop = min(start + basket_entries, n)
-        if stop <= start:
-            break
-        for bname, a in arrays.items():
-            payload = a[start:stop].astype(LEAF_DTYPES[letters[bname]]).tobytes()
-            evsize = a.dtype.itemsize
-            basket = (
-                struct.pack(
-                    ">hiiii",
-                    3,  # fVersion
-                    len(payload),  # fBufferSize
-                    evsize,  # fNevBufSize (bytes/entry: fixed leaves)
-                    stop - start,  # fNevBuf
-                    len(payload),  # fLast
-                )
-                + b"\x00"  # fHeaderOnly
-                + payload
-            )
-            w.add("TBasket", bname, tree, basket)
-    w.close()
+    """Flat-only convenience wrapper over write_tree."""
+    write_tree(
+        path, tree, columns,
+        basket_entries=basket_entries, title=title, compress=compress,
+    )
 
 
-def write_th1f(path: str, hists: list[dict]) -> None:
+def write_th1f(path: str, hists: list[dict], compress: int = 0) -> None:
     """Write TH1F records: each dict needs name, title, nbins, xlo, xhi,
     contents (len nbins+2, under/overflow at [0]/[-1]) and optionally
     sumw2 (same length).  Contents are stored as a TArrayF (int32 count +
     big-endian float32s), Sumw2 as a TArrayD — the arrays a real TH1F
     streamer carries."""
-    w = _Writer(path)
+    w = _Writer(path, compress=compress)
     for h in hists:
         nbins = int(h["nbins"])
         contents = np.asarray(h["contents"], dtype=np.float64)
@@ -289,35 +481,265 @@ def write_th1f(path: str, hists: list[dict]) -> None:
 # ---------------------------------------------------------------------------
 
 
+class _TreeMeta:
+    __slots__ = ("name", "n", "basket_entries", "letters", "counts_of")
+
+
+def _parse_index(buf, k: _Key) -> _TreeMeta:
+    pay = _payload(buf, k)
+    if len(pay) < 14:
+        raise ValueError(f"truncated CSTreeIndex record for tree {k.name!r}")
+    (version,) = struct.unpack_from(">h", pay, 0)
+    m = _TreeMeta()
+    m.name = k.name
+    m.letters = {}
+    m.counts_of = {}
+    if version == 1:
+        m.n, nb = struct.unpack_from(">qi", pay, 2)
+        m.basket_entries = 0  # v1: spans come from basket headers
+        pos = 14
+        for _ in range(nb):
+            bname, pos = _read_tstring(pay, pos)
+            if pos >= len(pay):
+                raise ValueError("truncated CSTreeIndex branch table")
+            letter = chr(pay[pos])
+            pos += 1
+            if letter not in LEAF_DTYPES:
+                raise ValueError(f"unknown leaf type {letter!r}")
+            m.letters[bname] = letter
+    elif version == 2:
+        if len(pay) < 18:
+            raise ValueError(f"truncated CSTreeIndex record for tree {k.name!r}")
+        m.n, m.basket_entries, nb = struct.unpack_from(">qii", pay, 2)
+        if m.basket_entries < 1:
+            raise ValueError("CSTreeIndex v2: bad basket_entries")
+        pos = 18
+        for _ in range(nb):
+            bname, pos = _read_tstring(pay, pos)
+            if pos >= len(pay):
+                raise ValueError("truncated CSTreeIndex branch table")
+            letter = chr(pay[pos])
+            pos += 1
+            if letter not in LEAF_DTYPES:
+                raise ValueError(f"unknown leaf type {letter!r}")
+            cname, pos = _read_tstring(pay, pos)
+            m.letters[bname] = letter
+            if cname:
+                m.counts_of[bname] = cname
+    else:
+        raise ValueError(f"unknown CSTreeIndex version {version}")
+    for bname, cname in m.counts_of.items():
+        if m.letters.get(cname) not in ("I", "L"):
+            raise ValueError(
+                f"jagged branch {bname!r}: counts branch {cname!r} missing "
+                "or not integer"
+            )
+    return m
+
+
 def list_trees(path: str) -> list[tuple[str, int]]:
     """(tree name, n_entries) for every tree in the file — feeds
     read_nanoaod's (file, entries) chunk planning."""
-    with open(path, "rb") as fh:
-        buf = fh.read()
+    buf = _open_buf(path)
     out = []
     for k in _walk_keys(buf):
         if k.classname == _TREE_INDEX_CLASS:
-            _v, n, _nb = struct.unpack_from(">hqi", buf, k.data_pos)
-            out.append((k.name, n))
+            m = _parse_index(buf, k)
+            out.append((m.name, m.n))
     return out
 
 
-def _tree_index(buf: bytes, tree: str | None):
+def _tree_meta(buf, tree: str | None) -> _TreeMeta:
+    saw_root = False
     for k in _walk_keys(buf):
+        saw_root = True
         if k.classname == _TREE_INDEX_CLASS and (tree is None or k.name == tree):
-            pos = k.data_pos
-            _v, n, nb = struct.unpack_from(">hqi", buf, pos)
-            pos += 14
-            branches: dict[str, str] = {}
-            for _ in range(nb):
-                bname, pos = _read_tstring(buf, pos)
-                letter = chr(buf[pos])
-                pos += 1
-                if letter not in LEAF_DTYPES:
-                    raise ValueError(f"unknown leaf type {letter!r}")
-                branches[bname] = letter
-            return k.name, n, branches
-    raise KeyError(f"tree {tree!r} not found")
+            return _parse_index(buf, k)
+    if saw_root:
+        raise KeyError(
+            f"tree {tree!r} not found: the file parses as ROOT but has no "
+            "CSTreeIndex record — this pure-python reader only handles "
+            "trees written by copperhead_spark.sources.rootio; real ROOT/"
+            "NanoAOD files carry TStreamerInfo metadata instead and need "
+            "`pip install uproot awkward` (sources/root_ingest.py swaps "
+            "the decoder automatically once uproot is importable)"
+        )
+    raise KeyError(f"tree {tree!r} not found (file has no keys)")
+
+
+class _BasketRef:
+    __slots__ = ("key", "lo", "hi")
+
+
+def _basket_payload(buf, ref: _BasketRef, letter: str):
+    """(values ndarray, declared nev) of one basket; bounds-checked so a
+    malformed record raises ValueError, never struct.error."""
+    pay = _payload(buf, ref.key)
+    if len(pay) < _BASKET_HDR:
+        raise ValueError(f"truncated TBasket for branch {ref.key.name!r}")
+    _v, _bufsz, _evsz, nev, last = struct.unpack_from(">hiiii", pay, 0)
+    dt = np.dtype(LEAF_DTYPES[letter])
+    body = len(pay) - _BASKET_HDR
+    if body % dt.itemsize:
+        raise ValueError(f"TBasket payload misaligned for {ref.key.name!r}")
+    vals = np.frombuffer(pay, dtype=dt, count=body // dt.itemsize,
+                         offset=_BASKET_HDR)
+    return vals, nev
+
+
+def _native(letter: str) -> np.dtype:
+    if letter == "O":
+        return np.dtype("bool")
+    return np.dtype(LEAF_DTYPES[letter]).newbyteorder("=")
+
+
+def read_tree(
+    path: str,
+    tree: str | None = None,
+    branches: list[str] | None = None,
+    entry_start: int = 0,
+    entry_stop: int | None = None,
+) -> dict[str, np.ndarray | tuple[np.ndarray, np.ndarray]]:
+    """Columnar chunked read.  Flat branches come back as 1-D arrays;
+    jagged branches as (counts int64[entries], values) pairs.  ONLY the
+    requested branches (plus the counts branches jagged ones need) are
+    decoded — other branches' baskets are skipped by their key length
+    without touching (or decompressing, or even paging in) the payload —
+    and within a branch only the baskets overlapping
+    [entry_start, entry_stop) are materialized: the basket-level pruning
+    a chunked uproot read performs, which is what makes the mapInArrow
+    fan-out in read_nanoaod scale.  Decode work per task is O(chunk);
+    the mmap walk reads key headers only, so pruned payload bytes are
+    never paged in."""
+    buf = _open_buf(path)
+    meta = _tree_meta(buf, tree)
+    want = list(branches) if branches is not None else list(meta.letters)
+    missing = [b for b in want if b not in meta.letters]
+    if missing:
+        raise KeyError(f"unknown branches {missing} in tree {meta.name!r}")
+    stop = meta.n if entry_stop is None else min(entry_stop, meta.n)
+    start = max(0, min(entry_start, stop))
+
+    # branches whose baskets we must decode: requested + their counts
+    need = list(dict.fromkeys(
+        want + [meta.counts_of[b] for b in want if b in meta.counts_of]
+    ))
+
+    # one header-only walk collects each needed branch's basket refs in
+    # flush order; entry spans come from the v2 grid (v1: from headers)
+    refs: dict[str, list[_BasketRef]] = {b: [] for b in need}
+    cursor: dict[str, int] = {b: 0 for b in need}
+    be = meta.basket_entries
+    for k in _walk_keys(buf):
+        if k.classname != "TBasket" or k.title != meta.name or k.name not in refs:
+            continue
+        r = _BasketRef()
+        r.key = k
+        r.lo = cursor[k.name]
+        if be:  # v2: span from the basket grid, payload untouched
+            r.hi = min(r.lo + be, meta.n)
+        else:  # v1 (uncompressed flat): nev from the basket header
+            _, nev = _basket_payload(buf, r, meta.letters[k.name])
+            r.hi = r.lo + nev
+        cursor[k.name] = r.hi
+        refs[k.name].append(r)
+
+    def flat_slice(b: str, lo: int, hi: int) -> np.ndarray:
+        """Entries [lo, hi) of flat branch ``b`` (decodes only
+        overlapping baskets)."""
+        letter = meta.letters[b]
+        parts = []
+        got = 0
+        for r in refs[b]:
+            if r.hi <= lo or r.lo >= hi:
+                continue
+            vals, nev = _basket_payload(buf, r, letter)
+            if nev != r.hi - r.lo or len(vals) != nev:
+                raise ValueError(
+                    f"branch {b!r}: basket at entry {r.lo} declares {nev} "
+                    f"entries, grid expects {r.hi - r.lo}, payload has "
+                    f"{len(vals)}"
+                )
+            parts.append(vals[max(lo - r.lo, 0) : min(hi, r.hi) - r.lo])
+            got += len(parts[-1])
+        if got != hi - lo:
+            raise ValueError(
+                f"branch {b!r}: baskets cover {got} of {hi - lo} requested "
+                "entries"
+            )
+        native = _native(letter)
+        return (
+            np.concatenate(parts).astype(native)
+            if parts
+            else np.empty(0, dtype=native)
+        )
+
+    out: dict[str, np.ndarray | tuple[np.ndarray, np.ndarray]] = {}
+    flat_cache: dict[tuple[str, int, int], np.ndarray] = {}
+
+    def cached_flat(b: str, lo: int, hi: int) -> np.ndarray:
+        key = (b, lo, hi)
+        if key not in flat_cache:
+            flat_cache[key] = flat_slice(b, lo, hi)
+        return flat_cache[key]
+
+    for b in want:
+        if b not in meta.counts_of:
+            out[b] = cached_flat(b, start, stop)
+            continue
+        # jagged: counts give per-entry multiplicities; value offsets
+        # within each basket come from the counts of [basket lo, entry)
+        cname = meta.counts_of[b]
+        letter = meta.letters[b]
+        first_lo = min(
+            (r.lo for r in refs[b] if r.hi > start and r.lo < stop),
+            default=start,
+        )
+        counts_ext = cached_flat(cname, first_lo, stop).astype(np.int64)
+        if len(counts_ext) and counts_ext.min() < 0:
+            raise ValueError(f"counts branch {cname!r} has negative entries")
+        counts = counts_ext[start - first_lo :]
+        # cumulative values before each entry, relative to first_lo
+        cum = np.concatenate(([0], np.cumsum(counts_ext)))
+        parts = []
+        for r in refs[b]:
+            if r.hi <= start or r.lo >= stop:
+                continue  # pruned: payload never decompressed/paged in
+            vals, nev = _basket_payload(buf, r, letter)
+            if nev != r.hi - r.lo:
+                raise ValueError(
+                    f"branch {b!r}: basket at entry {r.lo} declares {nev} "
+                    f"entries, grid expects {r.hi - r.lo}"
+                )
+            sel_lo, sel_hi = max(start, r.lo), min(stop, r.hi)
+            base = cum[r.lo - first_lo]  # values before this basket's lo
+            vlo = int(cum[sel_lo - first_lo] - base)
+            vhi = int(cum[sel_hi - first_lo] - base)
+            expect = int(cum[r.hi - first_lo] - base) if r.hi <= stop else None
+            if expect is not None and len(vals) != expect:
+                raise ValueError(
+                    f"branch {b!r}: basket at entry {r.lo} has {len(vals)} "
+                    f"values, counts imply {expect}"
+                )
+            if vhi > len(vals):
+                raise ValueError(
+                    f"branch {b!r}: basket at entry {r.lo} too short for "
+                    "its counts"
+                )
+            parts.append(vals[vlo:vhi])
+        native = _native(letter)
+        values = (
+            np.concatenate(parts).astype(native)
+            if parts
+            else np.empty(0, dtype=native)
+        )
+        if len(values) != int(counts.sum()):
+            raise ValueError(
+                f"branch {b!r}: decoded {len(values)} values, counts sum to "
+                f"{int(counts.sum())}"
+            )
+        out[b] = (counts, values)
+    return out
 
 
 def read_flat_tree(
@@ -327,76 +749,44 @@ def read_flat_tree(
     entry_start: int = 0,
     entry_stop: int | None = None,
 ) -> dict[str, np.ndarray]:
-    """Columnar chunked read: ONLY the requested branches are decoded
-    (source pruning — other branches' baskets are skipped by their key
-    length without touching the payload), and within a branch only the
-    baskets overlapping [entry_start, entry_stop) are materialized —
-    the basket-level pruning a chunked uproot read performs, which is
-    what makes the mapInArrow fan-out in read_nanoaod scale: each task
-    decodes ~chunk_size entries regardless of file size."""
-    with open(path, "rb") as fh:
-        buf = fh.read()
-    tname, n, all_branches = _tree_index(buf, tree)
-    want = list(branches) if branches is not None else list(all_branches)
-    missing = [b for b in want if b not in all_branches]
-    if missing:
-        raise KeyError(f"unknown branches {missing} in tree {tname!r}")
-    stop = n if entry_stop is None else min(entry_stop, n)
-    start = max(0, min(entry_start, stop))
-
-    parts: dict[str, list[np.ndarray]] = {b: [] for b in want}
-    offsets: dict[str, int] = {b: 0 for b in want}
-    for k in _walk_keys(buf):
-        if k.classname != "TBasket" or k.title != tname or k.name not in parts:
-            continue
-        b = k.name
-        _v, _bufsz, _evsz, nev, last = struct.unpack_from(">hiiii", buf, k.data_pos)
-        lo = offsets[b]
-        hi = lo + nev
-        offsets[b] = hi
-        if hi <= start or lo >= stop:
-            continue  # basket-level pruning: payload never touched
-        dt = np.dtype(LEAF_DTYPES[all_branches[b]])
-        payload_pos = k.data_pos + 19
-        a = np.frombuffer(buf, dtype=dt, count=nev, offset=payload_pos)
-        parts[b].append(a[max(start - lo, 0) : min(stop, hi) - lo])
-    out = {}
-    for b in want:
-        native = np.dtype(LEAF_DTYPES[all_branches[b]]).newbyteorder("=")
-        out[b] = (
-            np.concatenate(parts[b]).astype(native)
-            if parts[b]
-            else np.empty(0, dtype=native)
+    """read_tree restricted to flat branches (back-compat S1 surface);
+    requesting a jagged branch here raises ValueError."""
+    got = read_tree(path, tree, branches, entry_start, entry_stop)
+    bad = [b for b, v in got.items() if isinstance(v, tuple)]
+    if bad:
+        raise ValueError(
+            f"branches {bad} are jagged; use read_tree to get "
+            "(counts, values) pairs"
         )
-        if len(out[b]) != stop - start:
-            raise ValueError(
-                f"branch {b!r}: baskets cover {len(out[b])} of "
-                f"{stop - start} requested entries"
-            )
-    return out
+    return got  # type: ignore[return-value]
 
 
 def read_th1f(path: str) -> dict[str, dict]:
     """Read back every TH1F record: name -> dict(title, nbins, xlo, xhi,
     contents float64[nbins+2], sumw2 float64[nbins+2])."""
-    with open(path, "rb") as fh:
-        buf = fh.read()
+    buf = _open_buf(path)
     out: dict[str, dict] = {}
     for k in _walk_keys(buf):
         if k.classname != "TH1F":
             continue
-        pos = k.data_pos
-        _v, nbins, xlo, xhi = struct.unpack_from(">hidd", buf, pos)
-        pos += 22
-        (nc,) = struct.unpack_from(">i", buf, pos)
+        pay = _payload(buf, k)
+        if len(pay) < 26:
+            raise ValueError(f"truncated TH1F record {k.name!r}")
+        _v, nbins, xlo, xhi = struct.unpack_from(">hidd", pay, 0)
+        pos = 22
+        (nc,) = struct.unpack_from(">i", pay, pos)
         pos += 4
-        contents = np.frombuffer(buf, dtype=">f4", count=nc, offset=pos).astype(
+        if nc < 0 or pos + 4 * nc + 4 > len(pay):
+            raise ValueError(f"truncated TH1F contents in {k.name!r}")
+        contents = np.frombuffer(pay, dtype=">f4", count=nc, offset=pos).astype(
             np.float64
         )
         pos += 4 * nc
-        (ns,) = struct.unpack_from(">i", buf, pos)
+        (ns,) = struct.unpack_from(">i", pay, pos)
         pos += 4
-        sumw2 = np.frombuffer(buf, dtype=">f8", count=ns, offset=pos).astype(
+        if ns < 0 or pos + 8 * ns > len(pay):
+            raise ValueError(f"truncated TH1F sumw2 in {k.name!r}")
+        sumw2 = np.frombuffer(pay, dtype=">f8", count=ns, offset=pos).astype(
             np.float64
         )
         out[k.name] = {

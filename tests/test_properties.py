@@ -10,7 +10,6 @@ import math
 import duckdb
 import numpy as np
 import pytest
-from struct import error as struct_error
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -522,12 +521,62 @@ def test_rootio_flat_tree_roundtrip_property(branch_specs, n, basket):
         assert np.array_equal(win[first], cols[first][lo:hi])
 
 
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=0, max_value=9),
+    st.sampled_from(["f8", "f4", "i8", "i4", "bool"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_rootio_jagged_compressed_roundtrip_property(n, basket, level, dt):
+    """Jagged (counts + payload) branches round-trip bit-exactly through
+    the v2 index + ZL zlib frames, and every entry window slices both
+    the counts and the value stream exactly — including windows that
+    split baskets (r9: the compressed-roundtrip property the VERDICT
+    task asked for)."""
+    import tempfile
+
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import read_tree, write_tree
+
+    rng = np.random.RandomState(n * 31 + basket + level)
+    counts = rng.randint(0, 6, n).astype(np.int32)
+    nv = int(counts.sum())
+    if dt == "bool":
+        vals = rng.uniform(size=nv) < 0.5
+    elif dt.startswith("f"):
+        vals = rng.uniform(-1e6, 1e6, nv).astype(dt)
+    else:
+        vals = rng.randint(-(2**30), 2**30, nv).astype(dt)
+    flat = {"nX": counts, "scalar": rng.uniform(-1, 1, n)}
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/j.root"
+        write_tree(
+            path, "T", flat, {"X_v": ("nX", vals)},
+            basket_entries=basket, compress=level,
+        )
+        back = read_tree(path)
+        c, v = back["X_v"]
+        assert np.array_equal(c, counts) and np.array_equal(v, vals)
+        assert np.array_equal(back["scalar"], flat["scalar"])
+        lo = n // 3
+        hi = min(n, lo + basket + 1)
+        win = read_tree(path, "T", ["X_v"], lo, hi)
+        c, v = win["X_v"]
+        assert np.array_equal(c, counts[lo:hi])
+        off = int(counts[:lo].sum())
+        assert np.array_equal(v, vals[off : off + int(counts[lo:hi].sum())])
+
+
 @given(st.binary(min_size=0, max_size=300))
 @settings(max_examples=100, deadline=None)
 def test_rootio_reader_never_hangs_on_garbage(payload):
     """Arbitrary bytes either parse or raise ValueError/KeyError — the
     sequential key walk is strictly advancing, so garbage can never loop
-    (the bounded-scan hardening rule the WAV parser follows)."""
+    (the bounded-scan hardening rule the WAV parser follows).  r9: every
+    record parser validates payload lengths before unpacking, so
+    struct.error no longer escapes the module's documented contract."""
     import tempfile
 
     from copperhead_spark.sources.rootio import read_flat_tree, read_th1f
@@ -539,7 +588,45 @@ def test_rootio_reader_never_hangs_on_garbage(payload):
         for fn in (read_flat_tree, read_th1f):
             try:
                 fn(path)
-            except (ValueError, KeyError, struct_error):
+            except (ValueError, KeyError):
+                pass
+
+
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 3))
+@settings(max_examples=60, deadline=None)
+def test_rootio_reader_rejects_corrupted_valid_files(payload, mode):
+    """A VALID file with bytes spliced over its records (headers kept
+    plausible) also stays inside the ValueError/KeyError contract —
+    this is the case the garbage test can't reach, because random bytes
+    rarely pass the magic + key-walk gates."""
+    import tempfile
+
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import read_th1f, read_tree, write_tree
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/c.root"
+        counts = np.array([2, 0, 3, 1], dtype=np.int32)
+        write_tree(
+            path, "T",
+            {"n": counts, "a": np.arange(4, dtype=np.float64)},
+            {"x": ("n", np.arange(6, dtype=np.float64))},
+            basket_entries=2,
+            compress=6 if mode % 2 else 0,
+        )
+        with open(path, "rb") as fh:
+            base = bytearray(fh.read())
+        # splice the fuzz payload into the record region (past the
+        # 100-byte header so the magic survives)
+        off = 100 + (mode * 37) % max(1, len(base) - 120)
+        base[off : off + len(payload)] = payload[: len(base) - off]
+        with open(path, "wb") as fh:
+            fh.write(base)
+        for fn in (lambda p: read_tree(p), read_th1f):
+            try:
+                fn(path)
+            except (ValueError, KeyError):
                 pass
 
 
