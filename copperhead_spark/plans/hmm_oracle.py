@@ -72,7 +72,12 @@ MU_SF = ("CASE WHEN {pt} < 40 THEN CAST(0.9712 AS DOUBLE) "
          "ELSE CAST(0.9951 AS DOUBLE) END")
 
 
-def hmm_pipeline_oracle(n: int = 20000) -> str:
+def hmm_stage_ctes(n: int = 20000) -> str:
+    """The fixture->stage1 CTE chain up to ``sel`` (labeled survivors
+    with region/channel/dimuon_mass/wgt_* columns) WITHOUT the leading
+    WITH keyword — shared by the flagship histogram oracle below and the
+    r9 ROOT->TH1F e2e oracle (plans/sources.py), which append their own
+    finishing CTEs."""
     u5 = u(5)
     n_mu = (
         f"CASE WHEN {u5} < 0.10 THEN 0 WHEN {u5} < 0.25 THEN 1 "
@@ -100,11 +105,8 @@ def hmm_pipeline_oracle(n: int = 20000) -> str:
     sf1 = MU_SF.format(pt="mu1_pt")
     sf2 = MU_SF.format(pt="mu2_pt")
 
-    from copperhead_spark.functions.exact import exact_sum_sql
-    from copperhead_spark.operators.histogram import bin_index_sql
-
     return f"""
-WITH ev AS (
+ev AS (
   SELECT id,
          {n_mu} AS n_mu,
          CAST(FLOOR({u(6)} * 3) AS INT) AS n_fsr,
@@ -219,7 +221,15 @@ labeled AS (
          ((genWeight * (({sf1}) * CAST(0.99 AS DOUBLE))) * (({sf2}) * CAST(0.99 AS DOUBLE))) AS wgt_muid_down
   FROM kin
 ),
-sel AS (SELECT * FROM labeled WHERE region <> 'none'),
+sel AS (SELECT * FROM labeled WHERE region <> 'none')"""
+
+
+def hmm_pipeline_oracle(n: int = 20000) -> str:
+    from copperhead_spark.functions.exact import exact_sum_sql
+    from copperhead_spark.operators.histogram import bin_index_sql
+
+    return f"""
+WITH {hmm_stage_ctes(n)},
 stacked AS (
   SELECT region, channel, dimuon_mass, 'nominal' AS variation, wgt_nominal AS wgt FROM sel
   UNION ALL

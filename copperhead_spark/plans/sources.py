@@ -1097,5 +1097,353 @@ def s8_th1_template_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+# ---------------------------------------------------------------------------
+# S1 depth: jagged + zlib-compressed ROOT scan.  Real NanoAOD stores each
+# collection as a counts branch plus flat per-field payload branches
+# (nMuon + Muon_pt/...; /root/reference/config/branches.py:2-73) inside
+# zlib/LZ4/ZSTD-compressed baskets.  rootio now implements the counts+
+# payload layout and the zlib "ZL" frame, so this query drives the full
+# production shape: orders are events, their lineitems the jagged
+# collection, every basket deflate-compressed.
+# ---------------------------------------------------------------------------
+
+_S1J_BASKET = 512  # orders (entries) per basket
+_S1J_CHUNK = 900  # entries per mapInArrow task; NOT a basket multiple
+
+
+def _root_jagged_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Write (once per process) a jagged zlib-compressed ROOT fixture:
+    one entry per order, lineitems as a counts branch (n_li) + flat
+    value branches in entry order.  Driver-side by design — real NanoAOD
+    arrives from outside the engine; the SCAN is the operator under
+    test (the s1_root_scan precedent)."""
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import list_trees, write_tree
+
+    out_dir = scratch_dir("rootfix_jagged", sf_dir)
+    path = os.path.join(out_dir, "events_jagged.root")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        pdf = (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+            .orderBy("l_orderkey", "l_linenumber")
+            .toPandas()
+        )
+        okey = pdf["l_orderkey"].to_numpy(np.int64)
+        orders, counts = np.unique(okey, return_counts=True)
+        write_tree(
+            path,
+            "Events",
+            {
+                "o_orderkey": orders,
+                "n_li": counts.astype(np.int32),
+            },
+            jagged={
+                "li_linenumber": ("n_li", pdf["l_linenumber"].to_numpy(np.int32)),
+                "li_quantity": ("n_li", pdf["l_quantity"].to_numpy(np.float64)),
+                "li_extendedprice": (
+                    "n_li",
+                    pdf["l_extendedprice"].to_numpy(np.float64),
+                ),
+            },
+            basket_entries=_S1J_BASKET,
+            compress=6,
+        )
+    return path, list_trees(path)[0][1]
+
+
+@register(
+    "s1_root_scan_jagged",
+    oracle="""
+WITH ev AS (
+  SELECT l_orderkey AS o_orderkey,
+         COUNT(*) AS n_li,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_c,
+         SUM(CAST(l_linenumber AS BIGINT)) AS ln_sum
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(n_li AS BIGINT) AS n_li,
+       COUNT(*) AS n_events,
+       CAST(SUM(qty_c) AS BIGINT) AS qty_c,
+       CAST(SUM(price_c) AS BIGINT) AS price_c,
+       CAST(SUM(ln_sum) AS BIGINT) AS ln_sum,
+       CAST(SUM(o_orderkey) AS BIGINT) AS id_checksum
+FROM ev GROUP BY 1
+""",
+    tags=("S1", "S2", "root", "M7"),
+)
+def s1_root_scan_jagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROOT chunked scan of a JAGGED, zlib-compressed TTree — the real
+    NanoAOD shape (S1 depth, run_stage1.py:153-166 over jagged Muon/Jet
+    collections; config/branches.py:2-73 counts+payload layout): orders
+    become events with their lineitems as a variable-length collection,
+    every basket stored as ROOT "ZL" deflate frames.  The scan runs the
+    production path — plan_chunks ({_S1J_CHUNK}/task, NOT a multiple of
+    the {_S1J_BASKET}-entry basket grid, so tasks slice baskets AND the
+    jagged value stream at both ends) -> mapInArrow fan-out -> per-task
+    inflate + counts-aligned value slicing -> Arrow list columns.  The
+    per-event fixed-point sums are computed by array HOFs on the decoded
+    lists (zero shuffle until the final |multiplicities|-row group), and
+    the oracle re-derives every per-event sum from the ORIGINAL parquet:
+    one mis-inflated frame, one off-by-one in the counts/value alignment,
+    or one dropped/duplicated chunk entry flips the value hash.  Scale:
+    identical to s1_root_scan — one task per chunk, decode pruned to the
+    chunk's baskets; compressed payloads of pruned baskets are never
+    inflated (and never paged in: mmap walk)."""
+    from copperhead_spark.sources.root_ingest import read_nanoaod, rootio_decoder
+
+    path, n = _root_jagged_fixture(spark, sf_dir)
+    df = read_nanoaod(
+        spark,
+        [(path, n)],
+        ("o_orderkey", "n_li", "li_linenumber", "li_quantity", "li_extendedprice"),
+        tree="Events",
+        chunk_size=_S1J_CHUNK,
+        decoder=rootio_decoder,
+    )
+    ev = df.selectExpr(
+        "o_orderkey",
+        "CAST(n_li AS BIGINT) AS n_li",
+        "aggregate(li_quantity, 0L, (a, x) -> a + CAST(ROUND(x * 100) AS BIGINT)) AS qty_c",
+        "aggregate(li_extendedprice, 0L, (a, x) -> a + CAST(ROUND(x * 100) AS BIGINT)) AS price_c",
+        "aggregate(li_linenumber, 0L, (a, x) -> a + CAST(x AS BIGINT)) AS ln_sum",
+    )
+    return ev.groupBy("n_li").agg(
+        F.count("*").alias("n_events"),
+        F.sum("qty_c").cast("long").alias("qty_c"),
+        F.sum("price_c").cast("long").alias("price_c"),
+        F.sum("ln_sum").cast("long").alias("ln_sum"),
+        F.sum("o_orderkey").cast("long").alias("id_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full three-stage reference parity in ONE query: ROOT (jagged, zlib) ->
+# stage1 -> stage2 -> TH1F templates read back from file bytes.  The
+# reference's strongest test chains its three scripts exactly this way
+# (/root/reference/tests/test_continuous.py:25-101: stage1 -> stage2 ->
+# stage3 in memory with pinned probes); this is the engine's equivalent,
+# with the chain additionally entered from and exited to real ROOT bytes.
+# ---------------------------------------------------------------------------
+
+_E2E_ROOT_N = 20_000  # fixture events (the pipeline_hmm_histogram scale)
+_E2E_ROOT_BASKET = 2048
+_E2E_ROOT_CHUNK = 3000  # NOT a basket multiple: tasks slice baskets
+
+_MU_F = ("pt", "eta", "phi", "charge", "pfRelIso04_all", "mediumId", "fsrPhotonIdx")
+_JET_F = ("pt", "eta", "phi", "mass", "jetId", "qgl")
+_FSR_F = ("pt", "eta", "phi")
+_EV_FLAT = ("run", "event", "genWeight", "HLT_IsoMu24", "Flag_goodVertices",
+            "MET_pt", "Pileup_nTrueInt")
+
+
+def _root_events_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Encode the deterministic jagged-events fixture as a zlib-compressed
+    NanoAOD-layout ROOT file (nMuon + Muon_pt/... counts+payload
+    branches).  Driver-side scaffolding by design — real NanoAOD arrives
+    from outside the engine; the SCAN+pipeline is what's under test."""
+    import numpy as np
+
+    from copperhead_spark.fixtures import events_fixture_distributed
+    from copperhead_spark.sources.rootio import list_trees, write_tree
+
+    out_dir = scratch_dir("rootfix_events", sf_dir)
+    path = os.path.join(out_dir, "nanoaod_events.root")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        ev = events_fixture_distributed(spark, _E2E_ROOT_N).orderBy("event")
+        exprs = list(_EV_FLAT) + [
+            "CAST(size(Muon) AS INT) AS nMuon",
+            "CAST(size(Jet) AS INT) AS nJet",
+            "CAST(size(FsrPhoton) AS INT) AS nFsrPhoton",
+        ]
+        for coll, fields in (("Muon", _MU_F), ("Jet", _JET_F), ("FsrPhoton", _FSR_F)):
+            exprs += [f"{coll}.{f} AS {coll}_{f}" for f in fields]
+        pdf = ev.selectExpr(*exprs).toPandas()
+
+        # leaf dtypes pinned explicitly: pandas list columns lose int/bool
+        # dtypes through empty-list cells, and the ROOT leaf letter must
+        # match the fixture schema exactly (charge/jetId/fsrPhotonIdx are
+        # int32, mediumId bool, ids int64, everything else float64)
+        ints32 = {"Muon_charge", "Muon_fsrPhotonIdx", "Jet_jetId"}
+        bools = {"Muon_mediumId", "HLT_IsoMu24", "Flag_goodVertices"}
+        int64s = {"run", "event"}
+
+        def np_dtype(col: str):
+            if col in ints32:
+                return np.int32
+            if col in bools:
+                return np.bool_
+            if col in int64s:
+                return np.int64
+            return np.float64
+
+        def flat_np(col: str) -> np.ndarray:
+            return np.asarray(pdf[col].to_list()).astype(np_dtype(col))
+
+        def jag_np(col: str) -> np.ndarray:
+            parts = [np.asarray(a) for a in pdf[col]]
+            return (
+                np.concatenate(parts).astype(np_dtype(col))
+                if parts
+                else np.empty(0, dtype=np_dtype(col))
+            )
+
+        columns = {c: flat_np(c) for c in _EV_FLAT}
+        columns.update(
+            {c: flat_np(c).astype(np.int32) for c in ("nMuon", "nJet", "nFsrPhoton")}
+        )
+        jagged = {}
+        for coll, fields, cname in (
+            ("Muon", _MU_F, "nMuon"),
+            ("Jet", _JET_F, "nJet"),
+            ("FsrPhoton", _FSR_F, "nFsrPhoton"),
+        ):
+            for f in fields:
+                jagged[f"{coll}_{f}"] = (cname, jag_np(f"{coll}_{f}"))
+        write_tree(
+            path, "Events", columns, jagged,
+            basket_entries=_E2E_ROOT_BASKET, compress=6,
+        )
+    return path, list_trees(path)[0][1]
+
+
+def root_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 front half of the e2e chain: chunked jagged ROOT scan ->
+    array-of-struct event table with the fixture's exact schema (the
+    coffea NanoEvents shape stage1 consumes)."""
+    from copperhead_spark.sources.root_ingest import read_nanoaod, rootio_decoder
+
+    path, n = _root_events_fixture(spark, sf_dir)
+    branches = list(_EV_FLAT)
+    for coll, fields in (("Muon", _MU_F), ("Jet", _JET_F), ("FsrPhoton", _FSR_F)):
+        branches += [f"{coll}_{f}" for f in fields]
+    df = read_nanoaod(
+        spark, [(path, n)], branches,
+        tree="Events", chunk_size=_E2E_ROOT_CHUNK, decoder=rootio_decoder,
+    )
+
+    def zipped(coll: str, fields: tuple[str, ...]):
+        return F.arrays_zip(
+            *[F.col(f"{coll}_{f}").alias(f) for f in fields]
+        ).alias(coll)
+
+    return df.select(
+        *_EV_FLAT,
+        zipped("Muon", _MU_F),
+        zipped("Jet", _JET_F),
+        zipped("FsrPhoton", _FSR_F),
+    )
+
+
+_TH1_NBINS, _TH1_LO, _TH1_HI = 37, 76.0, 150.0
+
+
+def _root_to_th1_oracle() -> str:
+    from copperhead_spark.operators.histogram import bin_index_sql
+    from copperhead_spark.plans.hmm_oracle import hmm_stage_ctes
+
+    bin_ = bin_index_sql("dimuon_mass", _TH1_LO, _TH1_HI, _TH1_NBINS)
+    return f"""
+WITH {hmm_stage_ctes(_E2E_ROOT_N)},
+agg AS (
+  SELECT region, channel,
+         CASE WHEN {bin_} = -1 THEN 0
+              WHEN {bin_} = {_TH1_NBINS} THEN {_TH1_NBINS + 1}
+              ELSE {bin_} + 1 END AS bin,
+         {exact_sum_sql("wgt_nominal", 6)} AS content,
+         {exact_sum_sql("wgt_nominal * wgt_nominal", 12)} AS sumw2
+  FROM sel GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT rc.region, rc.channel, g.bin
+  FROM (SELECT DISTINCT region, channel FROM sel) rc
+  CROSS JOIN (SELECT unnest(range(0, {_TH1_NBINS + 2})) AS bin) g
+)
+SELECT grid.region || '__' || grid.channel AS template,
+       CAST(grid.bin AS BIGINT) AS bin,
+       CAST(CAST(COALESCE(agg.content, 0.0) AS REAL) AS DOUBLE) AS content,
+       COALESCE(agg.sumw2, 0.0) AS sumw2
+FROM grid LEFT JOIN agg
+  ON grid.region = agg.region AND grid.channel = agg.channel
+ AND grid.bin = agg.bin
+"""
+
+
+@register(
+    "pipeline_root_to_th1_e2e",
+    oracle=_root_to_th1_oracle(),
+    tags=("S1", "S8", "E2E", "root"),
+)
+def pipeline_root_to_th1_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference parity statement, end to end in one query: jagged
+    zlib-compressed NanoAOD-layout ROOT bytes -> chunked mapInArrow scan
+    (S1) -> array-native stage1 (selection, FSR recovery, pairing, dR
+    cleaning, kinematics, region labels — zero shuffles) -> stage2
+    weighted histogram (the one aggregation shuffle) -> TH1F template
+    records written to and read back from real ROOT bytes (S8, TArrayF
+    float32 quantization included).  Mirrors the reference's strongest
+    test, which chains run_stage1 -> run_stage2 -> templates in one run
+    (/root/reference/tests/test_continuous.py:25-101); the oracle
+    re-derives the ENTIRE chain relationally in DuckDB — fixture hash
+    uniforms, selection, top-2, NOT EXISTS dR cleaning, pair mass,
+    labels, fixed-point histogram, under/overflow slot mapping and the
+    final CAST-to-REAL quantization — so one wrong byte in the ROOT
+    encode/decode, one mis-aligned jagged slice, or one mis-binned event
+    anywhere across all three stages flips the value hash.  Scale: the
+    scan fans out one task per chunk; stage1 is a pure map; stage2's
+    group key is (region x channel x bin) ~ 500 rows at any input size;
+    only the |bins|-sized template set crosses the driver (the
+    make_templates.py collected-template flow)."""
+    import numpy as np
+
+    from copperhead_spark.pipeline import stage1_arrays, stage2
+    from copperhead_spark.sources.rootio import read_th1f, write_th1f
+
+    hist = stage2(stage1_arrays(root_events_scan(spark, sf_dir)))
+    rows = hist.collect()
+    templates: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+    for r in rows:
+        key = (r["region"], r["channel"])
+        if key not in templates:
+            templates[key] = (
+                np.zeros(_TH1_NBINS + 2),
+                np.zeros(_TH1_NBINS + 2),
+            )
+        slot = 0 if r["bin_idx"] == -1 else (
+            _TH1_NBINS + 1 if r["bin_idx"] == _TH1_NBINS else int(r["bin_idx"]) + 1
+        )
+        templates[key][0][slot] = r["value"]
+        templates[key][1][slot] = r["sumw2"]
+    out_dir = scratch_dir("th1e2e", sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "templates_e2e.root")
+    write_th1f(
+        path,
+        [
+            dict(
+                name=f"{region}__{channel}",
+                title=f"dimuon_mass {region}/{channel}",
+                nbins=_TH1_NBINS, xlo=_TH1_LO, xhi=_TH1_HI,
+                contents=contents, sumw2=sumw2,
+            )
+            for (region, channel), (contents, sumw2) in sorted(templates.items())
+        ],
+        compress=6,
+    )
+    back = read_th1f(path)
+    out = [
+        (name, i, float(h["contents"][i]), float(h["sumw2"][i]))
+        for name, h in sorted(back.items())
+        for i in range(_TH1_NBINS + 2)
+    ]
+    return spark.createDataFrame(
+        out, "template string, bin long, content double, sumw2 double"
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())

@@ -68,10 +68,18 @@ def rootio_decoder(
         v = cols[b]
         if isinstance(v, tuple):
             counts, values = v
+            # 32-bit list offsets: Spark's Arrow bridge rejects LargeList,
+            # and a chunk's value stream is bounded by chunk_size * max
+            # multiplicity — far under 2^31 for any sane chunk size
             offsets = np.zeros(len(counts) + 1, dtype=np.int64)
             np.cumsum(counts, out=offsets[1:])
-            arrays[b] = pa.LargeListArray.from_arrays(
-                pa.array(offsets), pa.array(values)
+            if offsets[-1] > np.iinfo(np.int32).max:
+                raise ValueError(
+                    f"branch {b}: chunk holds {offsets[-1]} values — exceeds "
+                    "32-bit Arrow list offsets; lower chunk_size"
+                )
+            arrays[b] = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)), pa.array(values)
             )
         else:
             arrays[b] = pa.array(v)
