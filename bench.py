@@ -203,7 +203,14 @@ def main() -> None:
             print(f"young batch {batch[0]}..{batch[-1]} failed: {exc}",
                   file=sys.stderr)
 
-    spark = get_spark(app_name="copperhead-bench")
+    # fallback=false (r8 verdict task 5): preflight already throws on a
+    # janino compile fallback, but a bench session that silently dropped
+    # to interpreted evaluation would still record an interpreted plan's
+    # timing as if it were the compiled one (exactly how the flagship's
+    # 64 KB-span regression stayed invisible for 7 rounds).  Throwing
+    # here means a fallback aborts the record instead of polluting it.
+    _NO_FALLBACK = {"spark.sql.codegen.fallback": "false"}
+    spark = get_spark(app_name="copperhead-bench", extra_conf=_NO_FALLBACK)
 
     # warmup: run the first query once to pay JVM + codegen startup
     if names:
@@ -269,7 +276,7 @@ def main() -> None:
         # that a 100 TB scan would amplify.
         if sf >= 0.1:
             spark.stop()
-            spark = get_spark(app_name="copperhead-bench-soak")
+            spark = get_spark(app_name="copperhead-bench-soak", extra_conf=_NO_FALLBACK)
             n_soak = n_events * 10
             events_fixture_distributed(spark, n_soak).write.parquet(f"{tmp}/soak")
             ev10 = spark.read.parquet(f"{tmp}/soak")
@@ -692,6 +699,12 @@ def main() -> None:
         # inherited for free from the aged JVM.  Compare young-to-young
         # only within the same isolation mode.
         "young_isolation": "process",
+        # r9: every bench session (aged, young batches, soaks) runs with
+        # spark.sql.codegen.fallback=false — a janino compile fallback
+        # now aborts the run instead of silently timing the interpreted
+        # plan (the mechanism that hid the flagship's 64 KB-span tax for
+        # seven rounds of records)
+        "codegen_fallback": False,
         "load_avg": {
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
@@ -770,7 +783,10 @@ def _soak100_main() -> None:
     resource ceiling before a real cluster does."""
     load_start = os.getloadavg()
     steal0, wall0 = _steal_jiffies(), time.perf_counter()
-    spark = get_spark(app_name="copperhead-bench-soak100")
+    spark = get_spark(
+        app_name="copperhead-bench-soak100",
+        extra_conf={"spark.sql.codegen.fallback": "false"},
+    )
     from copperhead_spark.fixtures import events_fixture_distributed
     from copperhead_spark.pipeline import stage1_arrays, stage2_variations
 
@@ -779,6 +795,7 @@ def _soak100_main() -> None:
     out: dict = {
         "n_events": n,
         "load_avg_start": [round(x, 2) for x in load_start],
+        "codegen_fallback": False,
     }
     try:
         t0 = time.perf_counter()
@@ -912,13 +929,17 @@ def _pretrain10x_main() -> None:
     load_start = os.getloadavg()
     steal0, wall0 = _steal_jiffies(), time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="copperhead-bench-pretrain10x")
+    spark = get_spark(
+        app_name="copperhead-bench-pretrain10x",
+        extra_conf={"spark.sql.codegen.fallback": "false"},
+    )
     queries = all_queries()
     q = queries["pipeline_pretrain_corpus_e2e"]
     tmp = tempfile.mkdtemp(prefix="cph_pre10x_")
     out: dict = {
         "sf_dir": sf_dir,
         "load_avg_start": [round(x, 2) for x in load_start],
+        "codegen_fallback": False,
     }
     _al = "abcdefghijklmnopqrstuvwxyz"
     try:
@@ -988,7 +1009,10 @@ def _young_batch_main(sf_dir: str, names: list[str]) -> None:
     a brand-new JVM and print one JSON line {name: sec}.  The first
     query runs once untimed so the batch pays JVM + Spark-internal JIT
     startup before any measurement (mirrors main()'s warmup)."""
-    spark = get_spark(app_name="copperhead-bench-young")
+    spark = get_spark(
+        app_name="copperhead-bench-young",
+        extra_conf={"spark.sql.codegen.fallback": "false"},
+    )
     queries = all_queries()
     queries[names[0]].builder(spark, sf_dir).write.format("noop").mode(
         "overwrite"

@@ -854,5 +854,224 @@ def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
 
+# ---------------------------------------------------------------------------
+# Model-in-the-loop curation flagship: train a quality classifier on a
+# labeled carve-out, apply it as a map-only corpus filter, mix + pack the
+# survivors.  The standard production curation shape (fastText/logreg
+# quality classifier -> threshold -> mixture) — the expensive gold signal
+# is computed once on the small labeled set, the 100 TB corpus only ever
+# pays the cheap feature + a literal linear score.
+# ---------------------------------------------------------------------------
+
+_CUR_LABEL_MOD = 13  # doc_id % 13 == 0 is the labeled carve-out
+_CUR_MIX_SALT = "32452843"  # mixture hash-uniform salt (distinct stream)
+_CUR_DIVERSITY_T = "0.45e0"  # gold label: unique-token ratio >= 0.45
+
+
+def _cur_xy(dialect: str) -> tuple[str, str]:
+    """(feature, gold label) SQL per dialect.  The feature is CHEAP
+    (token count / 100 — integer-derived, so the double is bit-identical
+    across engines); the gold label is the EXPENSIVE lexical-diversity
+    rule (distinct-token ratio) a production pipeline can only afford on
+    the labeled subset."""
+    nt = (
+        "CAST(size(split(text, ' ')) AS DOUBLE)"
+        if dialect == "spark"
+        else "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    )
+    uniq = (
+        "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+        if dialect == "spark"
+        else "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    )
+    x = f"{nt} / 1e2"
+    y = (
+        f"CASE WHEN {uniq} / {nt} >= {_CUR_DIVERSITY_T}"
+        " THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+    )
+    return x, y
+
+
+def _curation_oracle() -> str:
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+    from copperhead_spark.plans.mltrain import _LOGREG_SOLVE
+
+    x, y = _cur_xy("duck")
+    u = hash_uniform_sql("doc_id", _CUR_MIX_SALT)
+    return f"""
+WITH lab AS (
+  SELECT {x} AS x, {y} AS y FROM documents
+  WHERE doc_id % {_CUR_LABEL_MOD} = 0
+),
+st0 AS (
+  SELECT COUNT(*) * 250000 AS s0,
+         SUM(CAST(ROUND(0.25e0 * x * 1e6) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(0.25e0 * x * x * 1e6) AS BIGINT)) AS s2,
+         SUM(CAST(ROUND((y - 0.5e0) * 1e6) AS BIGINT)) AS g0,
+         SUM(CAST(ROUND((y - 0.5e0) * x * 1e6) AS BIGINT)) AS g1,
+         CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1
+  FROM lab
+),
+beta1 AS (SELECT {_LOGREG_SOLVE} FROM st0),
+p1 AS (
+  SELECT lab.y, lab.x,
+         CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-(b.b0 + b.b1 * lab.x))) AS p,
+         b.b0, b.b1
+  FROM lab, beta1 b
+),
+st1 AS (
+  SELECT SUM(CAST(ROUND(p * (1e0 - p) * 1e6) AS BIGINT)) AS s0,
+         SUM(CAST(ROUND(p * (1e0 - p) * x * 1e6) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(p * (1e0 - p) * x * x * 1e6) AS BIGINT)) AS s2,
+         SUM(CAST(ROUND((y - p) * 1e6) AS BIGINT)) AS g0,
+         SUM(CAST(ROUND((y - p) * x * 1e6) AS BIGINT)) AS g1,
+         MIN(b0) AS b0, MIN(b1) AS b1
+  FROM p1
+),
+beta2 AS (SELECT {_LOGREG_SOLVE} FROM st1),
+corpus AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {x} AS x
+  FROM documents WHERE doc_id % {_CUR_LABEL_MOD} <> 0
+),
+kept AS (
+  SELECT c.doc_id, c.lang, c.n_tokens
+  FROM corpus c, beta2 b
+  WHERE CAST(ROUND((b.b0 + b.b1 * c.x) * 1e6) AS BIGINT) >= 0
+),
+m AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
+r AS (
+  SELECT lang, SQRT(CAST(n AS DOUBLE)) / SQRT(CAST(max_n AS DOUBLE)) AS rate
+  FROM m CROSS JOIN (SELECT MAX(n) AS max_n FROM m)
+),
+s5 AS (SELECT kept.* FROM kept JOIN r USING (lang) WHERE {u} < r.rate),
+packed AS (
+  SELECT doc_id, lang, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS off
+  FROM (SELECT s5.*, doc_id % {_NSHARDS} AS shard FROM s5)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT shard * {_PACK_STRIDE} + off // {_CTX}) AS BIGINT)
+         AS n_packs,
+       CAST(SUM(off % {_CTX}) AS BIGINT) AS offset_checksum,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       (SELECT CAST(ROUND(b0 * 1e9) AS BIGINT) / 1e9 FROM beta2) AS b0,
+       (SELECT CAST(ROUND(b1 * 1e9) AS BIGINT) / 1e9 FROM beta2) AS b1
+FROM packed GROUP BY lang
+"""
+
+
+@register(
+    "pipeline_classifier_curation_e2e",
+    oracle=_curation_oracle(),
+    tags=("text", "training", "ml", "iterative", "pipeline"),
+)
+def pipeline_classifier_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-the-loop corpus curation END TO END, one oracle:
+
+    1. label carve-out (doc_id % {_CUR_LABEL_MOD} == 0): gold quality
+       label = lexical diversity (distinct-token ratio >= {_CUR_DIVERSITY_T})
+       — the expensive tokenize+distinct pass runs ONLY here;
+    2. train logistic regression (intercept + cheap length feature) by
+       two IRLS Newton steps — the ml_logreg_irls machinery: per step
+       one map-side pass to five BIGINT fixed-point stats, a driver-side
+       2x2 solve that mirrors the oracle CTE bit-for-bit
+       (plans/mltrain.py _logreg_solve_py);
+    3. apply the learned model as a MAP-ONLY corpus filter: the betas
+       re-enter as double literals, keep docs whose fixed-point
+       quantized linear score is >= 0 (p >= 1/2; quantization makes the
+       cut engine-exact — measured scores sit >= 17k fixed-point units
+       from the boundary at every sf);
+    4. temperature mixture (T=2) per language over survivors:
+       rate = sqrt(n)/sqrt(max n), deterministic hash uniform;
+    5. per-shard sequence packing into {_CTX}-token packs.
+
+    Output: one audit row per language (docs/tokens/packs/offset+id
+    checksums) carrying the trained betas (1e-9 quantized), so the
+    oracle pins the model AND every downstream consequence of applying
+    it.
+
+    Scale: the gold label costs tokenize+distinct on |carve-out| docs
+    only (~1/{_CUR_LABEL_MOD} of the corpus; in production, a fixed human-labeled
+    set).  Training crosses the wire as 2x5 BIGINTs regardless of corpus
+    size.  The filter is a literal comparison fused into the scan —
+    the 100 TB side never shuffles until the {_NSHARDS}-shard packing
+    exchange, and the mixture is one ~|langs|-row aggregate + broadcast
+    join, exactly the pretrain flagship's sanctioned shapes."""
+    from copperhead_spark.operators.rochester import hash_uniform_sql
+    from copperhead_spark.plans.mltrain import _logreg_solve_py
+
+    x_sql, y_sql = _cur_xy("spark")
+    docs = table(spark, sf_dir, "documents")
+    lab = docs.filter(F.expr(f"doc_id % {_CUR_LABEL_MOD} = 0")).selectExpr(
+        f"{x_sql} AS x", f"{y_sql} AS y"
+    )
+    st0 = lab.selectExpr(
+        "COUNT(*) * 250000 AS s0",
+        "SUM(CAST(ROUND(0.25e0 * x * 1e6) AS BIGINT)) AS s1",
+        "SUM(CAST(ROUND(0.25e0 * x * x * 1e6) AS BIGINT)) AS s2",
+        "SUM(CAST(ROUND((y - 0.5e0) * 1e6) AS BIGINT)) AS g0",
+        "SUM(CAST(ROUND((y - 0.5e0) * x * 1e6) AS BIGINT)) AS g1",
+    ).first()
+    b0, b1 = _logreg_solve_py(0.0, 0.0, st0.s0, st0.s1, st0.s2, st0.g0, st0.g1)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+    w = p * (F.lit(1.0) - p)
+    st1 = lab.agg(
+        F.sum(F.round(w * 1e6).cast("long")).alias("s0"),
+        F.sum(F.round(w * F.col("x") * 1e6).cast("long")).alias("s1"),
+        F.sum(F.round(w * F.col("x") * F.col("x") * 1e6).cast("long")).alias("s2"),
+        F.sum(F.round((F.col("y") - p) * 1e6).cast("long")).alias("g0"),
+        F.sum(F.round((F.col("y") - p) * F.col("x") * 1e6).cast("long")).alias("g1"),
+    ).first()
+    b0, b1 = _logreg_solve_py(b0, b1, st1.s0, st1.s1, st1.s2, st1.g0, st1.g1)
+
+    corpus = docs.filter(F.expr(f"doc_id % {_CUR_LABEL_MOD} <> 0")).selectExpr(
+        "doc_id",
+        "lang",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        f"{x_sql} AS x",
+    )
+    score_q = F.round((F.lit(b0) + F.lit(b1) * F.col("x")) * 1e6).cast("long")
+    kept = corpus.filter(score_q >= 0).drop("x")
+
+    m = kept.groupBy("lang").agg(F.count("*").alias("n"))
+    # scalar-subquery pattern (pretrain flagship precedent): the global
+    # max is one literal, never a constant-key join; NULL -> 0 keeps the
+    # all-filtered corner an empty frame instead of int(None).
+    max_n = int(m.agg(F.max("n")).first()[0] or 0)
+    rates = m.selectExpr(
+        "lang",
+        f"SQRT(CAST(n AS DOUBLE)) / SQRT(CAST({max_n} AS DOUBLE)) AS rate",
+    )
+    u = hash_uniform_sql("doc_id", _CUR_MIX_SALT)
+    s5 = (
+        kept.join(F.broadcast(rates), "lang")
+        .filter(F.expr(f"{u} < rate"))
+        .withColumn("shard", F.col("doc_id") % _NSHARDS)
+    )
+    win = Window.partitionBy("shard").orderBy("doc_id")
+    packed = s5.withColumn(
+        "off", F.sum("n_tokens").over(win) - F.col("n_tokens")
+    )
+    b0_q = "CAST(ROUND(CAST({!r} AS DOUBLE) * 1e9) AS BIGINT) / 1e9".format(b0)
+    b1_q = "CAST(ROUND(CAST({!r} AS DOUBLE) * 1e9) AS BIGINT) / 1e9".format(b1)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct(
+                F.col("shard") * _PACK_STRIDE + F.expr(f"off div {_CTX}")
+            ).cast("long").alias("n_packs"),
+            F.sum(F.col("off") % _CTX).cast("long").alias("offset_checksum"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .selectExpr("*", f"{b0_q} AS b0", f"{b1_q} AS b1")
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())

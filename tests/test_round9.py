@@ -201,3 +201,149 @@ def test_rootio_missing_index_error_is_actionable(tmp_path):
     )
     with pytest.raises(KeyError, match="uproot"):
         rootio.read_tree(path, "Events")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_classifier_curation_e2e: label -> IRLS train -> filter -> mix
+# -> pack, mirrored end-to-end in pandas/numpy
+# ---------------------------------------------------------------------------
+
+
+def _hash_uniform_py(key, salt: int):
+    """Integer mirror of operators/rochester.hash_uniform_sql."""
+    P = 2_147_483_647
+    ev = key.astype(np.int64) % P
+    ix = np.int64(salt % P)
+    h = ((ev * 1013904223 + ix * 1664525) % P + P) % P
+    return h.astype(np.float64) / float(P)
+
+
+def test_curation_flagship_matches_pandas_mirror(spark, sf_dir):
+    """The whole curation chain — gold label on the carve-out, two
+    fixed-point IRLS Newton steps, quantized-score corpus filter,
+    temperature mixture, shard packing — recomputed independently in
+    pandas/numpy; per-language audit rows must match exactly and the
+    betas must agree with an unquantized float64 Newton."""
+    import pandas as pd
+
+    from copperhead_spark.plans.registry import all_queries
+    from copperhead_spark.plans.training import (
+        _CTX,
+        _CUR_LABEL_MOD,
+        _CUR_MIX_SALT,
+        _NSHARDS,
+        _PACK_STRIDE,
+    )
+
+    got = (
+        all_queries()["pipeline_classifier_curation_e2e"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    nt = toks.str.len().to_numpy(np.int64)
+    uniq = toks.map(lambda t: len(set(t))).to_numpy(np.int64)
+    x = nt.astype(np.float64) / 1e2
+    y = (uniq.astype(np.float64) / nt.astype(np.float64) >= 0.45).astype(
+        np.float64
+    )
+    lab = docs["doc_id"].to_numpy() % _CUR_LABEL_MOD == 0
+
+    def rnd6(v):  # HALF_UP at 1e6, away from zero (Spark/DuckDB ROUND)
+        return (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
+
+    def solve(b0, b1, s0, s1, s2, g0, g1):
+        den = float(s0) * float(s2) - float(s1) * float(s1)
+        return (
+            b0 + (float(s2) * float(g0) - float(s1) * float(g1)) / den,
+            b1 + (float(s0) * float(g1) - float(s1) * float(g0)) / den,
+        )
+
+    xl, yl = x[lab], y[lab]
+    b0, b1 = solve(
+        0.0,
+        0.0,
+        len(xl) * 250000,
+        rnd6(0.25 * xl).sum(),
+        rnd6(0.25 * xl * xl).sum(),
+        rnd6(yl - 0.5).sum(),
+        rnd6((yl - 0.5) * xl).sum(),
+    )
+    p = 1.0 / (1.0 + np.exp(-(b0 + b1 * xl)))
+    w = p * (1.0 - p)
+    b0, b1 = solve(
+        b0,
+        b1,
+        rnd6(w).sum(),
+        rnd6(w * xl).sum(),
+        rnd6(w * xl * xl).sum(),
+        rnd6(yl - p).sum(),
+        rnd6((yl - p) * xl).sum(),
+    )
+    # betas: engine fixed-point vs unquantized float64 Newton agree to 5e-5
+    Xd = np.stack([np.ones(lab.sum()), xl], axis=1)
+    bf = np.zeros(2)
+    for _ in range(2):
+        pf = 1 / (1 + np.exp(-(Xd @ bf)))
+        H = Xd.T @ (Xd * (pf * (1 - pf))[:, None])
+        bf = bf + np.linalg.solve(H, Xd.T @ (yl - pf))
+    assert abs(got["b0"].iloc[0] - bf[0]) < 5e-5
+    assert abs(got["b1"].iloc[0] - bf[1]) < 5e-5
+    # the model learned the corpus's length->repetition direction
+    assert got["b1"].iloc[0] < -5.0 and got["b0"].iloc[0] > 0.0
+
+    # corpus filter + mixture + packing mirror
+    corp = docs.loc[~lab, ["doc_id", "lang"]].copy()
+    corp["n_tokens"] = nt[~lab]
+    score_q = rnd6(b0 + b1 * x[~lab])
+    kept = corp.loc[score_q >= 0].copy()
+    n_by_lang = kept.groupby("lang")["doc_id"].count()
+    rate = np.sqrt(n_by_lang.astype(float)) / np.sqrt(float(n_by_lang.max()))
+    u = _hash_uniform_py(kept["doc_id"].to_numpy(), int(_CUR_MIX_SALT))
+    s5 = kept.loc[u < kept["lang"].map(rate).to_numpy()].copy()
+    s5["shard"] = s5["doc_id"] % _NSHARDS
+    s5 = s5.sort_values(["shard", "doc_id"])
+    s5["off"] = s5.groupby("shard")["n_tokens"].cumsum() - s5["n_tokens"]
+    mirror = (
+        s5.groupby("lang")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "n_docs": len(g),
+                    "total_tokens": g["n_tokens"].sum(),
+                    "n_packs": (
+                        g["shard"] * _PACK_STRIDE + g["off"] // _CTX
+                    ).nunique(),
+                    "offset_checksum": (g["off"] % _CTX).sum(),
+                    "id_checksum": g["doc_id"].sum(),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert list(got["lang"]) == list(mirror["lang"])
+    for c in ("n_docs", "total_tokens", "n_packs", "offset_checksum", "id_checksum"):
+        assert got[c].astype("int64").tolist() == mirror[c].astype("int64").tolist(), c
+    # the cheap classifier reproduces the expensive gold rule on most of
+    # the corpus it never saw labels for
+    gold = y[~lab] == 1.0
+    agree = ((score_q >= 0) == gold).mean()
+    assert agree > 0.85, agree
+
+
+def test_curation_gold_label_only_computed_on_carveout(spark, sf_dir):
+    """The expensive diversity label must appear only under the labeled
+    filter: the corpus side of the plan carries no array_distinct (the
+    production cost contract — tokenize+distinct on ~1/13 of the data)."""
+    from copperhead_spark.plans.registry import all_queries
+
+    df = all_queries()["pipeline_classifier_curation_e2e"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_distinct" not in plan, plan[:2000]

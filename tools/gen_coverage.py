@@ -19,7 +19,7 @@ from copperhead_spark.plans.registry import all_queries
 # SURVEY §2 ID -> (description, [query names], "other coverage" note)
 INVENTORY: list[tuple[str, str, list[str], str]] = [
     # 2.1 scans / sources / sinks
-    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode; uproot optional)"),
+    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan", "s1_root_scan_jagged"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode incl. jagged counts+payload branches and zlib ZL-frame baskets; uproot optional)"),
     ("S2", "Source column pruning", ["p1_conjunctive_filter"], "Catalyst column pruning (ReadSchema verified in plan audit)"),
     ("S3", "Partitioned parquet sink", ["s3_partitioned_sink_roundtrip"], "sources/parquet_io.py"),
     ("S4", "Partitioned scan + repartition", ["s4_partition_pruned_scan"], "AQE coalescing in session defaults"),
@@ -210,7 +210,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("UDAF1", "Grouped-agg pandas UDF (Python UDAF)", ["udaf_grouped_median"],
      "exact lower-median order statistic; bounded group sizes required — a8_quantiles is the giant-group path"),
     # pipeline parity
-    ("E2E", "stage1->2->3 pipeline on jagged events", ["pipeline_hmm_histogram"], "pipeline.py stage1 (exploded) + stage1_arrays (zero-shuffle array-native, bit-identical, benched at 1M events in bench.py) + distributed executor-side fixture; vs independent pandas mirror, tests/test_pipeline.py"),
+    ("E2E", "stage1->2->3 pipeline on jagged events", ["pipeline_hmm_histogram", "pipeline_root_to_th1_e2e"], "pipeline.py stage1 (exploded) + stage1_arrays (zero-shuffle array-native, bit-identical, benched at 1M events in bench.py) + distributed executor-side fixture; vs independent pandas mirror, tests/test_pipeline.py.  pipeline_root_to_th1_e2e composes the FULL reference chain in one oracle: ROOT jagged scan -> stage1/2 -> weighted histogram -> TH1F templates read back from ROOT bytes"),
     # relational / analytics extensions
     ("R1", "CUBE / GROUPING SETS rollup", ["a5_cube_grouping_sets"], "one shuffle, grouping-id disambiguated"),
     ("R2", "PIVOT / UNPIVOT reshape", ["pivot_status_by_flag", "unpivot_variations"], ""),
@@ -293,6 +293,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("GR7", "Multi-source BFS hop distances", ["graph_bfs_distances"], "frontier-only SHUFFLE_HASH expansion + anti-join dedup; per-round cost tracks the frontier boundary, not the graph"),
     ("RET3", "TF-IDF keyword extraction (top terms per doc)", ["text_tfidf_topterms"], "tokenize once; vocab-sized df hash join; LN through 1e-9 fixed point"),
     ("J19", "SCD2 point-in-time (as-of validity) join", ["j19_scd2_temporal_join"], "hash equi-join on the high-cardinality key + validity post-filter; interval machinery (j17) reserved for no-equi-key ranges"),
+    ("ML6", "Model-in-the-loop corpus curation (label -> IRLS train -> filter -> mix -> pack)", ["pipeline_classifier_curation_e2e"], "the production quality-classifier shape: expensive gold label on a carve-out only, 2 Newton steps as 2x5 BIGINT stats, betas re-enter as literals in a map-only corpus filter; one oracle pins model AND downstream pack layout"),
     ("ML3", "Closed-form OLS via sufficient statistics", ["ml_ols_fit"], "exact BIGINT moment sums (map-side combinable), float only at the final solve; HUGEINT sums cast back"),
     ("TS5", "Median/MAD robust anomaly profile", ["events_anomaly_mad"], "exact lower-median order statistics; robust twin of the z-score spike detector"),
     ("S19", "Right-to-be-forgotten cascade delete + audit", ["s18_delete_propagation"], "deletion list broadcasts into anti/left joins — fact tables never shuffle; bloom prefilter + S9 partition overwrite at petabyte scale"),
