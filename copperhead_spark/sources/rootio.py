@@ -18,10 +18,14 @@ REAL per the public spec (byte-for-byte):
     ClassName/Name/Title as TStrings (1-byte length, 255 -> 4-byte ext);
     a compressed record is detected exactly as uproot detects it:
     fNbytes - fKeylen != fObjlen;
-  - the 9-byte "ZL" compression frame (ROOT's RZip layout): b"ZL",
-    method byte 8 (deflate), 3-byte little-endian compressed size,
-    3-byte little-endian uncompressed size, then the raw zlib stream;
-    payloads over 0xffffff bytes span multiple frames (kMAXZIPBUF);
+  - the 9-byte compression frame (ROOT's RZip layout): 2-byte algorithm
+    magic, method byte, 3-byte little-endian compressed size, 3-byte
+    little-endian uncompressed size, then the codec stream.  b"ZL"/8
+    (deflate, kZLIB) and b"XZ"/0 (lzma .xz container, kLZMA) are decoded
+    with the stdlib; b"L4" (kLZ4) and b"ZS" (kZSTD) are detected and
+    raise an actionable error naming the library needed (no stdlib
+    codec exists).  Payloads over 0xffffff bytes span multiple frames
+    (kMAXZIPBUF);
   - TString encoding, big-endian everything;
   - the TBasket record: a TKey (class "TBasket", name = branch, title =
     tree) followed by fVersion/fBufferSize/fNevBufSize/fNevBuf/fLast/
@@ -63,6 +67,7 @@ O(file) (r9: closes the ADVICE read-amplification item).
 
 from __future__ import annotations
 
+import lzma
 import mmap
 import os
 import struct
@@ -112,16 +117,25 @@ def _read_tstring(buf, pos: int) -> tuple[str, int]:
     return bytes(buf[pos : pos + n]).decode(), pos + n
 
 
-def _zl_frames(data: bytes, level: int) -> bytes | None:
-    """Compress ``data`` into ROOT "ZL" frame(s); None when compression
-    does not pay (ROOT likewise stores such records uncompressed)."""
+def _zl_frames(data: bytes, level: int, alg: int = 1) -> bytes | None:
+    """Compress ``data`` into ROOT frame(s) — "ZL"/deflate for alg=1
+    (kZLIB), "XZ"/lzma for alg=2 (kLZMA); None when compression does
+    not pay (ROOT likewise stores such records uncompressed)."""
     out = []
     for off in range(0, len(data), _MAXZIP):
         chunk = data[off : off + _MAXZIP]
-        c = zlib.compress(chunk, level)
+        if alg == 2:
+            c = lzma.compress(
+                chunk,
+                format=lzma.FORMAT_XZ,
+                preset=min(level, 9),
+            )
+            head = b"XZ" + bytes([0])
+        else:
+            c = zlib.compress(chunk, level)
+            head = b"ZL" + bytes([8])  # method: deflate
         out.append(
-            b"ZL"
-            + bytes([8])  # method: deflate
+            head
             + len(c).to_bytes(3, "little")
             + len(chunk).to_bytes(3, "little")
             + c
@@ -138,19 +152,36 @@ def _zl_decompress(raw, objlen: int) -> bytes:
     while got < objlen:
         if pos + 9 > len(raw):
             raise ValueError("truncated compression frame header")
-        if bytes(raw[pos : pos + 2]) != b"ZL" or raw[pos + 2] != 8:
+        magic = bytes(raw[pos : pos + 2])
+        if magic == b"L4" or magic == b"ZS":
+            lib = "lz4" if magic == b"L4" else "zstandard"
             raise ValueError(
-                f"unsupported compression frame {bytes(raw[pos:pos + 2])!r} "
-                "(only ZL/deflate frames are written by this module)"
+                f"ROOT {magic.decode()} compression frame: no stdlib codec"
+                f" — install `pip install {lib}` and read via uproot, or"
+                " rewrite the file with kZLIB/kLZMA compression"
+            )
+        if not (
+            (magic == b"ZL" and raw[pos + 2] == 8)
+            or (magic == b"XZ" and raw[pos + 2] == 0)
+        ):
+            raise ValueError(
+                f"unsupported compression frame {magic!r} "
+                "(this module decodes ZL/deflate and XZ/lzma frames)"
             )
         csize = int.from_bytes(raw[pos + 3 : pos + 6], "little")
         usize = int.from_bytes(raw[pos + 6 : pos + 9], "little")
         if csize <= 0 or pos + 9 + csize > len(raw):
             raise ValueError("truncated compression frame body")
         try:
-            chunk = zlib.decompress(bytes(raw[pos + 9 : pos + 9 + csize]))
-        except zlib.error as e:
-            raise ValueError(f"corrupt deflate stream: {e}") from None
+            if magic == b"XZ":
+                chunk = lzma.decompress(
+                    bytes(raw[pos + 9 : pos + 9 + csize]),
+                    format=lzma.FORMAT_XZ,
+                )
+            else:
+                chunk = zlib.decompress(bytes(raw[pos + 9 : pos + 9 + csize]))
+        except (zlib.error, lzma.LZMAError) as e:
+            raise ValueError(f"corrupt compressed stream: {e}") from None
         if len(chunk) != usize:
             raise ValueError("compression frame size mismatch")
         out.append(chunk)
@@ -277,10 +308,17 @@ def _file_header(fend: int, nbytes_name: int, compress: int) -> bytes:
 
 class _Writer:
     def __init__(self, path: str, compress: int = 0):
-        if not 0 <= compress <= 9:
-            raise ValueError("compress must be a zlib level 0..9")
+        # ROOT fCompress convention: algorithm*100 + level (kZLIB=1,
+        # kLZMA=2); bare 0..9 is the legacy spelling of a zlib level.
+        alg, level = divmod(compress, 100) if compress >= 100 else (1, compress)
+        if not 0 <= level <= 9 or alg not in (1, 2):
+            raise ValueError(
+                "compress must be a zlib level 0..9, or ROOT-style"
+                " alg*100+level with kZLIB=1 (101..109) / kLZMA=2 (201..209)"
+            )
         self.path = path
         self.compress = compress
+        self._alg, self._level = alg, level
         self.records: list[bytes] = []
         name = os.path.basename(path)
         # the TFile directory record: fName/fTitle then the TDirectory
@@ -301,8 +339,8 @@ class _Writer:
         compressible: bool = True,
     ) -> None:
         objlen = len(data)
-        if self.compress and compressible and objlen > 64:
-            framed = _zl_frames(data, self.compress)
+        if self._level and compressible and objlen > 64:
+            framed = _zl_frames(data, self._level, self._alg)
             if framed is not None:
                 data = framed
         seek = FBEGIN + sum(len(r) for r in self.records)
@@ -358,8 +396,10 @@ def write_tree(
     int counts branch in ``columns`` gives each entry's multiplicity).
     One CSTreeIndex v2 record carries entries/basket grid/branch table;
     per-branch TBasket records hold at most ``basket_entries`` ENTRIES
-    each (a jagged basket holds all values of its entry window), zlib
-    "ZL"-compressed when ``compress`` > 0.  Baskets are interleaved
+    each (a jagged basket holds all values of its entry window),
+    compressed when ``compress`` > 0 — a bare 1..9 means zlib "ZL"
+    frames; ROOT-style alg*100+level selects the codec (101..109 kZLIB,
+    201..209 kLZMA/"XZ" frames).  Baskets are interleaved
     branch-major in entry order, matching how a real writer flushes
     per-branch baskets as entries accumulate."""
     jagged = jagged or {}

@@ -524,16 +524,18 @@ def test_rootio_flat_tree_roundtrip_property(branch_specs, n, basket):
 @given(
     st.integers(min_value=0, max_value=200),
     st.integers(min_value=1, max_value=50),
-    st.integers(min_value=0, max_value=9),
+    # bare zlib levels, ROOT-style kZLIB (1xx) and kLZMA/XZ (2xx) specs
+    st.sampled_from([0, 1, 3, 6, 9, 101, 106, 109, 201, 205, 209]),
     st.sampled_from(["f8", "f4", "i8", "i4", "bool"]),
 )
 @settings(max_examples=40, deadline=None)
 def test_rootio_jagged_compressed_roundtrip_property(n, basket, level, dt):
     """Jagged (counts + payload) branches round-trip bit-exactly through
-    the v2 index + ZL zlib frames, and every entry window slices both
-    the counts and the value stream exactly — including windows that
-    split baskets (r9: the compressed-roundtrip property the VERDICT
-    task asked for)."""
+    the v2 index + compression frames — ZL/deflate for kZLIB specs, XZ
+    lzma for kLZMA specs — and every entry window slices both the counts
+    and the value stream exactly, including windows that split baskets
+    (r9: the compressed-roundtrip property the VERDICT task asked
+    for)."""
     import tempfile
 
     import numpy as np
@@ -658,3 +660,51 @@ def test_rootio_th1f_roundtrip_property(nbins, values):
         assert np.array_equal(h["contents"], contents.astype(np.float32).astype(np.float64))
         # Sumw2 is a TArrayD: bit-exact
         assert np.array_equal(h["sumw2"], sumw2)
+
+
+def test_rootio_xz_frames_and_unsupported_codecs():
+    """kLZMA files carry real XZ frames (visible in the raw bytes) that
+    round-trip bit-exactly; L4/ZS frames (no stdlib codec) raise an
+    actionable ValueError naming the library, not a parse error."""
+    import tempfile
+
+    import numpy as np
+
+    from copperhead_spark.sources import rootio
+
+    rng = np.random.RandomState(7)
+    vals = np.repeat(rng.uniform(-1, 1, 50), 40)  # compressible
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/x.root"
+        rootio.write_flat_tree(
+            path, "T", {"a": vals}, basket_entries=512, compress=206
+        )
+        raw = open(path, "rb").read()
+        assert b"XZ\x00" in raw and b"ZL\x08" not in raw
+        back = rootio.read_flat_tree(path, "T", ["a"], 0, len(vals))
+        assert np.array_equal(back["a"], vals)
+        # splice an L4 frame where the XZ frame sits -> actionable error
+        pos = raw.index(b"XZ\x00")
+        bad = raw[:pos] + b"L4\x01" + raw[pos + 3 :]
+        badpath = f"{d}/bad.root"
+        open(badpath, "wb").write(bad)
+        with pytest.raises(ValueError, match="lz4"):
+            rootio.read_flat_tree(badpath, "T", ["a"], 0, len(vals))
+        zs = raw[:pos] + b"ZS\x01" + raw[pos + 3 :]
+        zspath = f"{d}/zs.root"
+        open(zspath, "wb").write(zs)
+        with pytest.raises(ValueError, match="zstandard"):
+            rootio.read_flat_tree(zspath, "T", ["a"], 0, len(vals))
+
+
+def test_rootio_writer_rejects_bad_compress_spec():
+    import tempfile
+
+    import pytest as _pytest
+
+    from copperhead_spark.sources import rootio
+
+    with tempfile.TemporaryDirectory() as d:
+        for spec in (10, 110, 210, 301, -1):
+            with _pytest.raises(ValueError, match="compress"):
+                rootio._Writer(f"{d}/x.root", compress=spec)
