@@ -140,6 +140,57 @@ def _time_pipeline(spark, ev) -> float:
     return round(best, 4)
 
 
+def _cached_gb() -> float:
+    """Page-cache size from /proc/meminfo — the r9 contamination mode's
+    telltale: after a bench writes+reads GBs, Cached sitting at ~0.5 GB
+    with >100 GB free means the HOST is reclaiming guest page cache
+    (balloon), so timed re-reads hit virtio disk instead of RAM."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("Cached:"):
+                    return round(int(line.split()[1]) / 2**20, 2)
+    except (OSError, ValueError, IndexError):
+        pass
+    return -1.0
+
+
+def _cache_reclaim_probe(tmpdir: str) -> dict:
+    """Detect ACTIVE host page-cache reclaim (r9 discovery): write a
+    256 MB probe file, read it twice.  On a healthy box the second read
+    comes from page cache at RAM speed (<0.2 s); under active balloon
+    reclaim the pages are evicted as fast as they fault in and the
+    second read runs at disk speed (>1 s) — the mechanism behind the
+    bimodal 2.4 s / 18 s pipeline timings this round (controlled
+    drop_caches reproduced the slow mode exactly; steal and load gates
+    cannot see it because no CPU is stolen and no process runs)."""
+    p = os.path.join(tmpdir, "cache_probe.bin")
+    blk = os.urandom(1 << 20)
+    with open(p, "wb") as fh:
+        for _ in range(256):
+            fh.write(blk)
+    os.sync()
+
+    def rd() -> float:
+        t0 = time.perf_counter()
+        with open(p, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+        return time.perf_counter() - t0
+
+    t1, t2 = rd(), rd()
+    try:
+        os.unlink(p)
+    except OSError:
+        pass
+    return {
+        "first_read_s": round(t1, 3),
+        "cached_read_s": round(t2, 3),
+        "cached_gb": _cached_gb(),
+        "reclaim_active": t2 > 0.5,
+    }
+
+
 def _steal_jiffies() -> int:
     """Cumulative hypervisor steal time (jiffies) from /proc/stat — on a
     microVM host, CPU stolen by co-tenants slows every measurement
@@ -226,6 +277,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     soak: dict[str, float] = {}
+    cache_probe = {"start": _cache_reclaim_probe(tmp)}
 
     # ONE try/finally covers everything from fixture write to the last
     # measurement: any exception anywhere still rmtrees the up-to-10x
@@ -263,6 +315,9 @@ def main() -> None:
         timings[f"pipeline_jagged_{n_events // 1000}k_events"] = _time_pipeline(
             spark, ev
         )
+        # second reclaim probe bracketing the aged loop: eviction that
+        # begins mid-run contaminates the tail measurements only
+        cache_probe["after_aged"] = _cache_reclaim_probe(tmp)
 
         # (the young-session counterpart pass runs FIRST in main(), before
         # this process owns a JVM — see the note there; it used to run
@@ -720,6 +775,8 @@ def main() -> None:
             2,
         ),
         "aged_vs_young_ratio": aged_vs_young,
+        # r9: host page-cache reclaim detection (see _cache_reclaim_probe)
+        "cache_probe": cache_probe,
         # start load > 2 on the 1-minute OR the 5-minute average means
         # timings are contaminated by background work (the r04
         # a1_count_per_group watch item).  The 5-minute check is r6's
@@ -730,7 +787,8 @@ def main() -> None:
         # bursts, but the warm-vs-cold aggregate ratio can.
         "load_warning": load_start[0] > 2.0
         or load_start[1] > 2.0
-        or (aged_vs_young is not None and aged_vs_young > 1.0),
+        or (aged_vs_young is not None and aged_vs_young > 1.0)
+        or any(p["reclaim_active"] for p in cache_probe.values()),
     }
     line = json.dumps(out)
     # sf-suffixed filename: a smoke run at sf0.001 must not clobber the
@@ -756,6 +814,13 @@ def main() -> None:
                 f"aged_vs_young ratio {aged_vs_young:.3f} > 1.0 "
                 "(mid-run burst: warm-aged pass slower than cold-young)"
             )
+        for where, p in cache_probe.items():
+            if p["reclaim_active"]:
+                causes.append(
+                    f"host page-cache reclaim active at {where} "
+                    f"(probe cached-read {p['cached_read_s']}s, "
+                    f"Cached {p['cached_gb']}GB — timed re-reads hit disk)"
+                )
         print(
             f"# load_warning: {'; '.join(causes)} — refusing to write {fname}",
             file=sys.stderr,
