@@ -187,7 +187,13 @@ def _cache_reclaim_probe(tmpdir: str) -> dict:
         "first_read_s": round(t1, 3),
         "cached_read_s": round(t2, 3),
         "cached_gb": _cached_gb(),
-        "reclaim_active": t2 > 0.5,
+        # either read at disk speed flags reclaim: a slow SECOND read
+        # means pages are being evicted as they fault in right now; a
+        # slow FIRST read means the just-written (and synced) file was
+        # already evicted — a burst between write and read (observed in
+        # the second r9 record: first_read 0.62 s, cached_read 0.04 s,
+        # while the aged loop it bracketed was cache-starved 6x)
+        "reclaim_active": t1 > 0.5 or t2 > 0.5,
     }
 
 
@@ -714,6 +720,9 @@ def main() -> None:
             soak["pipeline_pretrain_corpus_e2e_scaling_vs_1x"] = round(
                 t3e / (3 * t1e), 3
             )
+        # third probe bracketing the soaks: a burst that starved only
+        # the soak section leaves both run-level probes clean
+        cache_probe["after_soak"] = _cache_reclaim_probe(tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
