@@ -106,6 +106,75 @@ def _uproot_decoder(path: str, tree: str, branches: Sequence[str], start: int, s
     return ak.to_arrow_table(arrays)
 
 
+def scan_entries(
+    spark: SparkSession,
+    paths: Sequence[str],
+    tree: str = "Events",
+    meta_reader=None,
+) -> DataFrame:
+    """Distributed entry-count pre-scan: one row (path, entries) per
+    file — the preprocessing step that feeds read_nanoaod's chunk
+    planning (the reference runs the same step through coffea's
+    preprocess; run_stage1.py:153-166 consumes its output).
+
+    Metadata-only: the rootio reader mmaps the file and walks TKey
+    headers; basket payloads are never paged in, so a task costs
+    O(n_keys) header reads regardless of file size.  At 100k files this
+    is one map-only stage over a tiny path DataFrame; the (path,
+    entries) result is bounded at one short row per file, safe to
+    collect into plan_chunks.
+
+    ``meta_reader(path, tree) -> int`` is injectable like read_nanoaod's
+    decoder; the default uses rootio's CSTreeIndex (uproot-free)."""
+    if meta_reader is None:
+        def meta_reader(path: str, t: str) -> int:
+            from copperhead_spark.sources.rootio import list_trees
+
+            for name, n in list_trees(path):
+                if name == t:
+                    return n
+            raise KeyError(f"tree {t!r} not found in {path}")
+
+    import pyarrow as pa
+
+    if not paths:
+        raise ValueError("scan_entries: empty path list")
+    path_df = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def count(batches):
+        for batch in batches:
+            rows = batch.to_pylist()
+            yield pa.record_batch(
+                {
+                    "path": pa.array([r["path"] for r in rows]),
+                    "entries": pa.array(
+                        [meta_reader(r["path"], tree) for r in rows],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+    return path_df.mapInArrow(count, schema="path string, entries long")
+
+
+def read_nanoaod_files(
+    spark: SparkSession,
+    paths: Sequence[str],
+    branches: Sequence[str],
+    tree: str = "Events",
+    chunk_size: int = 100_000,
+    decoder=None,
+) -> DataFrame:
+    """scan_entries + read_nanoaod in one call: the two-stage production
+    ingest (distributed metadata pre-scan, then chunked columnar decode)
+    for callers that start from bare file paths.  The intermediate
+    collect is one (path, entries) row per file — documented-bounded."""
+    few = [(r["path"], r["entries"]) for r in scan_entries(spark, paths, tree).collect()]
+    return read_nanoaod(
+        spark, few, branches, tree=tree, chunk_size=chunk_size, decoder=decoder
+    )
+
+
 def read_nanoaod(
     spark: SparkSession,
     files_with_entries: Sequence[tuple[str, int]],

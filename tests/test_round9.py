@@ -347,3 +347,38 @@ def test_curation_gold_label_only_computed_on_carveout(spark, sf_dir):
     df = all_queries()["pipeline_classifier_curation_e2e"].builder(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "array_distinct" not in plan, plan[:2000]
+
+
+def test_scan_entries_and_files_ingest(spark, tmp_path):
+    """Distributed (path, entries) pre-scan over several ROOT files
+    feeds the bare-paths ingest; values round-trip exactly and the scan
+    is metadata-only (works on compressed files without inflating
+    baskets — entry counts come from the CSTreeIndex record)."""
+    import numpy as np
+
+    from copperhead_spark.sources import rootio
+    from copperhead_spark.sources.root_ingest import (
+        read_nanoaod_files,
+        scan_entries,
+    )
+
+    rng = np.random.RandomState(11)
+    paths, sizes = [], [37, 101, 64]
+    for i, n in enumerate(sizes):
+        p = str(tmp_path / f"f{i}.root")
+        rootio.write_flat_tree(
+            p,
+            "Events",
+            {"x": rng.uniform(-1, 1, n), "k": np.arange(n, dtype=np.int64)},
+            basket_entries=16,
+            compress=206,  # kLZMA — metadata scan must not need payloads
+        )
+        paths.append(p)
+    got = {r["path"]: r["entries"] for r in scan_entries(spark, paths).collect()}
+    assert got == dict(zip(paths, sizes))
+    df = read_nanoaod_files(spark, paths, ["k", "x"], chunk_size=25)
+    rows = df.collect()
+    assert len(rows) == sum(sizes)
+    assert sorted(r["k"] for r in rows) == sorted(
+        list(range(37)) + list(range(101)) + list(range(64))
+    )
