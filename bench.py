@@ -98,6 +98,12 @@ HEADLINE = [
     # sufficient-stats logistic trainer
     "s1_root_scan",
     "ml_logreg_irls",
+    # round-9 additions: the composed reference-parity chain (ROOT bytes
+    # -> jagged scan -> stage1/2 -> histogram -> TH1F read-back) and the
+    # model-in-the-loop curation flagship (gold label -> IRLS train ->
+    # map-only filter -> mixture -> packing)
+    "pipeline_root_to_th1_e2e",
+    "pipeline_classifier_curation_e2e",
 ]
 
 # fresh-context batch width for the young pass: small enough that no
