@@ -203,6 +203,66 @@ def _cache_reclaim_probe(tmpdir: str) -> dict:
     }
 
 
+class _ReclaimMonitor:
+    """Continuous page-cache eviction sampler (r9, third record): the
+    bracketing probes kept reading clean while whole PASSES between them
+    ran 1.5-2x slow — bursty reclaim dodges point probes.  This thread
+    re-reads a 16 MB canary every ~2 s for the WHOLE run; a read over
+    50 ms (RAM re-read is ~3 ms, disk ~150 ms) means the canary was
+    evicted since the last sample.  The record gets a duty cycle
+    (evicted samples / samples) instead of three instants; >5% gates
+    the record."""
+
+    def __init__(self, tmpdir: str, period_s: float = 2.0):
+        import threading
+
+        self.path = os.path.join(tmpdir, "reclaim_canary.bin")
+        with open(self.path, "wb") as fh:
+            fh.write(os.urandom(1 << 24))
+        os.sync()
+        self.period = period_s
+        self.samples = 0
+        self.evicted = 0
+        self.max_read_s = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self) -> None:
+        # first read repopulates cache after the sync; not counted
+        self._read()
+        while not self._stop.wait(self.period):
+            dt = self._read()
+            if dt < 0:
+                return  # canary unlinked (teardown)
+            self.samples += 1
+            self.max_read_s = max(self.max_read_s, dt)
+            if dt > 0.05:
+                self.evicted += 1
+
+    def _read(self) -> float:
+        t0 = time.perf_counter()
+        try:
+            with open(self.path, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+        except OSError:
+            return -1.0
+        return time.perf_counter() - t0
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._t.join(timeout=5)
+        duty = round(100 * self.evicted / self.samples, 1) if self.samples else 0.0
+        return {
+            "samples": self.samples,
+            "evicted_samples": self.evicted,
+            "duty_pct": duty,
+            "max_read_s": round(self.max_read_s, 3),
+            "reclaim_bursty": duty > 5.0,
+        }
+
+
 def _steal_jiffies() -> int:
     """Cumulative hypervisor steal time (jiffies) from /proc/stat — on a
     microVM host, CPU stolen by co-tenants slows every measurement
@@ -223,6 +283,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     load_start = os.getloadavg()
     steal0, wall0 = _steal_jiffies(), time.perf_counter()
+    # continuous eviction sampler covers the WHOLE run including the
+    # young subprocess batches below (its canary lives in its own dir)
+    mon_dir = tempfile.mkdtemp(prefix="cph_mon_")
+    monitor = _ReclaimMonitor(mon_dir)
 
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
@@ -732,6 +796,9 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    reclaim_monitor = monitor.stop()
+    shutil.rmtree(mon_dir, ignore_errors=True)
+
     # aged-pass contamination self-check: the aged loop (warm JVM, hot
     # codegen caches, best-of-2) must not be slower IN AGGREGATE than
     # the same queries timed in cold fresh processes — every clean
@@ -790,8 +857,10 @@ def main() -> None:
             2,
         ),
         "aged_vs_young_ratio": aged_vs_young,
-        # r9: host page-cache reclaim detection (see _cache_reclaim_probe)
+        # r9: host page-cache reclaim detection (see _cache_reclaim_probe
+        # and _ReclaimMonitor — point probes plus a whole-run duty cycle)
         "cache_probe": cache_probe,
+        "reclaim_monitor": reclaim_monitor,
         # start load > 2 on the 1-minute OR the 5-minute average means
         # timings are contaminated by background work (the r04
         # a1_count_per_group watch item).  The 5-minute check is r6's
@@ -803,7 +872,8 @@ def main() -> None:
         "load_warning": load_start[0] > 2.0
         or load_start[1] > 2.0
         or (aged_vs_young is not None and aged_vs_young > 1.0)
-        or any(p["reclaim_active"] for p in cache_probe.values()),
+        or any(p["reclaim_active"] for p in cache_probe.values())
+        or reclaim_monitor["reclaim_bursty"],
     }
     line = json.dumps(out)
     # sf-suffixed filename: a smoke run at sf0.001 must not clobber the
@@ -836,6 +906,12 @@ def main() -> None:
                     f"(probe cached-read {p['cached_read_s']}s, "
                     f"Cached {p['cached_gb']}GB — timed re-reads hit disk)"
                 )
+        if reclaim_monitor["reclaim_bursty"]:
+            causes.append(
+                f"bursty page-cache reclaim: canary evicted in "
+                f"{reclaim_monitor['duty_pct']}% of 2s samples "
+                f"(max re-read {reclaim_monitor['max_read_s']}s)"
+            )
         print(
             f"# load_warning: {'; '.join(causes)} — refusing to write {fname}",
             file=sys.stderr,
