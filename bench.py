@@ -873,7 +873,22 @@ def main() -> None:
         or load_start[1] > 2.0
         or (aged_vs_young is not None and aged_vs_young > 1.0)
         or any(p["reclaim_active"] for p in cache_probe.values())
-        or reclaim_monitor["reclaim_bursty"],
+        or reclaim_monitor["reclaim_bursty"]
+        # cache floor (r9, fourth record): a HOT 16 MB canary survives
+        # balloon reclaim (0.4% duty) while the workload's COLD gigabytes
+        # (pyspark jars, fixtures, sf tables) cannot stay resident —
+        # Cached never exceeding ~2 GB mid-bench at sf>=0.1 means every
+        # re-read is a disk read regardless of what the probes say.  A
+        # healthy sf0.1 run holds 4-15 GB of page cache after the aged
+        # loop.
+        or (
+            sf >= 0.1
+            and any(
+                cache_probe[k]["cached_gb"] < 3.0
+                for k in ("after_aged", "after_soak")
+                if k in cache_probe
+            )
+        ),
     }
     line = json.dumps(out)
     # sf-suffixed filename: a smoke run at sf0.001 must not clobber the
@@ -912,6 +927,13 @@ def main() -> None:
                 f"{reclaim_monitor['duty_pct']}% of 2s samples "
                 f"(max re-read {reclaim_monitor['max_read_s']}s)"
             )
+        for k in ("after_aged", "after_soak"):
+            if sf >= 0.1 and k in cache_probe and cache_probe[k]["cached_gb"] < 3.0:
+                causes.append(
+                    f"page cache starved at {k}: Cached "
+                    f"{cache_probe[k]['cached_gb']}GB < 3GB floor — the "
+                    "workload's cold gigabytes cannot stay resident"
+                )
         print(
             f"# load_warning: {'; '.join(causes)} — refusing to write {fname}",
             file=sys.stderr,
