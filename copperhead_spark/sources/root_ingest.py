@@ -144,9 +144,15 @@ def scan_entries(
     def count(batches):
         for batch in batches:
             rows = batch.to_pylist()
+            if not rows:
+                # an empty batch would make pa.array([]) infer null type
+                # and mismatch the declared schema (r9 ADVICE)
+                continue
             yield pa.record_batch(
                 {
-                    "path": pa.array([r["path"] for r in rows]),
+                    "path": pa.array(
+                        [r["path"] for r in rows], type=pa.string()
+                    ),
                     "entries": pa.array(
                         [meta_reader(r["path"], tree) for r in rows],
                         type=pa.int64(),

@@ -134,6 +134,13 @@ def _zl_frames(data: bytes, level: int, alg: int = 1) -> bytes | None:
         else:
             c = zlib.compress(chunk, level)
             head = b"ZL" + bytes([8])  # method: deflate
+        if len(c) >= len(chunk):
+            # incompressible chunk: real ROOT stores such records
+            # uncompressed.  Bail for the whole record BEFORE the 3-byte
+            # size field can overflow (an incompressible chunk near
+            # _MAXZIP can compress to > 0xffffff bytes of codec output,
+            # and the final does-it-pay check below would come too late).
+            return None
         out.append(
             head
             + len(c).to_bytes(3, "little")
