@@ -112,38 +112,100 @@ HEADLINE = [
 _YOUNG_BATCH = 6
 
 
-def _time_query(spark, q, sf_dir: str) -> float:
+def _tree_cpu_s() -> float | None:
+    """CPU seconds consumed so far by this process and its whole live
+    subtree — the Python driver, the py4j-launched JVM (where local-mode
+    executors run), pyspark.daemon and its UDF workers — plus already-
+    reaped children via cutime/cstime, so a worker that exits between
+    two probes is still counted exactly once (its lifetime lands in the
+    parent's cutime).  Deltas of this next to wall time make host I/O
+    starvation directly separable from compute regressions in the
+    record: starvation inflates wall with CPU flat, a plan regression
+    moves both.  (The JVM's own OperatingSystemMXBean.getProcessCpuTime
+    is not reachable through py4j under JDK 17 module encapsulation —
+    the /proc subtree walk is the portable Linux route.)  None when
+    /proc is unavailable (non-Linux host)."""
+    try:
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        stats: dict[int, tuple[int, int]] = {}
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/stat") as fh:
+                    rest = fh.read().rsplit(") ", 1)[1].split()
+            except (OSError, IndexError):
+                continue  # raced a process exit
+            # fields after "(comm) ": state ppid ... utime(14) stime(15)
+            # cutime(16) cstime(17) -> indices 1, 11, 12, 13, 14
+            stats[int(ent)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
+    except (OSError, ValueError):
+        return None
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        kids.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in stats:
+            total += stats[p][1]
+            stack.extend(kids.get(p, ()))
+    return total / hz
+
+
+def _time_query_cpu(spark, q, sf_dir: str) -> tuple[float, float | None]:
     """best-of-2 noop-sink timing with heap barriers OUTSIDE the timed
     window: iterative queries (pagerank/kcore/CC) eagerly localCheckpoint
     edge lists whose blocks linger until the ContextCleaner notices the
     dropped refs — without the barrier, queries late in the run pay
     earlier queries' garbage (measured 1.5-2x inflation on the tail).
     Single-shot numbers on a shared host swing 3-10x with background
-    load; min-of-two is the standard noise floor estimate."""
+    load; min-of-two is the standard noise floor estimate.  Returns
+    (wall s, process-tree CPU s of the best-wall attempt) — the CPU
+    column is the r9 adjudication gap: without it, environment-vs-code
+    had to be inferred from probes and diffs."""
     _gc.collect()
     spark.catalog.clearCache()
     spark._jvm.System.gc()
-    best = float("inf")
+    best: tuple[float, float | None] = (float("inf"), None)
     for _ in range(2):
+        c0 = _tree_cpu_s()
         t0 = time.perf_counter()
         q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+        wall = time.perf_counter() - t0
+        c1 = _tree_cpu_s()
+        cpu = None if c0 is None or c1 is None else round(c1 - c0, 4)
+        if wall < best[0]:
+            best = (wall, cpu)
+    return round(best[0], 4), best[1]
 
 
-def _time_pipeline(spark, ev) -> float:
+def _time_query(spark, q, sf_dir: str) -> float:
+    return _time_query_cpu(spark, q, sf_dir)[0]
+
+
+def _time_pipeline(spark, ev) -> tuple[float, float | None]:
     from copperhead_spark.pipeline import stage1_arrays, stage2_variations
 
     spark.catalog.clearCache()
     spark._jvm.System.gc()
-    best = float("inf")
+    best: tuple[float, float | None] = (float("inf"), None)
     for _ in range(3):
+        c0 = _tree_cpu_s()
         t0 = time.perf_counter()
         stage2_variations(stage1_arrays(ev)).write.format("noop").mode(
             "overwrite"
         ).save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+        wall = time.perf_counter() - t0
+        c1 = _tree_cpu_s()
+        cpu = None if c0 is None or c1 is None else round(c1 - c0, 4)
+        if wall < best[0]:
+            best = (wall, cpu)
+    return round(best[0], 4), best[1]
 
 
 def _cached_gb() -> float:
@@ -291,6 +353,7 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
     young: dict[str, float] = {}
+    young_cpu: dict[str, float | None] = {}
 
     # ---- young-session pass FIRST, before this process owns any JVM:
     # each batch of queries runs in a fresh interpreter (own JVM).  The
@@ -325,7 +388,9 @@ def main() -> None:
             )
             if proc.returncode != 0:
                 raise RuntimeError(proc.stdout[-500:] + proc.stderr[-500:])
-            young.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+            got = json.loads(proc.stdout.strip().splitlines()[-1])
+            young.update(got["wall"])
+            young_cpu.update(got["cpu"])
         except Exception as exc:  # noqa: BLE001
             print(f"young batch {batch[0]}..{batch[-1]} failed: {exc}",
                   file=sys.stderr)
@@ -352,6 +417,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="cph_bench_")
 
     timings: dict[str, float] = {}
+    timings_cpu: dict[str, float | None] = {}
     soak: dict[str, float] = {}
     cache_probe = {"start": _cache_reclaim_probe(tmp)}
 
@@ -380,17 +446,17 @@ def main() -> None:
         # the _young key records the same plan early in the session so
         # the session-state cost is visible instead of folded into a
         # pseudo-regression.
-        timings[f"pipeline_jagged_{n_events // 1000}k_events_young"] = _time_pipeline(
-            spark, ev
-        )
+        pk_young = f"pipeline_jagged_{n_events // 1000}k_events_young"
+        timings[pk_young], timings_cpu[pk_young] = _time_pipeline(spark, ev)
 
         for name in names:
-            timings[name] = _time_query(spark, queries[name], sf_dir)
+            timings[name], timings_cpu[name] = _time_query_cpu(
+                spark, queries[name], sf_dir
+            )
 
         # carried-forward tail-of-session measurement (see note above)
-        timings[f"pipeline_jagged_{n_events // 1000}k_events"] = _time_pipeline(
-            spark, ev
-        )
+        pk_aged = f"pipeline_jagged_{n_events // 1000}k_events"
+        timings[pk_aged], timings_cpu[pk_aged] = _time_pipeline(spark, ev)
         # second reclaim probe bracketing the aged loop: eviction that
         # begins mid-run contaminates the tail measurements only
         cache_probe["after_aged"] = _cache_reclaim_probe(tmp)
@@ -415,8 +481,10 @@ def main() -> None:
             stage2_variations(stage1_arrays(wu)).write.format("noop").mode(
                 "overwrite"
             ).save()
-            t = _time_pipeline(spark, ev10)
+            t, t_cpu = _time_pipeline(spark, ev10)
             soak[f"pipeline_jagged_{n_soak // 1000}k_events"] = t
+            if t_cpu is not None:
+                soak[f"pipeline_jagged_{n_soak // 1000}k_events_cpu"] = t_cpu
             yk = f"pipeline_jagged_{n_events // 1000}k_events_young"
             if timings.get(yk):
                 soak["scaling_vs_young_1x"] = round(t / (10 * timings[yk]), 3)
@@ -825,7 +893,14 @@ def main() -> None:
     # full history survives in-repo regardless of driver capture.
     out = {
         "queries": timings,
+        # r10: process-tree CPU seconds (driver + JVM + UDF workers) of
+        # each query's best-wall attempt, keyed like "queries"/"queries_
+        # young".  Wall >> CPU with CPU at its historical level = host
+        # I/O starvation; both up together = a compute regression — the
+        # adjudication every r9 record needed probes and diffs to make.
+        "queries_cpu": timings_cpu,
         "queries_young": young,
+        "queries_young_cpu": young_cpu,
         "soak": soak,
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -997,16 +1072,22 @@ def _soak100_main() -> None:
         stage2_variations(stage1_arrays(wu)).write.format("noop").mode(
             "overwrite"
         ).save()
-        best = float("inf")
+        best: tuple[float, float | None] = (float("inf"), None)
         for _ in range(2):
             _gc.collect()
             spark._jvm.System.gc()
+            c0 = _tree_cpu_s()
             t0 = time.perf_counter()
             stage2_variations(stage1_arrays(ev)).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        out["pipeline_jagged_100000k_events"] = round(best, 4)
+            wall = time.perf_counter() - t0
+            c1 = _tree_cpu_s()
+            if wall < best[0]:
+                cpu = None if c0 is None or c1 is None else round(c1 - c0, 4)
+                best = (wall, cpu)
+        out["pipeline_jagged_100000k_events"] = round(best[0], 4)
+        out["pipeline_jagged_100000k_events_cpu"] = best[1]
         rt = spark._jvm.java.lang.Runtime.getRuntime()
         out["jvm_heap_used_gb"] = round(
             (rt.totalMemory() - rt.freeMemory()) / 2**30, 2
@@ -1147,12 +1228,15 @@ def _pretrain10x_main() -> None:
         # warmup: one full run at 1x so codegen/UDF import is outside
         # every timed window
         q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t1 = _time_query(spark, q, sf_dir)
-        t3 = _time_query(spark, q, f"{tmp}/x3")
-        t10 = _time_query(spark, q, f"{tmp}/x10")
+        t1, c1 = _time_query_cpu(spark, q, sf_dir)
+        t3, c3 = _time_query_cpu(spark, q, f"{tmp}/x3")
+        t10, c10 = _time_query_cpu(spark, q, f"{tmp}/x10")
         out["pipeline_pretrain_corpus_e2e_1x"] = t1
         out["pipeline_pretrain_corpus_e2e_3x"] = t3
         out["pipeline_pretrain_corpus_e2e_10x"] = t10
+        out["pipeline_pretrain_corpus_e2e_1x_cpu"] = c1
+        out["pipeline_pretrain_corpus_e2e_3x_cpu"] = c3
+        out["pipeline_pretrain_corpus_e2e_10x_cpu"] = c10
         out["scaling_3x_per_unit"] = round(t3 / (3 * t1), 3)
         out["scaling_10x_per_unit"] = round(t10 / (10 * t1), 3)
         out["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
@@ -1190,9 +1274,10 @@ def _pretrain10x_main() -> None:
 
 def _young_batch_main(sf_dir: str, names: list[str]) -> None:
     """Child-process entry for the young pass: time the given queries in
-    a brand-new JVM and print one JSON line {name: sec}.  The first
-    query runs once untimed so the batch pays JVM + Spark-internal JIT
-    startup before any measurement (mirrors main()'s warmup)."""
+    a brand-new JVM and print one JSON line {"wall": {name: sec},
+    "cpu": {name: sec|null}}.  The first query runs once untimed so the
+    batch pays JVM + Spark-internal JIT startup before any measurement
+    (mirrors main()'s warmup)."""
     spark = get_spark(
         app_name="copperhead-bench-young",
         extra_conf={"spark.sql.codegen.fallback": "false"},
@@ -1201,9 +1286,12 @@ def _young_batch_main(sf_dir: str, names: list[str]) -> None:
     queries[names[0]].builder(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    out = {n: _time_query(spark, queries[n], sf_dir) for n in names}
+    wall: dict[str, float] = {}
+    cpu: dict[str, float | None] = {}
+    for n in names:
+        wall[n], cpu[n] = _time_query_cpu(spark, queries[n], sf_dir)
     spark.stop()
-    print(json.dumps(out))
+    print(json.dumps({"wall": wall, "cpu": cpu}))
 
 
 if __name__ == "__main__":

@@ -347,6 +347,18 @@ def _pair_kinematics_jets(flat: DataFrame) -> DataFrame:
     return _pair_kinematics(flat, "jet1_", "jet2_", "jj_", "jet1_mass", "jet2_mass")
 
 
+def channel_case():
+    """The ordered channel cascade (stage2/categorizer.py:1-23) as one
+    CASE expression — shared by stage2, stage2_variations and the
+    stage-3 anchor aggregates so the label logic exists exactly once."""
+    return (
+        F.when((F.col("njets") >= 2) & (F.col("jj_mass") > 400), "vbf")
+        .when(F.col("njets") == 0, "ggh_0jets")
+        .when(F.col("njets") == 1, "ggh_1jet")
+        .otherwise("ggh_2orMoreJets")
+    )
+
+
 def stage2(
     flat: DataFrame,
     var: str = "dimuon_mass",
@@ -356,13 +368,7 @@ def stage2(
 ) -> DataFrame:
     """Categorize + weighted histogram: one groupBy replaces the
     region x channel x variation fill loops (histogrammer.py:56-120)."""
-    channel = (
-        F.when((F.col("njets") >= 2) & (F.col("jj_mass") > 400), "vbf")
-        .when(F.col("njets") == 0, "ggh_0jets")
-        .when(F.col("njets") == 1, "ggh_1jet")
-        .otherwise("ggh_2orMoreJets")
-    )
-    categorized = flat.withColumn("channel", channel)
+    categorized = flat.withColumn("channel", channel_case())
     return histogram(
         categorized,
         value=F.col(var),
@@ -387,14 +393,8 @@ def stage2_variations(
     columns are UNPIVOTed (stack) into rows and everything aggregates in
     ONE shuffle — the reference's region x channel x variation Python fill
     loops (histogrammer.py:56-120) become a fourth grouping key."""
-    channel = (
-        F.when((F.col("njets") >= 2) & (F.col("jj_mass") > 400), "vbf")
-        .when(F.col("njets") == 0, "ggh_0jets")
-        .when(F.col("njets") == 1, "ggh_1jet")
-        .otherwise("ggh_2orMoreJets")
-    )
     stack_args = ", ".join(f"'{v}', wgt_{v}" for v in variations)
-    stacked = flat.withColumn("channel", channel).selectExpr(
+    stacked = flat.withColumn("channel", channel_case()).selectExpr(
         "region",
         "channel",
         var,

@@ -1445,5 +1445,262 @@ def pipeline_root_to_th1_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _th1_slot_case(bin_expr: str) -> str:
+    """SQL slot mapping bin_idx -> TH1 array slot (0 = underflow,
+    nbins+1 = overflow) — shared by both e2e oracles."""
+    return (
+        f"CASE WHEN {bin_expr} = -1 THEN 0"
+        f" WHEN {bin_expr} = {_TH1_NBINS} THEN {_TH1_NBINS + 1}"
+        f" ELSE {bin_expr} + 1 END"
+    )
+
+
+# the reference's datacard spelling of the weight-variation axis
+# (make_templates.py:171-187: "wgt_muid_up" -> suffix "muidUp" appended
+# to the group name; nominal keeps the bare name)
+_VAR_SUFFIX = {"nominal": "", "muid_up": "_muidUp", "muid_down": "_muidDown"}
+
+
+def _root_to_th1_variations_oracle() -> str:
+    from copperhead_spark.operators.histogram import bin_index_sql
+    from copperhead_spark.plans.hmm_oracle import hmm_stage_ctes
+
+    bin_ = bin_index_sql("dimuon_mass", _TH1_LO, _TH1_HI, _TH1_NBINS)
+    sfx = " ".join(
+        f"WHEN '{v}' THEN '{s}'" for v, s in _VAR_SUFFIX.items()
+    )
+    return f"""
+WITH {hmm_stage_ctes(_E2E_ROOT_N)},
+stacked AS (
+  SELECT region, channel, dimuon_mass, 'nominal' AS variation, wgt_nominal AS wgt FROM sel
+  UNION ALL
+  SELECT region, channel, dimuon_mass, 'muid_up', wgt_muid_up FROM sel
+  UNION ALL
+  SELECT region, channel, dimuon_mass, 'muid_down', wgt_muid_down FROM sel
+),
+agg AS (
+  SELECT region, channel, variation,
+         {_th1_slot_case(bin_)} AS bin,
+         {exact_sum_sql("wgt", 6)} AS content,
+         {exact_sum_sql("wgt * wgt", 12)} AS sumw2
+  FROM stacked GROUP BY 1, 2, 3, 4
+),
+grid AS (
+  SELECT rc.region, rc.channel, v.variation, g.bin
+  FROM (SELECT DISTINCT region, channel FROM sel) rc
+  CROSS JOIN (SELECT unnest(['nominal', 'muid_up', 'muid_down']) AS variation) v
+  CROSS JOIN (SELECT unnest(range(0, {_TH1_NBINS + 2})) AS bin) g
+)
+SELECT grid.region || '__' || grid.channel
+         || CASE grid.variation {sfx} END AS template,
+       CAST(grid.bin AS BIGINT) AS bin,
+       CAST(CAST(COALESCE(agg.content, 0.0) AS REAL) AS DOUBLE) AS content,
+       COALESCE(agg.sumw2, 0.0) AS sumw2
+FROM grid LEFT JOIN agg
+  ON grid.region = agg.region AND grid.channel = agg.channel
+ AND grid.variation = agg.variation AND grid.bin = agg.bin
+"""
+
+
+@register(
+    "pipeline_root_to_th1_variations_e2e",
+    oracle=_root_to_th1_variations_oracle(),
+    tags=("S1", "S8", "E2E", "root", "A5"),
+)
+def pipeline_root_to_th1_variations_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The e2e parity chain WITH the systematic-variation axis threaded
+    through the TH1 sink (r9 VERDICT missing-item #3): jagged ROOT bytes
+    -> chunked scan -> array-native stage1 -> stage2_variations (the
+    region x channel x VARIATION stack aggregated in ONE shuffle,
+    histogrammer.py:56-120) -> one TH1F template per (region, channel,
+    variation) written to and read back from ROOT bytes, nominal keeping
+    the bare name and up/down taking the reference's datacard suffixes
+    (make_templates.py:171-187 "wgt_muid_up" -> "..._muidUp").  The
+    oracle re-derives every variation's every bin — including the
+    float32 TArrayF quantization — so a dropped variation, a weight
+    mix-up between variations, or a mis-suffixed template name flips the
+    value hash.  Scale: identical to the nominal e2e — stage1 is a pure
+    map, the stack triples rows BEFORE the one aggregation shuffle whose
+    group key is (region x channel x variation x bin) ~ 10^3 rows at any
+    input size, and only |templates| x |bins| numbers cross the
+    driver."""
+    import numpy as np
+
+    from copperhead_spark.pipeline import stage1_arrays, stage2_variations
+    from copperhead_spark.sources.rootio import read_th1f, write_th1f
+
+    hist = stage2_variations(stage1_arrays(root_events_scan(spark, sf_dir)))
+    rows = hist.collect()
+    templates: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for r in rows:
+        name = f"{r['region']}__{r['channel']}{_VAR_SUFFIX[r['variation']]}"
+        if name not in templates:
+            templates[name] = (
+                np.zeros(_TH1_NBINS + 2),
+                np.zeros(_TH1_NBINS + 2),
+            )
+        slot = 0 if r["bin_idx"] == -1 else (
+            _TH1_NBINS + 1 if r["bin_idx"] == _TH1_NBINS else int(r["bin_idx"]) + 1
+        )
+        templates[name][0][slot] = r["value"]
+        templates[name][1][slot] = r["sumw2"]
+    out_dir = scratch_dir("th1e2e_var", sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "templates_variations.root")
+    write_th1f(
+        path,
+        [
+            dict(
+                name=name,
+                title=f"dimuon_mass {name}",
+                nbins=_TH1_NBINS, xlo=_TH1_LO, xhi=_TH1_HI,
+                contents=contents, sumw2=sumw2,
+            )
+            for name, (contents, sumw2) in sorted(templates.items())
+        ],
+        compress=404,  # kLZ4 — the modern NanoAOD default (r10 codec)
+    )
+    back = read_th1f(path)
+    out = [
+        (name, i, float(h["contents"][i]), float(h["sumw2"][i]))
+        for name, h in sorted(back.items())
+        for i in range(_TH1_NBINS + 2)
+    ]
+    return spark.createDataFrame(
+        out, "template string, bin long, content double, sumw2 double"
+    )
+
+
+# pass-flag pins for the e2e stage-3 fit (fin1 pattern): measured on the
+# deterministic 20k-event fixture — 4 categories reach the >= 6-bin fit
+# floor, all 6 families fit finite in each, winner chi2/ndf observed
+# <= 0.58; the bound carries ~80x margin so only a catastrophic fit
+# regression trips it, never fixture noise.
+_FIT_E2E_MIN_BINS = 6
+_FIT_E2E_CHI2_NDF_BOUND = 50.0
+
+
+def _root_to_fit_oracle() -> str:
+    from copperhead_spark.operators.histogram import bin_index_sql
+    from copperhead_spark.plans.hmm_oracle import hmm_stage_ctes
+
+    bin_ = bin_index_sql("dimuon_mass", _TH1_LO, _TH1_HI, _TH1_NBINS)
+    return f"""
+WITH {hmm_stage_ctes(_E2E_ROOT_N)},
+binned AS (
+  SELECT region, channel, {bin_} AS bin_idx, wgt_nominal
+  FROM sel WHERE {bin_} BETWEEN 0 AND {_TH1_NBINS - 1}
+),
+agg AS (
+  SELECT region, channel,
+         COUNT(*) AS hist_rows,
+         COUNT(DISTINCT bin_idx) AS used_bins,
+         {exact_sum_sql("wgt_nominal", 6)} AS wsum
+  FROM binned GROUP BY 1, 2
+)
+SELECT region, channel, hist_rows, CAST(used_bins AS BIGINT) AS used_bins,
+       wsum,
+       CAST(6 AS BIGINT) AS n_finite_families,
+       CAST(1 AS BIGINT) AS ndf_ok,
+       CAST(1 AS BIGINT) AS winner_is_min_ok,
+       CAST(1 AS BIGINT) AS chi2_bound_ok
+FROM agg WHERE used_bins >= {_FIT_E2E_MIN_BINS}
+"""
+
+
+@register(
+    "pipeline_root_to_fit_e2e",
+    oracle=_root_to_fit_oracle(),
+    tags=("S1", "FIN1", "E2E", "root"),
+)
+def pipeline_root_to_fit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-3 finishing chained onto the e2e chain (r9 VERDICT task 4):
+    jagged ROOT bytes -> chunked scan -> array-native stage1 -> stage2
+    weighted histogram -> the FIN1 chi2 model-selection fit
+    (finishing/fits.py: the reference's six-family menu, fitter.py:40-52
+    argmin) on each collected (region, channel) mass template with
+    >= {_FIT_E2E_MIN_BINS} populated bins — the engine's analogue of the
+    reference's stage-3 leg (test_continuous.py:79-101, where plotter
+    consumes the stage-2 histogram; stage3/fitter.py fits the same
+    spectra).
+
+    VALUE-CHECKED via the fin1 pass-flag contract: the oracle re-derives
+    the exact anchors (per-category in-range event count, used-bin count
+    through the same bin formula, fixed-point weight sum — proving the
+    fit consumed exactly the right histogram of the full three-stage
+    chain) and pins the fit-health integers: all 6 families finite, the
+    winner's dof arithmetic internally consistent (ndf == bins -
+    len(params)), winner == argmin over finite families, winner chi2/ndf
+    under the pinned bound.  Pinned point-probes on the winners
+    themselves live in tests/test_round10.py (the reference's own pinned
+    style).  Scale: two passes of the map-only pipeline (histogram +
+    anchor aggregate), each collapsing to O(bins) / O(categories) rows;
+    each fit consumes O(nbins) collected numbers driver-side."""
+    import math
+
+    import numpy as np
+
+    from copperhead_spark.finishing.fits import FAMILIES, fit_histogram_table
+    from copperhead_spark.functions.exact import exact_sum
+    from copperhead_spark.operators.histogram import bin_index
+    from copperhead_spark.pipeline import channel_case, stage1_arrays, stage2
+
+    flat = stage1_arrays(root_events_scan(spark, sf_dir))
+    hist = stage2(flat)
+    pdf = hist.toPandas()
+    fits = fit_histogram_table(pdf, _TH1_LO, _TH1_HI, _TH1_NBINS)
+    width = (_TH1_HI - _TH1_LO) / _TH1_NBINS
+    refit = {}
+    for key, winner in fits.items():
+        g = pdf[(pdf.region == key[0]) & (pdf.channel == key[1])]
+        g = g[(g.bin_idx >= 0) & (g.bin_idx < _TH1_NBINS)].sort_values("bin_idx")
+        x = _TH1_LO + (g.bin_idx.to_numpy() + 0.5) * width
+        y = g.value.to_numpy()
+        sigma = np.sqrt(np.maximum(g.sumw2.to_numpy(), 1e-12))
+        results = [fit(x, y, sigma) for fit in FAMILIES.values()]
+        finite = [r for r in results if math.isfinite(r.chi2)]
+        refit[key] = (len(g), winner, finite)
+    # exact anchors from the SAME flat table the histogram consumed
+    bin_col = bin_index(F.col("dimuon_mass"), _TH1_LO, _TH1_HI, _TH1_NBINS)
+    anchors = (
+        flat.withColumn("channel", channel_case())
+        .withColumn("bin_idx", bin_col)
+        .filter((F.col("bin_idx") >= 0) & (F.col("bin_idx") < _TH1_NBINS))
+        .groupBy("region", "channel")
+        .agg(
+            F.count("*").alias("hist_rows"),
+            exact_sum(F.col("wgt_nominal"), 6).alias("wsum"),
+        )
+        .collect()
+    )
+    anchor_by = {(r["region"], r["channel"]): r for r in anchors}
+    out = []
+    for key in sorted(refit):
+        used_bins, winner, finite = refit[key]
+        a = anchor_by[key]
+        min_ndf = min((r.chi2_ndf for r in finite), default=float("inf"))
+        out.append(
+            (
+                key[0],
+                key[1],
+                int(a["hist_rows"]),
+                int(used_bins),
+                float(a["wsum"]),
+                len(finite),
+                int(winner.ndf == used_bins - len(winner.params)),
+                int(math.isclose(winner.chi2_ndf, min_ndf)),
+                int(winner.chi2_ndf <= _FIT_E2E_CHI2_NDF_BOUND),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "region string, channel string, hist_rows bigint, used_bins bigint,"
+        " wsum double, n_finite_families bigint, ndf_ok bigint,"
+        " winner_is_min_ok bigint, chi2_bound_ok bigint",
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())

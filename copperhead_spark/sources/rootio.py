@@ -22,9 +22,12 @@ REAL per the public spec (byte-for-byte):
     magic, method byte, 3-byte little-endian compressed size, 3-byte
     little-endian uncompressed size, then the codec stream.  b"ZL"/8
     (deflate, kZLIB) and b"XZ"/0 (lzma .xz container, kLZMA) are decoded
-    with the stdlib; b"L4" (kLZ4) and b"ZS" (kZSTD) are detected and
-    raise an actionable error naming the library needed (no stdlib
-    codec exists).  Payloads over 0xffffff bytes span multiple frames
+    with the stdlib; b"L4" (kLZ4, the modern NanoAOD default — 8-byte
+    canonical XXH64 of the block, then the LZ4 block, checksum counted
+    in the compressed size, per ZipLZ4.cxx) via the pure-python block
+    codec in sources/lz4codec.py; b"ZS" (kZSTD) is detected and raises
+    an actionable error naming the library needed (no stdlib codec
+    exists).  Payloads over 0xffffff bytes span multiple frames
     (kMAXZIPBUF);
   - TString encoding, big-endian everything;
   - the TBasket record: a TKey (class "TBasket", name = branch, title =
@@ -53,10 +56,14 @@ information (it is sufficient: NanoAOD readers reconstruct offsets from
 counts the same way).  TH1F records (class "TH1F") carry name/title
 TStrings, the axis triple, a TArrayF of bin contents (under/overflow
 included) and a TArrayD of Sumw2, i.e. the payload a real TH1F streamer
-carries minus the TAttLine/TAttFill/TAttMarker cosmetics.  A file from
-this writer is therefore NOT readable by stock ROOT (no streamers);
-every structure it shares with the real format follows the public spec
-so swapping in uproot touches only the decoder function
+carries minus the TAttLine/TAttFill/TAttMarker cosmetics.  The writer
+can emit a REAL StreamerInfo section (``streamers=True``: a TList named
+"StreamerInfo" at fSeekInfo carrying TStreamerInfo records for
+TTree/TBranch/TLeaf — byte layout in sources/streamerinfo.py), but the
+file body still stores tree metadata as CSTreeIndex rather than real
+TTree object records, so a file from this writer remains NOT loadable by
+stock ROOT; every structure it shares with the real format follows the
+public spec so swapping in uproot touches only the decoder function
 (sources/root_ingest.py).
 
 Reads are mmap-backed: the key walk touches only header pages, and a
@@ -119,8 +126,12 @@ def _read_tstring(buf, pos: int) -> tuple[str, int]:
 
 def _zl_frames(data: bytes, level: int, alg: int = 1) -> bytes | None:
     """Compress ``data`` into ROOT frame(s) — "ZL"/deflate for alg=1
-    (kZLIB), "XZ"/lzma for alg=2 (kLZMA); None when compression does
-    not pay (ROOT likewise stores such records uncompressed)."""
+    (kZLIB), "XZ"/lzma for alg=2 (kLZMA), "L4"/lz4-block for alg=4
+    (kLZ4, the modern NanoAOD default; the frame body is the block's
+    XXH64 in canonical big-endian form followed by the block, and the
+    3-byte compressed size counts those 8 checksum bytes — the
+    ZipLZ4.cxx layout); None when compression does not pay (ROOT
+    likewise stores such records uncompressed)."""
     out = []
     for off in range(0, len(data), _MAXZIP):
         chunk = data[off : off + _MAXZIP]
@@ -131,6 +142,15 @@ def _zl_frames(data: bytes, level: int, alg: int = 1) -> bytes | None:
                 preset=min(level, 9),
             )
             head = b"XZ" + bytes([0])
+        elif alg == 4:
+            from copperhead_spark.sources.lz4codec import (
+                lz4_block_compress,
+                xxh64,
+            )
+
+            block = lz4_block_compress(chunk)
+            c = xxh64(block).to_bytes(8, "big") + block
+            head = b"L4" + bytes([1])  # method: lz4 major version
         else:
             c = zlib.compress(chunk, level)
             head = b"ZL" + bytes([8])  # method: deflate
@@ -160,20 +180,20 @@ def _zl_decompress(raw, objlen: int) -> bytes:
         if pos + 9 > len(raw):
             raise ValueError("truncated compression frame header")
         magic = bytes(raw[pos : pos + 2])
-        if magic == b"L4" or magic == b"ZS":
-            lib = "lz4" if magic == b"L4" else "zstandard"
+        if magic == b"ZS":
             raise ValueError(
-                f"ROOT {magic.decode()} compression frame: no stdlib codec"
-                f" — install `pip install {lib}` and read via uproot, or"
-                " rewrite the file with kZLIB/kLZMA compression"
+                "ROOT ZS compression frame: no stdlib codec"
+                " — install `pip install zstandard` and read via uproot, or"
+                " rewrite the file with kZLIB/kLZMA/kLZ4 compression"
             )
         if not (
             (magic == b"ZL" and raw[pos + 2] == 8)
             or (magic == b"XZ" and raw[pos + 2] == 0)
+            or magic == b"L4"  # method byte = lz4 version, not dispatched on
         ):
             raise ValueError(
                 f"unsupported compression frame {magic!r} "
-                "(this module decodes ZL/deflate and XZ/lzma frames)"
+                "(this module decodes ZL/deflate, XZ/lzma and L4/lz4 frames)"
             )
         csize = int.from_bytes(raw[pos + 3 : pos + 6], "little")
         usize = int.from_bytes(raw[pos + 6 : pos + 9], "little")
@@ -185,6 +205,23 @@ def _zl_decompress(raw, objlen: int) -> bytes:
                     bytes(raw[pos + 9 : pos + 9 + csize]),
                     format=lzma.FORMAT_XZ,
                 )
+            elif magic == b"L4":
+                # 8-byte canonical (big-endian) XXH64 of the block, then
+                # the block; csize counts the checksum (ZipLZ4.cxx)
+                if csize <= 8:
+                    raise ValueError("L4 frame too short for its checksum")
+                from copperhead_spark.sources.lz4codec import (
+                    lz4_block_decompress,
+                    xxh64,
+                )
+
+                stored = int.from_bytes(raw[pos + 9 : pos + 17], "big")
+                block = bytes(raw[pos + 17 : pos + 9 + csize])
+                if xxh64(block) != stored:
+                    raise ValueError(
+                        "L4 frame checksum mismatch (corrupt LZ4 block)"
+                    )
+                chunk = lz4_block_decompress(block, usize)
             else:
                 chunk = zlib.decompress(bytes(raw[pos + 9 : pos + 9 + csize]))
         except (zlib.error, lzma.LZMAError) as e:
@@ -302,29 +339,37 @@ def _open_buf(path: str):
 # ---------------------------------------------------------------------------
 
 
-def _file_header(fend: int, nbytes_name: int, compress: int) -> bytes:
+def _file_header(
+    fend: int, nbytes_name: int, compress: int,
+    seek_info: int = 0, nbytes_info: int = 0,
+) -> bytes:
     h = MAGIC + struct.pack(
         ">iiiiiii", _FVERSION, FBEGIN, fend, fend, 0, 0, nbytes_name
     )
     h += struct.pack(">B", 4)  # fUnits
     h += struct.pack(">i", compress)
-    h += struct.pack(">ii", 0, 0)  # fSeekInfo/fNbytesInfo: no streamers
+    # fSeekInfo/fNbytesInfo: the StreamerInfo TList record when the
+    # writer was asked for one (sources/streamerinfo.py), else 0
+    h += struct.pack(">ii", seek_info, nbytes_info)
     h += struct.pack(">H", 1) + b"\x00" * 16  # fUUID (version + null uuid)
     return h.ljust(FBEGIN, b"\x00")
 
 
 class _Writer:
-    def __init__(self, path: str, compress: int = 0):
+    def __init__(self, path: str, compress: int = 0, streamers: bool = False):
         # ROOT fCompress convention: algorithm*100 + level (kZLIB=1,
-        # kLZMA=2); bare 0..9 is the legacy spelling of a zlib level.
+        # kLZMA=2, kLZ4=4); bare 0..9 is the legacy spelling of a zlib
+        # level.
         alg, level = divmod(compress, 100) if compress >= 100 else (1, compress)
-        if not 0 <= level <= 9 or alg not in (1, 2):
+        if not 0 <= level <= 9 or alg not in (1, 2, 4):
             raise ValueError(
                 "compress must be a zlib level 0..9, or ROOT-style"
                 " alg*100+level with kZLIB=1 (101..109) / kLZMA=2 (201..209)"
+                " / kLZ4=4 (401..409)"
             )
         self.path = path
         self.compress = compress
+        self.streamers = streamers
         self._alg, self._level = alg, level
         self.records: list[bytes] = []
         name = os.path.basename(path)
@@ -356,10 +401,34 @@ class _Writer:
         )
 
     def close(self) -> None:
+        seek_info = nbytes_info = 0
+        if self.streamers:
+            # the self-description record real ROOT readers start from:
+            # a TList named StreamerInfo at fSeekInfo (write-side parity;
+            # sources/streamerinfo.py documents the byte layout and the
+            # honest remaining gap).  Stored uncompressed: the record is
+            # ~2 KB and determinism beats the ~40% it would save.
+            from copperhead_spark.sources.streamerinfo import (
+                minimal_tree_streamers,
+                streamer_list,
+            )
+
+            seek_info = FBEGIN + sum(len(r) for r in self.records)
+            self.add(
+                "TList", "StreamerInfo", "Doubly linked list",
+                streamer_list(minimal_tree_streamers()),
+                compressible=False,
+            )
+            nbytes_info = len(self.records[-1])
         body = b"".join(self.records)
         fend = FBEGIN + len(body)
         with open(self.path, "wb") as fh:
-            fh.write(_file_header(fend, self._nbytes_name, self.compress))
+            fh.write(
+                _file_header(
+                    fend, self._nbytes_name, self.compress,
+                    seek_info, nbytes_info,
+                )
+            )
             fh.write(body)
 
 
@@ -396,6 +465,7 @@ def write_tree(
     basket_entries: int = 8192,
     title: str = "",
     compress: int = 0,
+    streamers: bool = False,
 ) -> None:
     """Write a TTree with flat branches (``columns``: one value per
     entry) and jagged branches (``jagged``: name -> (counts_branch,
@@ -406,7 +476,8 @@ def write_tree(
     each (a jagged basket holds all values of its entry window),
     compressed when ``compress`` > 0 — a bare 1..9 means zlib "ZL"
     frames; ROOT-style alg*100+level selects the codec (101..109 kZLIB,
-    201..209 kLZMA/"XZ" frames).  Baskets are interleaved
+    201..209 kLZMA/"XZ", 401..409 kLZ4/"L4" frames).  Baskets are
+    interleaved
     branch-major in entry order, matching how a real writer flushes
     per-branch baskets as entries accumulate."""
     jagged = jagged or {}
@@ -453,7 +524,7 @@ def write_tree(
     if n is None:  # jagged-only tree is impossible (counts must be flat)
         raise ValueError("write_tree: no flat branches")
 
-    w = _Writer(path, compress=compress)
+    w = _Writer(path, compress=compress, streamers=streamers)
     idx = struct.pack(">hqii", 2, n, basket_entries, len(letters))
     for bname in letters:
         idx += (
@@ -491,21 +562,25 @@ def write_flat_tree(
     basket_entries: int = 8192,
     title: str = "",
     compress: int = 0,
+    streamers: bool = False,
 ) -> None:
     """Flat-only convenience wrapper over write_tree."""
     write_tree(
         path, tree, columns,
         basket_entries=basket_entries, title=title, compress=compress,
+        streamers=streamers,
     )
 
 
-def write_th1f(path: str, hists: list[dict], compress: int = 0) -> None:
+def write_th1f(
+    path: str, hists: list[dict], compress: int = 0, streamers: bool = False
+) -> None:
     """Write TH1F records: each dict needs name, title, nbins, xlo, xhi,
     contents (len nbins+2, under/overflow at [0]/[-1]) and optionally
     sumw2 (same length).  Contents are stored as a TArrayF (int32 count +
     big-endian float32s), Sumw2 as a TArrayD — the arrays a real TH1F
     streamer carries."""
-    w = _Writer(path, compress=compress)
+    w = _Writer(path, compress=compress, streamers=streamers)
     for h in hists:
         nbins = int(h["nbins"])
         contents = np.asarray(h["contents"], dtype=np.float64)

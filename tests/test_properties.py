@@ -524,8 +524,10 @@ def test_rootio_flat_tree_roundtrip_property(branch_specs, n, basket):
 @given(
     st.integers(min_value=0, max_value=200),
     st.integers(min_value=1, max_value=50),
-    # bare zlib levels, ROOT-style kZLIB (1xx) and kLZMA/XZ (2xx) specs
-    st.sampled_from([0, 1, 3, 6, 9, 101, 106, 109, 201, 205, 209]),
+    # bare zlib levels, ROOT-style kZLIB (1xx), kLZMA/XZ (2xx) and
+    # kLZ4/L4 (4xx, r10) specs
+    st.sampled_from([0, 1, 3, 6, 9, 101, 106, 109, 201, 205, 209,
+                     401, 404, 406, 409]),
     st.sampled_from(["f8", "f4", "i8", "i4", "bool"]),
 )
 @settings(max_examples=40, deadline=None)
@@ -664,8 +666,10 @@ def test_rootio_th1f_roundtrip_property(nbins, values):
 
 def test_rootio_xz_frames_and_unsupported_codecs():
     """kLZMA files carry real XZ frames (visible in the raw bytes) that
-    round-trip bit-exactly; L4/ZS frames (no stdlib codec) raise an
-    actionable ValueError naming the library, not a parse error."""
+    round-trip bit-exactly; a ZS frame (no stdlib codec) raises an
+    actionable ValueError naming the library, not a parse error; an XZ
+    body mislabeled as L4 (r10: L4 now decodes) fails its checksum
+    instead of mis-decoding."""
     import tempfile
 
     import numpy as np
@@ -683,18 +687,56 @@ def test_rootio_xz_frames_and_unsupported_codecs():
         assert b"XZ\x00" in raw and b"ZL\x08" not in raw
         back = rootio.read_flat_tree(path, "T", ["a"], 0, len(vals))
         assert np.array_equal(back["a"], vals)
-        # splice an L4 frame where the XZ frame sits -> actionable error
+        # relabel the XZ frame as L4: the body is not (checksum + LZ4
+        # block), so the canonical-XXH64 verification must reject it
         pos = raw.index(b"XZ\x00")
         bad = raw[:pos] + b"L4\x01" + raw[pos + 3 :]
         badpath = f"{d}/bad.root"
         open(badpath, "wb").write(bad)
-        with pytest.raises(ValueError, match="lz4"):
+        with pytest.raises(ValueError, match="checksum"):
             rootio.read_flat_tree(badpath, "T", ["a"], 0, len(vals))
         zs = raw[:pos] + b"ZS\x01" + raw[pos + 3 :]
         zspath = f"{d}/zs.root"
         open(zspath, "wb").write(zs)
         with pytest.raises(ValueError, match="zstandard"):
             rootio.read_flat_tree(zspath, "T", ["a"], 0, len(vals))
+
+
+def test_rootio_l4_frames_roundtrip_and_detect_corruption():
+    """kLZ4 files carry real L4 frames: 9-byte RZip header, canonical
+    big-endian XXH64 of the block, LZ4 block (checksum counted in the
+    compressed size).  Round-trips bit-exactly; one flipped block byte
+    is caught by the checksum."""
+    import tempfile
+
+    import numpy as np
+
+    from copperhead_spark.sources import rootio
+    from copperhead_spark.sources.lz4codec import xxh64
+
+    rng = np.random.RandomState(11)
+    vals = np.repeat(rng.uniform(-1, 1, 60), 40)  # compressible
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/l.root"
+        rootio.write_flat_tree(
+            path, "T", {"a": vals}, basket_entries=512, compress=404
+        )
+        raw = open(path, "rb").read()
+        assert b"L4\x01" in raw and b"ZL\x08" not in raw and b"XZ\x00" not in raw
+        pos = raw.index(b"L4\x01")
+        csize = int.from_bytes(raw[pos + 3 : pos + 6], "little")
+        stored = int.from_bytes(raw[pos + 9 : pos + 17], "big")
+        block = raw[pos + 17 : pos + 9 + csize]
+        assert xxh64(block) == stored  # the frame carries a REAL xxh64
+        back = rootio.read_flat_tree(path, "T", ["a"], 0, len(vals))
+        assert np.array_equal(back["a"], vals)
+        # flip one block byte -> checksum mismatch, never a wrong decode
+        bad = bytearray(raw)
+        bad[pos + 17 + len(block) // 2] ^= 0xFF
+        badpath = f"{d}/flip.root"
+        open(badpath, "wb").write(bytes(bad))
+        with pytest.raises(ValueError, match="checksum"):
+            rootio.read_flat_tree(badpath, "T", ["a"], 0, len(vals))
 
 
 def test_rootio_writer_rejects_bad_compress_spec():

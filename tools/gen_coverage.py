@@ -19,7 +19,7 @@ from copperhead_spark.plans.registry import all_queries
 # SURVEY §2 ID -> (description, [query names], "other coverage" note)
 INVENTORY: list[tuple[str, str, list[str], str]] = [
     # 2.1 scans / sources / sinks
-    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan", "s1_root_scan_jagged"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode incl. jagged counts+payload branches and zlib ZL-frame baskets; uproot optional)"),
+    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan", "s1_root_scan_jagged"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode incl. jagged counts+payload branches and ZL/XZ/L4 compression frames — sources/lz4codec.py implements the kLZ4 block codec + XXH64 from spec; uproot optional)"),
     ("S2", "Source column pruning", ["p1_conjunctive_filter"], "Catalyst column pruning (ReadSchema verified in plan audit)"),
     ("S3", "Partitioned parquet sink", ["s3_partitioned_sink_roundtrip"], "sources/parquet_io.py"),
     ("S4", "Partitioned scan + repartition", ["s4_partition_pruned_scan"], "AQE coalescing in session defaults"),
@@ -27,7 +27,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
      "sources/layout.py optimize_layout (target file sizing, range-clustered files for min/max pruning); explicit path-list scan"),
     ("S6", "Metadata pre-scan aggregate", ["s6_metadata_prescan"], ""),
     ("S7", "Histogram sink/source", ["a5_weighted_histogram"], "histogram is a DataFrame -> plain parquet sink; no pickles"),
-    ("S8", "ROOT TH1 template sink", ["s8_th1_template_sink"], "finishing/templates.py + sources/rootio.py write_th1f (TArrayF/TArrayD byte layout; uproot optional)"),
+    ("S8", "ROOT TH1 template sink", ["s8_th1_template_sink", "pipeline_root_to_th1_e2e", "pipeline_root_to_th1_variations_e2e"], "finishing/templates.py + sources/rootio.py write_th1f (TArrayF/TArrayD byte layout; uproot optional); the variations query emits one template per (region, channel, variation) with datacard-style suffixes"),
     ("S9", "Output overwrite management", ["s3_partitioned_sink_roundtrip"], "dynamic partition overwrite (idempotency probed)"),
     ("S10", "CSV/JSON/ORC lookup + interchange IO", ["s10_csv_lookup_join"], "sources/tabular_io.py (JSON/ORC round-trips in tests/test_tabular_io.py)"),
     ("S11", "Schema-evolution scan (mergeSchema)", ["s11_schema_evolution_scan"],
@@ -125,7 +125,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("F5", "Weights accumulator (ledger)", ["f5_weights_ledger"], "operators/weights.py (zero-safe variations unit-tested)"),
     ("F6", "Row-wise helper (max_abs_eta)", ["a4_global_aggregates"], "greatest(abs(...)) expression"),
     # 2.11 finishing
-    ("FIN1", "Parametric fits + chi2 model selection", ["fin1_chi2_model_selection"], "finishing/fits.py (chebyshev/bernstein/bwZ/bwZredux/bwGamma/doubleCB — full reference menu; tests recover params; rows-only query — fits are not SQL-expressible)"),
+    ("FIN1", "Parametric fits + chi2 model selection", ["fin1_chi2_model_selection", "pipeline_root_to_fit_e2e"], "finishing/fits.py (chebyshev/bernstein/bwZ/bwZredux/bwGamma/doubleCB — full reference menu; tests recover params; rows-only query — fits are not SQL-expressible)"),
     ("FIN2", "Templates / group summation", ["fin2_group_templates"], "finishing/templates.py (driver-side twin on collected data)"),
     ("FIN3", "Datacard emission", ["fin3_datacard_yields"], "finishing/templates.py make_datacard consumes the rate table"),
     # beyond-reference mandated families
