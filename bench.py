@@ -104,6 +104,14 @@ HEADLINE = [
     # map-only filter -> mixture -> packing)
     "pipeline_root_to_th1_e2e",
     "pipeline_classifier_curation_e2e",
+    # round-10 addition: the e2e chain with the systematic-variation axis
+    # threaded through the TH1 sink (3x stacked rows into the one
+    # aggregation shuffle + one template per region x channel x
+    # variation).  The round's other flagship, pipeline_root_to_fit_e2e,
+    # is ~10s at sf0.1 (two pipeline passes + six-family driver fits) and
+    # is measured once per record in the soak section instead of 4x here
+    # (the pipeline_pretrain_corpus_e2e precedent).
+    "pipeline_root_to_th1_variations_e2e",
 ]
 
 # fresh-context batch width for the young pass: small enough that no
@@ -858,6 +866,20 @@ def main() -> None:
             soak["pipeline_pretrain_corpus_e2e_scaling_vs_1x"] = round(
                 t3e / (3 * t1e), 3
             )
+
+            # ---- the r10 stage-3 flagship: two pipeline passes (ROOT
+            # scan -> stage1 -> histogram + exact anchors) feeding the
+            # six-family chi2 fits driver-side — too heavy for the 4x
+            # headline loop (~10s at sf0.1), measured once per record
+            # with its CPU column (the driver-side fit work is the CPU-
+            # heavy part, so wall-vs-CPU separates fit cost from scan
+            # starvation here too)
+            tfit, cfit = _time_query_cpu(
+                spark, queries["pipeline_root_to_fit_e2e"], sf_dir
+            )
+            soak["pipeline_root_to_fit_e2e"] = tfit
+            if cfit is not None:
+                soak["pipeline_root_to_fit_e2e_cpu"] = cfit
         # third probe bracketing the soaks: a burst that starved only
         # the soak section leaves both run-level probes clean
         cache_probe["after_soak"] = _cache_reclaim_probe(tmp)

@@ -1642,7 +1642,7 @@ def pipeline_root_to_fit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    from copperhead_spark.finishing.fits import FAMILIES, fit_histogram_table
+    from copperhead_spark.finishing.fits import FAMILIES
     from copperhead_spark.functions.exact import exact_sum
     from copperhead_spark.operators.histogram import bin_index
     from copperhead_spark.pipeline import channel_case, stage1_arrays, stage2
@@ -1650,22 +1650,36 @@ def pipeline_root_to_fit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = stage1_arrays(root_events_scan(spark, sf_dir))
     hist = stage2(flat)
     pdf = hist.toPandas()
-    fits = fit_histogram_table(pdf, _TH1_LO, _TH1_HI, _TH1_NBINS)
+    # ONE fitting pass per category (select_best_model semantics inlined:
+    # winner = min chi2/ndf over finite families) — fitting every family
+    # twice via fit_histogram_table + a refit loop measured 2x the
+    # driver-side cost at identical results
     width = (_TH1_HI - _TH1_LO) / _TH1_NBINS
     refit = {}
-    for key, winner in fits.items():
-        g = pdf[(pdf.region == key[0]) & (pdf.channel == key[1])]
+    for key, g in pdf.groupby(["region", "channel"]):
         g = g[(g.bin_idx >= 0) & (g.bin_idx < _TH1_NBINS)].sort_values("bin_idx")
+        if len(g) < _FIT_E2E_MIN_BINS:
+            continue
         x = _TH1_LO + (g.bin_idx.to_numpy() + 0.5) * width
         y = g.value.to_numpy()
         sigma = np.sqrt(np.maximum(g.sumw2.to_numpy(), 1e-12))
         results = [fit(x, y, sigma) for fit in FAMILIES.values()]
         finite = [r for r in results if math.isfinite(r.chi2)]
+        winner = min(finite or results, key=lambda r: r.chi2_ndf)
         refit[key] = (len(g), winner, finite)
-    # exact anchors from the SAME flat table the histogram consumed
+    # exact anchors from the SAME flat table the histogram consumed.
+    # codegen_barrier is load-bearing: fused with stage1's kinematics
+    # tail, the channel CASE + bin + exact-sum partial agg push the
+    # single whole-stage span past janino's 64 KB method limit and the
+    # anchor pass would silently run interpreted (caught at sf0.1 under
+    # codegen.fallback=false — the r8 failure mode, same fix as
+    # pipeline._derive_and_label)
+    from copperhead_spark.operators.barrier import codegen_barrier
+
     bin_col = bin_index(F.col("dimuon_mass"), _TH1_LO, _TH1_HI, _TH1_NBINS)
     anchors = (
-        flat.withColumn("channel", channel_case())
+        codegen_barrier(flat, "cgb_fit_anchor")
+        .withColumn("channel", channel_case())
         .withColumn("bin_idx", bin_col)
         .filter((F.col("bin_idx") >= 0) & (F.col("bin_idx") < _TH1_NBINS))
         .groupBy("region", "channel")
