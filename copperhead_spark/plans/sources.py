@@ -1006,6 +1006,108 @@ def s1_root_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multi-file scan fixture: one codec per file — uncompressed, kZLIB
+# level 6 ("ZL" frames), kLZ4 level 4 ("L4" frames, r10 codec)
+_S1F_SPECS = (0, 6, 404)
+_S1F_BASKET = 1024
+_S1F_CHUNK = 1500  # NOT a basket multiple: chunks slice baskets
+
+
+def _root_multifile_fixture(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Write (once per process) THREE flat-tree ROOT files partitioned by
+    l_orderkey % 3, each under a different ROOT compression spec — the
+    mixed-vintage dataset shape (CMS campaigns recompressed over the
+    years coexist in one fileset).  Driver-side scaffolding by design;
+    the multi-file SCAN is the operator under test."""
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import write_flat_tree
+
+    out_dir = scratch_dir("rootfix_multi", sf_dir)
+    paths = [os.path.join(out_dir, f"part{k}.root") for k in range(3)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(out_dir, exist_ok=True)
+        pdf = (
+            table(spark, sf_dir, "lineitem")
+            .select(*_S1_BRANCHES)
+            .orderBy("l_orderkey", "l_linenumber")
+            .toPandas()
+        )
+        okey = pdf["l_orderkey"].to_numpy(np.int64)
+        for k, (path, spec) in enumerate(zip(paths, _S1F_SPECS)):
+            part = pdf[okey % 3 == k]
+            write_flat_tree(
+                path,
+                "Events",
+                {
+                    "l_orderkey": part["l_orderkey"].to_numpy(np.int64),
+                    "l_linenumber": part["l_linenumber"].to_numpy(np.int32),
+                    "l_quantity": part["l_quantity"].to_numpy(np.float64),
+                    "l_extendedprice": part["l_extendedprice"].to_numpy(np.float64),
+                },
+                basket_entries=_S1F_BASKET,
+                compress=spec,
+            )
+    return paths
+
+
+@register(
+    "s1_root_scan_files",
+    oracle=f"""
+SELECT CAST(l_orderkey % 3 AS BIGINT) AS file_bucket,
+       CAST(l_linenumber AS BIGINT) AS linenumber,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       {exact_sum_sql("l_quantity")} AS sum_qty,
+       {exact_sum_sql("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY 1, 2
+""",
+    tags=("S1", "S5", "S6", "root"),
+)
+def s1_root_scan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-FILE ROOT ingest through the full two-stage production path
+    (S1+S6; the reference preprocesses its fileset then runs the chunked
+    Runner over it, run_stage1.py:153-166): three files partitioned by
+    l_orderkey % 3, EACH under a different ROOT compression — stored
+    uncompressed, kZLIB "ZL" frames, and kLZ4 "L4" frames (the modern
+    NanoAOD default, via the spec-written pure-python codec) — consumed
+    by read_nanoaod_files: the distributed mmap entry-count pre-scan
+    (scan_entries, payload bytes never paged in) feeds per-file chunk
+    planning ({_S1F_CHUNK} entries/task, NOT a basket multiple), then
+    the mapInArrow decode fan-out.  Grouping by the file-assignment key
+    (l_orderkey % 3) makes each output row a per-FILE content check: a
+    dropped file, a swapped codec, one mis-inflated L4 block, or a
+    mis-counted pre-scan flips specific rows' value hashes against the
+    parquet-derived oracle.  Scale: the pre-scan is one map-only stage
+    over the path list (O(n_keys) header reads per file); the scan fans
+    out one task per chunk across all files — exactly how a 1000-file
+    dataset runs."""
+    from copperhead_spark.sources.root_ingest import (
+        read_nanoaod_files,
+        rootio_decoder,
+    )
+
+    paths = _root_multifile_fixture(spark, sf_dir)
+    df = read_nanoaod_files(
+        spark,
+        paths,
+        _S1_BRANCHES,
+        tree="Events",
+        chunk_size=_S1F_CHUNK,
+        decoder=rootio_decoder,
+    )
+    return df.groupBy(
+        (F.col("l_orderkey") % 3).cast("long").alias("file_bucket"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
 _S8_NBINS = 20
 _S8_XLO, _S8_XHI = 0.0, 100_000.0  # extendedprice tops out ~112k -> real overflow
 _S8_BINW = (_S8_XHI - _S8_XLO) / _S8_NBINS

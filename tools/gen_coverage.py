@@ -19,13 +19,13 @@ from copperhead_spark.plans.registry import all_queries
 # SURVEY §2 ID -> (description, [query names], "other coverage" note)
 INVENTORY: list[tuple[str, str, list[str], str]] = [
     # 2.1 scans / sources / sinks
-    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan", "s1_root_scan_jagged"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode incl. jagged counts+payload branches and ZL/XZ/L4 compression frames — sources/lz4codec.py implements the kLZ4 block codec + XXH64 from spec; uproot optional)"),
+    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan", "s1_root_scan_jagged", "s1_root_scan_files"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode incl. jagged counts+payload branches and ZL/XZ/L4 compression frames — sources/lz4codec.py implements the kLZ4 block codec + XXH64 from spec; uproot optional)"),
     ("S2", "Source column pruning", ["p1_conjunctive_filter"], "Catalyst column pruning (ReadSchema verified in plan audit)"),
     ("S3", "Partitioned parquet sink", ["s3_partitioned_sink_roundtrip"], "sources/parquet_io.py"),
     ("S4", "Partitioned scan + repartition", ["s4_partition_pruned_scan"], "AQE coalescing in session defaults"),
     ("S5", "File listing + layout-optimized ingest", ["s5_multipath_clustered_scan"],
      "sources/layout.py optimize_layout (target file sizing, range-clustered files for min/max pruning); explicit path-list scan"),
-    ("S6", "Metadata pre-scan aggregate", ["s6_metadata_prescan"], ""),
+    ("S6", "Metadata pre-scan aggregate", ["s6_metadata_prescan", "s1_root_scan_files"], "sources/root_ingest.py scan_entries (distributed mmap entry-count pre-scan feeding chunk planning)"),
     ("S7", "Histogram sink/source", ["a5_weighted_histogram"], "histogram is a DataFrame -> plain parquet sink; no pickles"),
     ("S8", "ROOT TH1 template sink", ["s8_th1_template_sink", "pipeline_root_to_th1_e2e", "pipeline_root_to_th1_variations_e2e"], "finishing/templates.py + sources/rootio.py write_th1f (TArrayF/TArrayD byte layout; uproot optional); the variations query emits one template per (region, channel, variation) with datacard-style suffixes"),
     ("S9", "Output overwrite management", ["s3_partitioned_sink_roundtrip"], "dynamic partition overwrite (idempotency probed)"),
