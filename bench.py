@@ -329,7 +329,11 @@ class _ReclaimMonitor:
             "evicted_samples": self.evicted,
             "duty_pct": duty,
             "max_read_s": round(self.max_read_s, 3),
-            "reclaim_bursty": duty > 5.0,
+            # compare UNROUNDED (r10: a 5.04% duty rounds to the displayed
+            # 5.0 and `duty > 5.0` would miss it)
+            "reclaim_bursty": (
+                self.samples > 0 and self.evicted > 0.05 * self.samples
+            ),
         }
 
 

@@ -380,3 +380,24 @@ def test_write_tree_with_streamers_header_and_compat(tmp_path):
         assert np.array_equal(back["x"], vals[10:200])
         c, v = back["j"]
         assert np.array_equal(v, (vals * 2)[10:200])
+
+
+def test_reclaim_bursty_gate_compares_unrounded(tmp_path):
+    """r10: a 5.04% eviction duty rounds to the displayed 5.0 and the
+    old `duty > 5.0` comparison missed it; the gate must compare the
+    unrounded ratio (the refused r10 record displayed duty_pct 5.0 at a
+    true 4.96% — correctly not bursty, but the miss window was real)."""
+    import bench
+
+    cases = [
+        (1372, 68, 5.0, False),   # 4.956% -> displays 5.0, under the gate
+        (10000, 504, 5.0, True),  # 5.04%  -> displays 5.0, OVER the gate
+        (1000, 51, 5.1, True),
+        (0, 0, 0.0, False),
+    ]
+    for samples, evicted, duty, bursty in cases:
+        m = bench._ReclaimMonitor(str(tmp_path))
+        m.samples, m.evicted = samples, evicted
+        r = m.stop()
+        assert r["duty_pct"] == duty, (samples, evicted)
+        assert r["reclaim_bursty"] is bursty, (samples, evicted)
