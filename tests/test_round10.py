@@ -401,3 +401,35 @@ def test_reclaim_bursty_gate_compares_unrounded(tmp_path):
         r = m.stop()
         assert r["duty_pct"] == duty, (samples, evicted)
         assert r["reclaim_bursty"] is bursty, (samples, evicted)
+
+
+def test_unbinned_nll_fit_on_e2e_hpeak_mass(spark):
+    """The UNBINNED leg of the e2e stage-3 parity (the reference's
+    stage-3 fits are unbinned RooFit NLL fits of the collected mass
+    column, stage3/fitter.py:131-229): stage2_unbinned reduces the ROOT
+    e2e chain to the h-peak dimuon_mass column — O(selected events)
+    driver-side, never the wide table — and the 4-family NLL menu fits
+    it.  Pinned on the deterministic fixture: 45 selected events, every
+    mass inside the h-peak window, all families finite, and the NLL gain
+    over the uniform null < 1 nat (45 near-flat events in a 20 GeV
+    window carry no resonance shape — a 'significant' fit here would
+    mean the fitter is inventing structure)."""
+    import math
+
+    import numpy as np
+
+    from copperhead_spark.finishing.nll import select_best_model_nll
+    from copperhead_spark.pipeline import stage1_arrays, stage2_unbinned
+    from copperhead_spark.plans.sources import root_events_scan
+
+    flat = stage1_arrays(root_events_scan(spark, "/root/testdata/sf0.001"))
+    rows = stage2_unbinned(flat.filter("region = 'h-peak'")).collect()
+    x = np.array([r["dimuon_mass"] for r in rows])
+    assert len(x) == 45
+    assert x.min() >= 115.0 and x.max() < 135.0
+    winner, results = select_best_model_nll(x, 115.0, 135.0, sweeps=6)
+    assert sum(1 for r in results if math.isfinite(r.nll)) == 4
+    assert winner.model == "bwGamma"  # deterministic fixture + fitter
+    null_nll = len(x) * math.log(135.0 - 115.0)
+    gain = null_nll - winner.nll
+    assert 0.0 <= gain < 1.0, gain
