@@ -27,6 +27,7 @@ import json
 import os
 import re
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -125,8 +126,12 @@ def _tree_cpu_s() -> float | None:
     subtree — the Python driver, the py4j-launched JVM (where local-mode
     executors run), pyspark.daemon and its UDF workers — plus already-
     reaped children via cutime/cstime, so a worker that exits between
-    two probes is still counted exactly once (its lifetime lands in the
-    parent's cutime).  Deltas of this next to wall time make host I/O
+    two probes is normally still counted once (its lifetime lands in the
+    parent's cutime).  Known under-count (r10 ADVICE): a descendant that
+    is orphaned (reparented to PID 1) or daemonizes escapes both the
+    ppid subtree walk and every walked ancestor's cutime — pyspark.daemon
+    workers can outlive their parent this way — so deltas are a floor,
+    not an exact census.  Deltas of this next to wall time make host I/O
     starvation directly separable from compute regressions in the
     record: starvation inflates wall with CPU flat, a plan regression
     moves both.  (The JVM's own OperatingSystemMXBean.getProcessCpuTime
@@ -349,6 +354,96 @@ def _steal_jiffies() -> int:
             return int(fh.readline().split()[8])  # cpu: ... steal is field 8
     except (OSError, ValueError, IndexError):
         return 0
+
+
+# CPU-adjudicated acceptance bands (r11; ARCHITECTURE.md "CPU-adjudicated
+# bench records").  The wall band is the operational "no silent
+# regression" check against the last COMMITTED record's shared headline
+# prefix — r10 attempt 1 measured 1.11 here on a floor-refused window.
+# The CPU band is tighter because CPU is the contamination-robust metric:
+# page-cache starvation inflates wall (timed re-reads hit virtio disk)
+# while iowait charges no CPU, and hypervisor steal inflates wall while
+# stolen jiffies are charged to `steal`, not the process.
+_WALL_BAND = 1.5
+_CPU_BAND = 1.25
+
+
+def _cpu_adjudicate(
+    floor_only: bool,
+    steal_pct: float,
+    timings: dict[str, float],
+    timings_cpu: dict[str, float | None],
+) -> dict | None:
+    """Alternative write-gate acceptance for the host-balloon mode (r11
+    verdict task 1).  Three r10 quiet windows were refused with guest
+    Cached pinned at the SAME ~1.3/2.3 GB across every run phase and
+    load level — a hard balloon target, so the Cached>=3GB floor is
+    likely UNSATISFIABLE on this host and the floor alone must not
+    deadlock the committed record forever.  A run whose ONLY tripped
+    gate is the cache floor is accepted iff:
+
+      (1) every other sensor is clean — start load, aged-vs-young ratio,
+          reclaim probes, bursty-reclaim duty (``floor_only``) — and the
+          whole-run hypervisor steal share is <= 2%;
+      (2) the median per-query aged-wall ratio vs the committed
+          BENCH_LOCAL.json's shared queries is <= _WALL_BAND; and
+      (3) if a pinned CPU baseline exists (BENCH_CPU_BASELINE.json), the
+          median per-query CPU ratio vs it is <= _CPU_BAND.  The first
+          accepted record ESTABLISHES that baseline (flagged in the
+          returned dict; main() writes the file alongside the record).
+
+    Returns the adjudication evidence dict on acceptance (embedded in
+    the record next to ``contamination_note``; ``load_warning`` stays
+    true because the sensor is honest), or None to refuse the write."""
+    if not floor_only or steal_pct > 2.0:
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+            committed = json.load(fh)["queries"]
+    except (OSError, ValueError, KeyError):
+        return None  # nothing committed to band against — cannot adjudicate
+    ratios = {
+        n: round(timings[n] / committed[n], 3)
+        for n in timings
+        if isinstance(committed.get(n), (int, float)) and committed[n] > 0
+    }
+    if not ratios:
+        return None
+    med = statistics.median(ratios.values())
+    if med > _WALL_BAND:
+        return None
+    worst = max(ratios, key=ratios.get)  # sketch_cms_counts watch item
+    adj: dict = {
+        "rule": "floor-only contamination, steal<=2%, wall median<=1.5 vs "
+        "committed, cpu median<=1.25 vs pinned baseline (first acceptance "
+        "establishes it) — ARCHITECTURE.md 'CPU-adjudicated bench records'",
+        "wall_vs_committed_median": round(med, 3),
+        "wall_vs_committed_worst": [worst, ratios[worst]],
+        "wall_vs_committed": ratios,
+    }
+    try:
+        with open(os.path.join(here, "BENCH_CPU_BASELINE.json")) as fh:
+            base = json.load(fh)["queries_cpu"]
+    except (OSError, ValueError, KeyError):
+        base = None
+    if base:
+        cpu_ratios = {
+            n: round(timings_cpu[n] / base[n], 3)
+            for n in timings_cpu
+            if timings_cpu.get(n) and isinstance(base.get(n), (int, float)) and base[n] > 0
+        }
+        if cpu_ratios:
+            cmed = statistics.median(cpu_ratios.values())
+            if cmed > _CPU_BAND:
+                return None
+            cworst = max(cpu_ratios, key=cpu_ratios.get)
+            adj["cpu_vs_baseline_median"] = round(cmed, 3)
+            adj["cpu_vs_baseline_worst"] = [cworst, cpu_ratios[cworst]]
+            adj["cpu_vs_baseline"] = cpu_ratios
+    else:
+        adj["cpu_baseline_established"] = True
+    return adj
 
 
 def main() -> None:
@@ -911,6 +1006,25 @@ def main() -> None:
         else None
     )
 
+    # named gate causes (r11): each contamination sensor gets its own
+    # flag so the CPU-adjudicated acceptance path can reason about WHICH
+    # gate tripped, not just that one did
+    steal_pct = round(
+        100
+        * (_steal_jiffies() - steal0)
+        / (max(time.perf_counter() - wall0, 1e-9) * (os.cpu_count() or 1) * 100),
+        2,
+    )
+    gate_start_load = load_start[0] > 2.0 or load_start[1] > 2.0
+    gate_aged_young = aged_vs_young is not None and aged_vs_young > 1.0
+    gate_reclaim_probe = any(p["reclaim_active"] for p in cache_probe.values())
+    gate_reclaim_bursty = bool(reclaim_monitor["reclaim_bursty"])
+    gate_cache_floor = sf >= 0.1 and any(
+        0 <= cache_probe[k]["cached_gb"] < 3.0
+        for k in ("after_aged", "after_soak")
+        if k in cache_probe
+    )
+
     # Key order matters: the external harness keeps only the TAIL of
     # stdout, so the per-query dicts go first and the summary scalars
     # (metric/value/sf/load) go LAST — a tail-truncated capture still
@@ -953,12 +1067,7 @@ def main() -> None:
         # stolen per vCPU-second elapsed, USER_HZ=100): >~2% means a host
         # co-tenant taxed every measurement uniformly — the contamination
         # mode the start-load and aged/young gates cannot see
-        "cpu_steal_pct": round(
-            100
-            * (_steal_jiffies() - steal0)
-            / (max(time.perf_counter() - wall0, 1e-9) * (os.cpu_count() or 1) * 100),
-            2,
-        ),
+        "cpu_steal_pct": steal_pct,
         "aged_vs_young_ratio": aged_vs_young,
         # r9: host page-cache reclaim detection (see _cache_reclaim_probe
         # and _ReclaimMonitor — point probes plus a whole-run duty cycle)
@@ -972,11 +1081,6 @@ def main() -> None:
         # regressed 6-12% on queries whose code never changed.  The
         # aged/young check is r7's: start gates cannot see MID-run
         # bursts, but the warm-vs-cold aggregate ratio can.
-        "load_warning": load_start[0] > 2.0
-        or load_start[1] > 2.0
-        or (aged_vs_young is not None and aged_vs_young > 1.0)
-        or any(p["reclaim_active"] for p in cache_probe.values())
-        or reclaim_monitor["reclaim_bursty"]
         # cache floor (r9, fourth record): a HOT 16 MB canary survives
         # balloon reclaim (0.4% duty) while the workload's COLD gigabytes
         # (pyspark jars, fixtures, sf tables) cannot stay resident —
@@ -985,24 +1089,53 @@ def main() -> None:
         # healthy sf0.1 run holds 4-15 GB of page cache after the aged
         # loop.
         # cached_gb < 0 is the "/proc/meminfo unreadable" sentinel, not a
-        # starved cache — skip the floor rather than fold the sentinel
-        # into the comparison (r9 ADVICE: a non-Linux host would refuse
-        # every record with a misleading cause otherwise)
-        or (
-            sf >= 0.1
-            and any(
-                0 <= cache_probe[k]["cached_gb"] < 3.0
+        # starved cache — the floor flag skips the sentinel rather than
+        # folding it into the comparison (r9 ADVICE: a non-Linux host
+        # would refuse every record with a misleading cause otherwise)
+        "load_warning": gate_start_load
+        or gate_aged_young
+        or gate_reclaim_probe
+        or gate_reclaim_bursty
+        or gate_cache_floor,
+    }
+    # CPU-adjudicated acceptance (r11): the floor alone must not deadlock
+    # the committed record on a host whose balloon pins Cached below the
+    # floor forever — see _cpu_adjudicate for the rule and evidence bands
+    if out["load_warning"]:
+        adjudication = _cpu_adjudicate(
+            floor_only=gate_cache_floor
+            and not (
+                gate_start_load
+                or gate_aged_young
+                or gate_reclaim_probe
+                or gate_reclaim_bursty
+            ),
+            steal_pct=steal_pct,
+            timings=timings,
+            timings_cpu=timings_cpu,
+        )
+        if adjudication is not None:
+            floors = {
+                k: cache_probe[k]["cached_gb"]
                 for k in ("after_aged", "after_soak")
                 if k in cache_probe
+            }
+            out["cpu_adjudicated"] = True
+            out["adjudication"] = adjudication
+            out["contamination_note"] = (
+                "page-cache floor tripped ("
+                + ", ".join(f"Cached@{k}={v}GB" for k, v in floors.items())
+                + " < 3.0 floor) on an otherwise-quiet window — the hard "
+                "host-balloon mode (ARCHITECTURE.md r10 adjudication): "
+                "wall times include re-read inflation, CPU columns do "
+                "not; record accepted under the CPU-adjudicated rule"
             )
-        ),
-    }
     line = json.dumps(out)
     # sf-suffixed filename: a smoke run at sf0.001 must not clobber the
     # committed sf0.1 round record (that exact clobber happened once);
     # BENCH_LOCAL.json stays the canonical name for the driver's sf.
     fname = "BENCH_LOCAL.json" if sf >= 0.1 else f"BENCH_LOCAL_sf{sf}.json"
-    if out["load_warning"]:
+    if out["load_warning"] and not out.get("cpu_adjudicated"):
         # HARD write-gate (r5 verdict task 2): a contaminated run must
         # never become the committed record — the r5 "quiet-box" record
         # landed with load_warning: true and its two apparent regressions
@@ -1046,12 +1179,34 @@ def main() -> None:
             file=sys.stderr,
         )
     else:
+        if out.get("cpu_adjudicated"):
+            print(
+                f"# cpu_adjudicated: {out['contamination_note']}",
+                file=sys.stderr,
+            )
         try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
-                "w",
-            ) as fh:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, fname), "w") as fh:
                 fh.write(line + "\n")
+            if out.get("cpu_adjudicated") and out["adjudication"].get(
+                "cpu_baseline_established"
+            ):
+                # first accepted record pins the contamination-robust CPU
+                # numbers as the band every later adjudication checks
+                with open(os.path.join(here, "BENCH_CPU_BASELINE.json"), "w") as fh:
+                    json.dump(
+                        {
+                            "queries_cpu": {
+                                k: v for k, v in timings_cpu.items() if v
+                            },
+                            "source": f"first cpu-adjudicated {fname} (sf={sf}); "
+                            "wall median vs committed "
+                            f"{out['adjudication']['wall_vs_committed_median']}",
+                        },
+                        fh,
+                        indent=1,
+                    )
+                    fh.write("\n")
         except OSError:
             pass  # read-only checkout: stdout line is still the contract
     print(line)

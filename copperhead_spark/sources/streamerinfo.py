@@ -294,7 +294,17 @@ def _read_tnamed(buf: bytes, pos: int) -> tuple[str, str, int]:
 def read_streamer_list(payload: bytes) -> list[dict]:
     """Parse a streamer_list() blob back to
     [{class, version, checksum, elements: [{name, ftype, type_name,
-    count_name}]}] — the reader half of the byte-layout contract."""
+    count_name}]}] — the reader half of the byte-layout contract.
+
+    Malformed/truncated payloads raise ValueError (never struct.error or
+    IndexError), matching the contract rootio's readers follow."""
+    try:
+        return _parse_streamer_list(payload)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(f"malformed TStreamerInfo list payload: {e}") from e
+
+
+def _parse_streamer_list(payload: bytes) -> list[dict]:
     version, end, pos = _read_versioned(payload, 0)
     if version != 5:
         raise ValueError(f"unexpected TList version {version}")
