@@ -1818,5 +1818,267 @@ def pipeline_root_to_fit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r11: kZSTD ("ZS") basket frames through the standard chunked-scan path.
+# Recent CMS NanoAOD campaigns compress baskets with ZSTD; the decoder is
+# the spec-written RFC 8878 codec (sources/zstdcodec.py), wired at
+# rootio's frame seam — closing the one codec gap the r10 verdict left
+# as an explicit decision (task 4: decoder chosen over the wheel seam).
+# ---------------------------------------------------------------------------
+
+
+def _root_zstd_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One flat-tree ROOT file under kZSTD (fCompress 505) — written and
+    read by the in-repo RFC 8878 codec.  Driver-side scaffolding by
+    design; the ZS SCAN path is the operator under test."""
+    import numpy as np
+
+    from copperhead_spark.sources.rootio import write_flat_tree
+
+    out_dir = scratch_dir("rootfix_zstd", sf_dir)
+    path = os.path.join(out_dir, "lineitem_zs.root")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        pdf = (
+            table(spark, sf_dir, "lineitem")
+            .select(*_S1_BRANCHES)
+            .orderBy("l_orderkey", "l_linenumber")
+            .toPandas()
+        )
+        write_flat_tree(
+            path,
+            "Events",
+            {
+                "l_orderkey": pdf["l_orderkey"].to_numpy(np.int64),
+                "l_linenumber": pdf["l_linenumber"].to_numpy(np.int32),
+                "l_quantity": pdf["l_quantity"].to_numpy(np.float64),
+                "l_extendedprice": pdf["l_extendedprice"].to_numpy(np.float64),
+            },
+            basket_entries=_S1F_BASKET,
+            compress=505,
+        )
+    return path
+
+
+@register(
+    "s1_root_scan_zstd",
+    oracle=f"""
+SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       {exact_sum_sql("l_quantity")} AS sum_qty,
+       {exact_sum_sql("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("S1", "root", "zstd"),
+)
+def s1_root_scan_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked scan of a kZSTD-compressed ROOT file: every basket frame
+    is b"ZS" + an RFC 8878 zstd frame, inflated executor-side by the
+    spec-written pure-python decoder (sources/zstdcodec.py — Huffman
+    literals, FSE sequences, repeat offsets, the works) through exactly
+    the same mapInArrow fan-out as every other codec.  The oracle is the
+    parquet-derived per-linenumber aggregate, so one wrong literal, one
+    mis-executed sequence, or one bad frame boundary anywhere in the
+    zstd decode flips specific rows' value hashes.  Scale: identical to
+    s1_root_scan — one task per chunk, basket-level pruning, payload
+    bytes of pruned baskets never paged in."""
+    from copperhead_spark.sources.root_ingest import read_nanoaod, rootio_decoder
+    from copperhead_spark.sources.rootio import list_trees
+
+    path = _root_zstd_fixture(spark, sf_dir)
+    n = list_trees(path)[0][1]
+    df = read_nanoaod(
+        spark, [(path, n)], _S1_BRANCHES,
+        tree="Events", chunk_size=_S1F_CHUNK, decoder=rootio_decoder,
+    )
+    return df.groupBy(
+        F.col("l_linenumber").cast("long").alias("linenumber")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: ML inference composed INTO the e2e chain (verdict task 3) — the
+# reference's stage 2 scores events with a fold-routed MVA *between*
+# categorization and histogramming (stage2/mva_evaluators.py:141-195;
+# postprocessor.py:61-253 bins the score); the engine had both halves
+# (ml_mlp_inference, the hmm e2e) but no composed query until now.
+# ---------------------------------------------------------------------------
+
+_MVA_NBINS, _MVA_LO, _MVA_HI = 20, -3.0, 2.0
+
+
+def _root_to_mva_oracle() -> str:
+    from copperhead_spark.ml.inference import hmm_mva_sql
+    from copperhead_spark.operators.histogram import bin_index_sql
+    from copperhead_spark.plans.hmm_oracle import hmm_stage_ctes
+
+    bin_ = bin_index_sql("score", _MVA_LO, _MVA_HI, _MVA_NBINS)
+    return f"""
+WITH {hmm_stage_ctes(_E2E_ROOT_N)},
+scored AS (
+  SELECT region, channel, wgt_nominal, ({hmm_mva_sql("id")}) AS score
+  FROM sel
+)
+SELECT region, channel,
+       {bin_} AS score_bin,
+       COUNT(*) AS n,
+       {exact_sum_sql("wgt_nominal", 6)} AS wgt_sum,
+       {exact_sum_sql("score", 6)} AS score_sum
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "pipeline_root_to_mva_histogram_e2e",
+    oracle=_root_to_mva_oracle(),
+    tags=("S1", "F1", "E2E", "root", "ml"),
+)
+def pipeline_root_to_mva_histogram_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's full stage-2 shape in one query: jagged ROOT bytes
+    -> chunked scan (S1) -> array-native stage1 -> fold-routed MVA score
+    (pandas UDF, broadcast weights, fold = event % 4 exactly as
+    mva_evaluators.py routes) -> score-binned weighted histogram.  The
+    MVA is a hardtanh (clip) network so the score is +/*/min/max over
+    identical doubles — bit-exact across engines, which a HISTOGRAM BIN
+    requires (the tanh MLP's libm ulp would flip boundary events); the
+    oracle re-derives the score closed-form inside the full relational
+    chain, so a wrong fold mask, one swapped weight, or a mis-binned
+    boundary event flips the value hash.  Scale: scan fans out per
+    chunk; stage1 + scoring are pure maps (model rides a broadcast, fold
+    routing is a batch mask, never a repartition); the single shuffle is
+    the (region x channel x bin) aggregation, ~O(10^3) rows at any input
+    size."""
+    from copperhead_spark.ml.inference import attach_hmm_scores
+    from copperhead_spark.operators.histogram import bin_index_sql
+    from copperhead_spark.pipeline import channel_case, stage1_arrays
+
+    sel = (
+        stage1_arrays(root_events_scan(spark, sf_dir))
+        .withColumn("channel", channel_case())
+        .filter(F.col("region") != "none")
+    )
+    scored = attach_hmm_scores(sel, fold_col="event", score_col="score")
+    return scored.groupBy(
+        "region",
+        "channel",
+        F.expr(bin_index_sql("score", _MVA_LO, _MVA_HI, _MVA_NBINS)).alias(
+            "score_bin"
+        ),
+    ).agg(
+        F.count("*").alias("n"),
+        exact_sum(F.col("wgt_nominal"), 6).alias("wgt_sum"),
+        exact_sum(F.col("score"), 6).alias("score_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: datacard emission chained onto the e2e (verdict task 6) — the last
+# stage-3 leg: per-channel h-peak yields + the muid systematic become a
+# text datacard (make_datacards.py:64-113), parsed back so the returned
+# table pins the text round-trip.
+# ---------------------------------------------------------------------------
+
+_DC_SIGNAL = ("vbf",)
+
+
+def _root_to_datacard_oracle() -> str:
+    from copperhead_spark.plans.hmm_oracle import hmm_stage_ctes
+
+    # make_datacard numbers PRESENT processes: signal (vbf) gets 0,
+    # backgrounds 1..k in sorted order among those that appear
+    return f"""
+WITH {hmm_stage_ctes(_E2E_ROOT_N)},
+y AS (
+  SELECT channel,
+         {exact_sum_sql("wgt_nominal", 6)} AS rate,
+         {exact_sum_sql("wgt_muid_up", 6)} AS rate_up
+  FROM sel WHERE region = 'h-peak' GROUP BY 1
+),
+yy AS (
+  SELECT channel, rate, rate_up,
+         CASE WHEN channel = 'vbf' THEN 0
+              ELSE ROW_NUMBER() OVER (
+                     PARTITION BY CASE WHEN channel = 'vbf' THEN 1 ELSE 0 END
+                     ORDER BY channel)
+         END AS proc_idx
+  FROM y WHERE rate > 0
+)
+SELECT channel AS process,
+       CAST(proc_idx AS BIGINT) AS proc_idx,
+       rate,
+       rate_up / rate AS muid_lnn
+FROM yy
+"""
+
+
+@register(
+    "pipeline_root_to_datacard_e2e",
+    oracle=_root_to_datacard_oracle(),
+    tags=("S1", "FIN3", "E2E", "root"),
+)
+def pipeline_root_to_datacard_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 3 closed end to end: jagged ROOT scan -> stage1 -> per-
+    channel h-peak yields (nominal + muid_up, the one distributed pass;
+    only |channels| rows cross the driver) -> TEXT datacard emission
+    (finishing/templates.py make_datacard, the make_datacards.py:64-113
+    layout: signal-first process ordering, indices <= 0 for signal, rate
+    line, lnN systematic line) -> the card TEXT is parsed back and the
+    returned table carries the parsed process order and indices next to
+    the exact yields, so the driver hash pins emission + parse, not just
+    the aggregation.  lnN cells are the up/nominal yield ratio, the
+    standard datacard spelling of a multiplicative systematic."""
+    import pandas as pd
+
+    from copperhead_spark.finishing.templates import make_datacard
+    from copperhead_spark.pipeline import channel_case, stage1_arrays
+
+    sel = (
+        stage1_arrays(root_events_scan(spark, sf_dir))
+        .withColumn("channel", channel_case())
+        .filter(F.col("region") == "h-peak")
+    )
+    rows = (
+        sel.groupBy("channel")
+        .agg(
+            exact_sum(F.col("wgt_nominal"), 6).alias("rate"),
+            exact_sum(F.col("wgt_muid_up"), 6).alias("rate_up"),
+        )
+        .filter(F.col("rate") > 0)
+        .collect()
+    )
+    groups = sorted(r["channel"] for r in rows)
+    rate = {r["channel"]: float(r["rate"]) for r in rows}
+    lnn = {r["channel"]: float(r["rate_up"]) / float(r["rate"]) for r in rows}
+    yields = pd.DataFrame(
+        {"group": groups, "yield": [rate[g] for g in groups]}
+    )
+    card = make_datacard(
+        yields,
+        signal_groups=_DC_SIGNAL,
+        lnN={"muid": {g: round(lnn[g], 3) for g in groups}},
+    )
+    # parse the emitted text back: the process-name and process-index
+    # lines carry the card's ordering contract
+    lines = card.splitlines()
+    name_line = [ln for ln in lines if ln.startswith("process ")][0].split()[1:]
+    idx_line = [ln for ln in lines if ln.startswith("process ")][1].split()[1:]
+    parsed_idx = {g: int(i) for g, i in zip(name_line, idx_line)}
+    # make_datacard indexes signal processes <= 0 (vbf -> 0 here); the
+    # oracle derives the same CASE mapping
+    out = [(g, parsed_idx[g], rate[g], lnn[g]) for g in groups]
+    return spark.createDataFrame(
+        out, "process string, proc_idx long, rate double, muid_lnn double"
+    )
+
+
 from copperhead_spark.docfmt import inline_doc_consts  # noqa: E402  (docstring literal inlining)
 inline_doc_consts(globals())

@@ -25,9 +25,9 @@ REAL per the public spec (byte-for-byte):
     with the stdlib; b"L4" (kLZ4, the modern NanoAOD default — 8-byte
     canonical XXH64 of the block, then the LZ4 block, checksum counted
     in the compressed size, per ZipLZ4.cxx) via the pure-python block
-    codec in sources/lz4codec.py; b"ZS" (kZSTD) is detected and raises
-    an actionable error naming the library needed (no stdlib codec
-    exists).  Payloads over 0xffffff bytes span multiple frames
+    codec in sources/lz4codec.py; b"ZS" (kZSTD, recent CMS campaigns)
+    via the spec-written RFC 8878 codec in sources/zstdcodec.py (r11 —
+    no wheel needed).  Payloads over 0xffffff bytes span multiple frames
     (kMAXZIPBUF);
   - TString encoding, big-endian everything;
   - the TBasket record: a TKey (class "TBasket", name = branch, title =
@@ -40,31 +40,38 @@ REAL per the public spec (byte-for-byte):
   - leaf type letters as in TTree draw specs: D=float64, F=float32,
     L=int64, I=int32, O=bool (1 byte).
 
-SIMPLIFIED (documented, honest): real ROOT describes TTree/TH1 object
-structure through self-describing TStreamerInfo records; implementing
-that machinery is what uproot is for.  Instead (a) tree metadata is one
-"CSTreeIndex"-class key — v2 carries (entries, basket_entries, branch
-name + leaf letter + counts-branch name per branch), standing in for the
-TBranch fBasketEntry tables real readers get from streamers, so basket
-entry spans are known WITHOUT decompressing basket payloads — and (b)
-the reader recovers the key directory by the SEQUENTIAL KEY WALK from
-fBEGIN to fEND — the same scan TFile::Recover performs on files whose
-directory is missing — so no TDirectory/KeysList deserialization is
-needed.  Real baskets of variable-size entries also embed an
-fEntryOffsetLen offset table; here the counts branch alone carries that
-information (it is sufficient: NanoAOD readers reconstruct offsets from
-counts the same way).  TH1F records (class "TH1F") carry name/title
-TStrings, the axis triple, a TArrayF of bin contents (under/overflow
-included) and a TArrayD of Sumw2, i.e. the payload a real TH1F streamer
-carries minus the TAttLine/TAttFill/TAttMarker cosmetics.  The writer
-can emit a REAL StreamerInfo section (``streamers=True``: a TList named
-"StreamerInfo" at fSeekInfo carrying TStreamerInfo records for
-TTree/TBranch/TLeaf — byte layout in sources/streamerinfo.py), but the
-file body still stores tree metadata as CSTreeIndex rather than real
-TTree object records, so a file from this writer remains NOT loadable by
-stock ROOT; every structure it shares with the real format follows the
-public spec so swapping in uproot touches only the decoder function
-(sources/root_ingest.py).
+TREE METADATA (r11: CSTreeIndex retired): tree metadata is a REAL
+streamed TTree object record — a TKey of class "TTree" whose payload
+carries TNamed + attribute bases, fEntries, and fBranches holding
+TBranch v13 records with the fBasketEntry/fBasketSeek Long64 tables and
+typed TLeaf records (fLeafCount linking jagged value leaves to their
+counts leaf) in the public TBufferFile layout (sources/treeobj.py).
+The reader navigates baskets DIRECTLY from fBasketSeek — a pruned
+basket's key header is never even read — and only falls back to the
+sequential key walk (the TFile::Recover scan) for legacy files that
+still carry a "CSTreeIndex" record.  Real baskets of variable-size
+entries also embed an fEntryOffsetLen offset table; here the counts
+branch alone carries that information (it is sufficient: NanoAOD
+readers reconstruct offsets from counts the same way).  TH1F records
+(class "TH1F") carry name/title TStrings, the axis triple, a TArrayF of
+bin contents (under/overflow included) and a TArrayD of Sumw2, i.e. the
+payload a real TH1F streamer carries minus the TAttLine/TAttFill/
+TAttMarker cosmetics.  The writer can emit a REAL StreamerInfo section
+(``streamers=True``: a TList named "StreamerInfo" at fSeekInfo carrying
+TStreamerInfo records for the TTree/TBranch/TLeaf trio with base-class
+elements — byte layout in sources/streamerinfo.py + treeobj.py).
+
+SIMPLIFIED (documented, honest): the TTree/TBranch/TLeaf records stream
+a faithful SUBSET of the real classes' members (the load-bearing ones:
+names, entries, basket tables, leaf types, counts linkage; real ROOT
+streams ~40 more bookkeeping fields per class and resolves repeated
+objects with back-reference tags where this writer re-emits
+kNewClassTag), and the key directory is recovered by the key walk
+rather than a TDirectory KeysList.  A file from this writer is
+therefore still NOT verified stock-ROOT loadable (that check needs a
+real ROOT build or NanoAOD file, which this image does not have);
+every structure follows the public spec so swapping in uproot touches
+only the decoder function (sources/root_ingest.py).
 
 Reads are mmap-backed: the key walk touches only header pages, and a
 pruned basket's payload bytes are never paged in — a 1000-chunk
@@ -142,6 +149,13 @@ def _zl_frames(data: bytes, level: int, alg: int = 1) -> bytes | None:
                 preset=min(level, 9),
             )
             head = b"XZ" + bytes([0])
+        elif alg == 5:
+            from copperhead_spark.sources.zstdcodec import zstd_compress
+
+            # one zstd frame per chunk (ZipZSTD.cxx layout); the ROOT
+            # 9-byte frame carries the sizes, so no frame checksum
+            c = zstd_compress(chunk, checksum=False)
+            head = b"ZS" + bytes([1])
         elif alg == 4:
             from copperhead_spark.sources.lz4codec import (
                 lz4_block_compress,
@@ -185,20 +199,16 @@ def _zl_decompress(raw, objlen: int) -> bytes:
         if pos + 9 > len(raw):
             raise ValueError("truncated compression frame header")
         magic = bytes(raw[pos : pos + 2])
-        if magic == b"ZS":
-            raise ValueError(
-                "ROOT ZS compression frame: no stdlib codec"
-                " — install `pip install zstandard` and read via uproot, or"
-                " rewrite the file with kZLIB/kLZMA/kLZ4 compression"
-            )
         if not (
             (magic == b"ZL" and raw[pos + 2] == 8)
             or (magic == b"XZ" and raw[pos + 2] == 0)
             or magic == b"L4"  # method byte = lz4 version, not dispatched on
+            or magic == b"ZS"  # kZSTD; method byte not dispatched on
         ):
             raise ValueError(
                 f"unsupported compression frame {magic!r} "
-                "(this module decodes ZL/deflate, XZ/lzma and L4/lz4 frames)"
+                "(this module decodes ZL/deflate, XZ/lzma, L4/lz4 and"
+                " ZS/zstd frames)"
             )
         csize = int.from_bytes(raw[pos + 3 : pos + 6], "little")
         usize = int.from_bytes(raw[pos + 6 : pos + 9], "little")
@@ -227,6 +237,13 @@ def _zl_decompress(raw, objlen: int) -> bytes:
                         "L4 frame checksum mismatch (corrupt LZ4 block)"
                     )
                 chunk = lz4_block_decompress(block, usize)
+            elif magic == b"ZS":
+                # kZSTD: the frame body is one zstd frame (RFC 8878),
+                # decoded by the spec-written pure-python codec (r11 —
+                # closes the "no stdlib codec" gap without a wheel)
+                from copperhead_spark.sources.zstdcodec import zstd_decompress
+
+                chunk = zstd_decompress(bytes(raw[pos + 9 : pos + 9 + csize]))
             else:
                 chunk = zlib.decompress(bytes(raw[pos + 9 : pos + 9 + csize]))
         except (zlib.error, lzma.LZMAError) as e:
@@ -363,14 +380,14 @@ def _file_header(
 class _Writer:
     def __init__(self, path: str, compress: int = 0, streamers: bool = False):
         # ROOT fCompress convention: algorithm*100 + level (kZLIB=1,
-        # kLZMA=2, kLZ4=4); bare 0..9 is the legacy spelling of a zlib
-        # level.
+        # kLZMA=2, kLZ4=4, kZSTD=5); bare 0..9 is the legacy spelling of
+        # a zlib level.
         alg, level = divmod(compress, 100) if compress >= 100 else (1, compress)
-        if not 0 <= level <= 9 or alg not in (1, 2, 4):
+        if not 0 <= level <= 9 or alg not in (1, 2, 4, 5):
             raise ValueError(
                 "compress must be a zlib level 0..9, or ROOT-style"
                 " alg*100+level with kZLIB=1 (101..109) / kLZMA=2 (201..209)"
-                " / kLZ4=4 (401..409)"
+                " / kLZ4=4 (401..409) / kZSTD=5 (501..509)"
             )
         self.path = path
         self.compress = compress
@@ -394,7 +411,9 @@ class _Writer:
     def add(
         self, classname: str, name: str, title: str, data: bytes,
         compressible: bool = True,
-    ) -> None:
+    ) -> int:
+        """Append one key record; returns its fSeekKey (r11: write_tree
+        collects basket seeks for the TBranch fBasketSeek tables)."""
         objlen = len(data)
         if self._level and compressible and objlen > 64:
             framed = _zl_frames(data, self._level, self._alg)
@@ -404,6 +423,7 @@ class _Writer:
         self.records.append(
             _key_bytes(classname, name, title, seek, data, objlen) + data
         )
+        return seek
 
     def close(self) -> None:
         seek_info = nbytes_info = 0
@@ -413,15 +433,13 @@ class _Writer:
             # sources/streamerinfo.py documents the byte layout and the
             # honest remaining gap).  Stored uncompressed: the record is
             # ~2 KB and determinism beats the ~40% it would save.
-            from copperhead_spark.sources.streamerinfo import (
-                minimal_tree_streamers,
-                streamer_list,
-            )
+            from copperhead_spark.sources.streamerinfo import streamer_list
+            from copperhead_spark.sources.treeobj import tree_streamers
 
             seek_info = FBEGIN + sum(len(r) for r in self.records)
             self.add(
                 "TList", "StreamerInfo", "Doubly linked list",
-                streamer_list(minimal_tree_streamers()),
+                streamer_list(tree_streamers()),
                 compressible=False,
             )
             nbytes_info = len(self.records[-1])
@@ -530,33 +548,55 @@ def write_tree(
         raise ValueError("write_tree: no flat branches")
 
     w = _Writer(path, compress=compress, streamers=streamers)
-    idx = struct.pack(">hqii", 2, n, basket_entries, len(letters))
-    for bname in letters:
-        idx += (
-            _tstring(bname)
-            + letters[bname].encode()
-            + _tstring(counts_of.get(bname, ""))
-        )
-    w.add(_TREE_INDEX_CLASS, tree, title, idx, compressible=False)
-
+    seeks: dict[str, list[int]] = {bname: [] for bname in letters}
+    starts: list[int] = []
     voff = {bname: 0 for bname in jag}
     for start in range(0, max(n, 1), basket_entries):
         stop = min(start + basket_entries, n)
         if stop <= start:
             break
+        starts.append(start)
         for bname, a in flat.items():
-            w.add(
-                "TBasket", bname, tree,
-                _basket_bytes(a[start:stop], letters[bname], stop - start),
+            seeks[bname].append(
+                w.add(
+                    "TBasket", bname, tree,
+                    _basket_bytes(a[start:stop], letters[bname], stop - start),
+                )
             )
         for bname, (cname, v) in jag.items():
             nvals = int(flat[cname][start:stop].sum())
             lo = voff[bname]
             voff[bname] = lo + nvals
-            w.add(
-                "TBasket", bname, tree,
-                _basket_bytes(v[lo : lo + nvals], letters[bname], stop - start),
+            seeks[bname].append(
+                w.add(
+                    "TBasket", bname, tree,
+                    _basket_bytes(v[lo : lo + nvals], letters[bname], stop - start),
+                )
             )
+    # r11 (CSTreeIndex retired on write): tree metadata is a REAL TTree
+    # object record — TNamed/attr bases, fEntries, fBranches with
+    # per-branch fBasketEntry/fBasketSeek tables and typed TLeaf records
+    # (sources/treeobj.py documents the byte layout; written LAST, after
+    # the baskets, exactly when real ROOT knows the seek table)
+    from copperhead_spark.sources.treeobj import branch_record, tree_record
+
+    branch_recs = [
+        branch_record(
+            bname,
+            letters[bname],
+            n,
+            starts + [n],
+            seeks[bname],
+            counts_name=counts_of.get(bname) or None,
+            compress=compress,
+        )
+        for bname in letters
+    ]
+    w.add(
+        "TTree", tree, title,
+        tree_record(tree, title, n, branch_recs),
+        compressible=False,
+    )
     w.close()
 
 
@@ -609,7 +649,10 @@ def write_th1f(
 
 
 class _TreeMeta:
-    __slots__ = ("name", "n", "basket_entries", "letters", "counts_of")
+    # ``tables`` (r11): bname -> (basket_entry list [nb+1, fEntries-
+    # terminated], basket_seek list [nb]) from the TTree object record;
+    # None for legacy CSTreeIndex files, which fall back to the key walk
+    __slots__ = ("name", "n", "basket_entries", "letters", "counts_of", "tables")
 
 
 def _parse_index(buf, k: _Key) -> _TreeMeta:
@@ -621,6 +664,7 @@ def _parse_index(buf, k: _Key) -> _TreeMeta:
     m.name = k.name
     m.letters = {}
     m.counts_of = {}
+    m.tables = None
     if version == 1:
         m.n, nb = struct.unpack_from(">qi", pay, 2)
         m.basket_entries = 0  # v1: spans come from basket headers
@@ -664,13 +708,54 @@ def _parse_index(buf, k: _Key) -> _TreeMeta:
     return m
 
 
+def _meta_from_tree_record(buf, k: _Key) -> _TreeMeta:
+    """_TreeMeta from a real TTree object record (r11; treeobj.py) —
+    entry spans and basket seeks come from the branch tables, so reads
+    never need the sequential key walk."""
+    from copperhead_spark.sources.treeobj import parse_tree_record
+
+    info = parse_tree_record(bytes(_payload(buf, k)))
+    m = _TreeMeta()
+    m.name = info["name"]
+    m.n = int(info["entries"])
+    m.basket_entries = 0  # spans are explicit per basket
+    m.letters = {}
+    m.counts_of = {}
+    m.tables = {}
+    for b in info["branches"]:
+        if b["letter"] not in LEAF_DTYPES:
+            raise ValueError(f"unknown leaf type {b['letter']!r}")
+        m.letters[b["name"]] = b["letter"]
+        if b["counts"]:
+            m.counts_of[b["name"]] = b["counts"]
+        ent, seek = b["basket_entry"], b["basket_seek"]
+        if len(ent) != len(seek) + 1 or (ent and ent[-1] != b["entries"]):
+            raise ValueError(
+                f"branch {b['name']!r}: inconsistent basket tables"
+            )
+        if any(ent[i] >= ent[i + 1] for i in range(len(seek))):
+            raise ValueError(
+                f"branch {b['name']!r}: non-increasing fBasketEntry"
+            )
+        m.tables[b["name"]] = (ent, seek)
+    for bname, cname in m.counts_of.items():
+        if m.letters.get(cname) not in ("I", "L"):
+            raise ValueError(
+                f"jagged branch {bname!r}: counts branch {cname!r} missing "
+                "or not integer"
+            )
+    return m
+
+
 def list_trees(path: str) -> list[tuple[str, int]]:
     """(tree name, n_entries) for every tree in the file — feeds
     read_nanoaod's (file, entries) chunk planning."""
     buf = _open_buf(path)
     out = []
     for k in _walk_keys(buf):
-        if k.classname == _TREE_INDEX_CLASS:
+        if k.classname == "TTree":
+            out.append((k.name, _meta_from_tree_record(buf, k).n))
+        elif k.classname == _TREE_INDEX_CLASS:
             m = _parse_index(buf, k)
             out.append((m.name, m.n))
     return out
@@ -680,16 +765,18 @@ def _tree_meta(buf, tree: str | None) -> _TreeMeta:
     saw_root = False
     for k in _walk_keys(buf):
         saw_root = True
+        if k.classname == "TTree" and (tree is None or k.name == tree):
+            return _meta_from_tree_record(buf, k)
         if k.classname == _TREE_INDEX_CLASS and (tree is None or k.name == tree):
             return _parse_index(buf, k)
     if saw_root:
         raise KeyError(
-            f"tree {tree!r} not found: the file parses as ROOT but has no "
-            "CSTreeIndex record — this pure-python reader only handles "
-            "trees written by copperhead_spark.sources.rootio; real ROOT/"
-            "NanoAOD files carry TStreamerInfo metadata instead and need "
-            "`pip install uproot awkward` (sources/root_ingest.py swaps "
-            "the decoder automatically once uproot is importable)"
+            f"tree {tree!r} not found: the file parses as ROOT but has "
+            "neither a TTree object record this reader understands nor a "
+            "legacy CSTreeIndex record; real ROOT/NanoAOD files with the "
+            "full streamed TTree layout need `pip install uproot awkward` "
+            "(sources/root_ingest.py swaps the decoder automatically once "
+            "uproot is importable)"
         )
     raise KeyError(f"tree {tree!r} not found (file has no keys)")
 
@@ -752,24 +839,51 @@ def read_tree(
         want + [meta.counts_of[b] for b in want if b in meta.counts_of]
     ))
 
-    # one header-only walk collects each needed branch's basket refs in
-    # flush order; entry spans come from the v2 grid (v1: from headers)
     refs: dict[str, list[_BasketRef]] = {b: [] for b in need}
-    cursor: dict[str, int] = {b: 0 for b in need}
-    be = meta.basket_entries
-    for k in _walk_keys(buf):
-        if k.classname != "TBasket" or k.title != meta.name or k.name not in refs:
-            continue
-        r = _BasketRef()
-        r.key = k
-        r.lo = cursor[k.name]
-        if be:  # v2: span from the basket grid, payload untouched
-            r.hi = min(r.lo + be, meta.n)
-        else:  # v1 (uncompressed flat): nev from the basket header
-            _, nev = _basket_payload(buf, r, meta.letters[k.name])
-            r.hi = r.lo + nev
-        cursor[k.name] = r.hi
-        refs[k.name].append(r)
+    if meta.tables is not None:
+        # r11 (TTree object record): entry spans and seeks come from the
+        # branch fBasketEntry/fBasketSeek tables, so only the OVERLAPPING
+        # baskets' key headers are read at all — a chunked task touches
+        # O(its baskets) pages, never a whole-file key walk.  Non-
+        # overlapping baskets are pruned before their header is read.
+        for b in need:
+            ent, seek = meta.tables[b]
+            for i, sk in enumerate(seek):
+                blo, bhi = ent[i], ent[i + 1]
+                if bhi <= start or blo >= stop:
+                    continue  # pruned: header never read, payload never paged
+                if sk < FBEGIN:  # unpack_from would wrap a negative offset
+                    raise ValueError(f"branch {b!r}: bad fBasketSeek {sk}")
+                k = _read_key(buf, sk)
+                if k.classname != "TBasket" or k.name != b:
+                    raise ValueError(
+                        f"branch {b!r}: fBasketSeek[{i}] does not point at "
+                        f"a {b!r} TBasket (found {k.classname!r}/{k.name!r})"
+                    )
+                r = _BasketRef()
+                r.key = k
+                r.lo = blo
+                r.hi = bhi
+                refs[b].append(r)
+    else:
+        # legacy CSTreeIndex files: one header-only walk collects each
+        # needed branch's basket refs in flush order; entry spans come
+        # from the v2 grid (v1: from headers)
+        cursor: dict[str, int] = {b: 0 for b in need}
+        be = meta.basket_entries
+        for k in _walk_keys(buf):
+            if k.classname != "TBasket" or k.title != meta.name or k.name not in refs:
+                continue
+            r = _BasketRef()
+            r.key = k
+            r.lo = cursor[k.name]
+            if be:  # v2: span from the basket grid, payload untouched
+                r.hi = min(r.lo + be, meta.n)
+            else:  # v1 (uncompressed flat): nev from the basket header
+                _, nev = _basket_payload(buf, r, meta.letters[k.name])
+                r.hi = r.lo + nev
+            cursor[k.name] = r.hi
+            refs[k.name].append(r)
 
     def flat_slice(b: str, lo: int, hi: int) -> np.ndarray:
         """Entries [lo, hi) of flat branch ``b`` (decodes only

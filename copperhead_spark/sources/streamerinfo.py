@@ -145,6 +145,24 @@ def element(
     return _class_tagged("TStreamerBasicType", _versioned(2, base))
 
 
+def base_element(classname: str, base_version: int) -> bytes:
+    """A TStreamerBase v3 record (fType 0 = kBase): the base-class slot
+    real streamer descriptions lead with (TNamed/TAttLine/... bases of
+    TTree et al.).  Layout: the common TStreamerElement base whose NAME
+    is the base class, then int32 fBaseVersion."""
+    base = _versioned(
+        4,
+        _tnamed(classname, "Base class")
+        + struct.pack(">iiii", 0, 0, 0, 0)  # fType=kBase, size, arrlen, dim
+        + struct.pack(">5i", 0, 0, 0, 0, 0)
+        + _tstring("BASE"),
+    )
+    return _class_tagged(
+        "TStreamerBase",
+        _versioned(3, base + struct.pack(">i", base_version)),
+    )
+
+
 def _tobjarray(name: str, objects: list[bytes]) -> bytes:
     body = (
         _tobject()

@@ -375,7 +375,13 @@ def test_write_tree_with_streamers_header_and_compat(tmp_path):
             assert (k.classname, k.name) == ("TList", "StreamerInfo")
             assert k.nbytes == nbytes_info
             infos = read_streamer_list(raw[k.data_pos : k.data_pos + k.datalen])
-            assert infos[0]["cls"] == "TTree"
+            # r11: the set grew (treeobj.tree_streamers) and now leads
+            # with the attribute BASES the tree classes derive from
+            classes = [i["cls"] for i in infos]
+            assert classes.index("TAttLine") < classes.index("TTree")
+            assert {"TTree", "TBranch", "TLeaf", "TLeafD", "TLeafI"} <= set(classes)
+            tt = next(i for i in infos if i["cls"] == "TTree")
+            assert tt["elements"][0]["element_class"] == "TStreamerBase"
         back = rootio.read_tree(p, "Events", ["x", "j"], 10, 200)
         assert np.array_equal(back["x"], vals[10:200])
         c, v = back["j"]

@@ -19,7 +19,7 @@ from copperhead_spark.plans.registry import all_queries
 # SURVEY §2 ID -> (description, [query names], "other coverage" note)
 INVENTORY: list[tuple[str, str, list[str], str]] = [
     # 2.1 scans / sources / sinks
-    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan", "s1_root_scan_jagged", "s1_root_scan_files"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode incl. jagged counts+payload branches and ZL/XZ/L4 compression frames — sources/lz4codec.py implements the kLZ4 block codec + XXH64 from spec; uproot optional)"),
+    ("S1", "ROOT NanoAOD chunked scan", ["s1_root_scan", "s1_root_scan_jagged", "s1_root_scan_files", "s1_root_scan_zstd"], "sources/root_ingest.py + sources/rootio.py (pure-python TFile/TKey/TBasket decode incl. jagged counts+payload branches and ZL/XZ/L4/ZS compression frames — sources/lz4codec.py implements kLZ4+XXH64 and sources/zstdcodec.py the full RFC 8878 zstd decoder from spec; tree metadata is a real streamed TTree/TBranch/TLeaf object record with fBasketEntry/fBasketSeek tables, sources/treeobj.py; uproot optional)"),
     ("S2", "Source column pruning", ["p1_conjunctive_filter"], "Catalyst column pruning (ReadSchema verified in plan audit)"),
     ("S3", "Partitioned parquet sink", ["s3_partitioned_sink_roundtrip"], "sources/parquet_io.py"),
     ("S4", "Partitioned scan + repartition", ["s4_partition_pruned_scan"], "AQE coalescing in session defaults"),
@@ -118,7 +118,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     ("BF1", "Bloom-filter semi-join reduction", ["bloom_semijoin_reduction"],
      "operators/bloom.py: 8 KiB literal bitmap prefilters the fact side map-side before the exchange; no false negatives tested"),
     # 2.10 UDF surface
-    ("F1", "Batched DNN inference + fold routing", ["ml_mlp_inference"], "ml/inference.py (UDF vs unrolled-SQL oracle)"),
+    ("F1", "Batched DNN inference + fold routing", ["ml_mlp_inference", "pipeline_root_to_mva_histogram_e2e"], "ml/inference.py (UDF vs unrolled-SQL oracle; the e2e composes the fold-routed MVA into ROOT scan -> stage1 -> score-binned histogram)"),
     ("F2", "Batched BDT inference", ["ml_gbdt_inference"], "real tree-ensemble payload (ml/gbdt.py): 2-fold x 8 depth-3 trees, vectorized heap traversal, logistic link; unrolled nested-CASE oracle"),
     ("F3", "Mass-resolution calibration lookup", ["j7_binned_lookup_2d"], "2-D binned broadcast lookup"),
     ("F4", "Rochester/JEC evaluators", ["j9_param_lookup_udf"], "operators/rochester.py"),
@@ -127,7 +127,7 @@ INVENTORY: list[tuple[str, str, list[str], str]] = [
     # 2.11 finishing
     ("FIN1", "Parametric fits + chi2 model selection", ["fin1_chi2_model_selection", "pipeline_root_to_fit_e2e"], "finishing/fits.py (chebyshev/bernstein/bwZ/bwZredux/bwGamma/doubleCB — full reference menu; tests recover params; rows-only query — fits are not SQL-expressible)"),
     ("FIN2", "Templates / group summation", ["fin2_group_templates"], "finishing/templates.py (driver-side twin on collected data)"),
-    ("FIN3", "Datacard emission", ["fin3_datacard_yields"], "finishing/templates.py make_datacard consumes the rate table"),
+    ("FIN3", "Datacard emission", ["fin3_datacard_yields", "pipeline_root_to_datacard_e2e"], "finishing/templates.py make_datacard consumes the rate table; the e2e emits the card TEXT from the ROOT->stage1 chain and parses it back"),
     # beyond-reference mandated families
     ("D1", "Exact dedup", ["dedup_exact_groups"], ""),
     ("D2", "MinHash + LSH dedup", ["dedup_minhash_signatures", "dedup_minhash_signatures_sql", "dedup_minhash_lsh_pairs", "dedup_minhash_jaccard_est"], "operators/dedup.py vectorized kernels; signature-agreement Jaccard estimate ranks candidates before exact verify"),
