@@ -666,10 +666,10 @@ def test_rootio_th1f_roundtrip_property(nbins, values):
 
 def test_rootio_xz_frames_and_unsupported_codecs():
     """kLZMA files carry real XZ frames (visible in the raw bytes) that
-    round-trip bit-exactly; a ZS frame (no stdlib codec) raises an
-    actionable ValueError naming the library, not a parse error; an XZ
-    body mislabeled as L4 (r10: L4 now decodes) fails its checksum
-    instead of mis-decoding."""
+    round-trip bit-exactly; an XZ body mislabeled as L4 (r10: L4 now
+    decodes) fails its checksum instead of mis-decoding; mislabeled as
+    ZS (r11: ZS now decodes via zstdcodec) it fails the zstd magic check
+    — in every case ValueError, never a mis-decode."""
     import tempfile
 
     import numpy as np
@@ -698,7 +698,7 @@ def test_rootio_xz_frames_and_unsupported_codecs():
         zs = raw[:pos] + b"ZS\x01" + raw[pos + 3 :]
         zspath = f"{d}/zs.root"
         open(zspath, "wb").write(zs)
-        with pytest.raises(ValueError, match="zstandard"):
+        with pytest.raises(ValueError, match="magic"):
             rootio.read_flat_tree(zspath, "T", ["a"], 0, len(vals))
 
 
