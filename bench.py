@@ -113,6 +113,10 @@ HEADLINE = [
     # is measured once per record in the soak section instead of 4x here
     # (the pipeline_pretrain_corpus_e2e precedent).
     "pipeline_root_to_th1_variations_e2e",
+    # round-11 addition: the full stage-2 shape — fold-routed MVA scored
+    # between stage1 and the histogram (pandas UDF + broadcast weights,
+    # zero added shuffles), over the chunked ROOT scan front end
+    "pipeline_root_to_mva_histogram_e2e",
 ]
 
 # fresh-context batch width for the young pass: small enough that no
