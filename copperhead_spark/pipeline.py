@@ -253,21 +253,31 @@ def stage1_arrays(events: DataFrame) -> DataFrame:
 
     # FSR recovery (fsr_recovery.py:6-13) as an index dereference instead
     # of the (event, idx) equi-join on exploded children; then the full
-    # muon selection (processor.py:243-249) as an array filter
+    # muon selection (processor.py:243-249) as an array filter.
+    # r12 reorder: the raw-field cuts (eta / iso / mediumId) run FIRST,
+    # so the FSR dereference + struct build only touch surviving muons
+    # (array HOFs are interpreted expressions — per-element work is the
+    # cost driver).  Exact-equivalent: those cuts read fields the
+    # transform does not change, filter() preserves element order so the
+    # idx tiebreak ranks identically, and fsrPhotonIdx indexes the
+    # UNfiltered FsrPhoton array.  mediumId is consumed by the filter
+    # and dropped from the struct (nothing downstream reads it).
     stage_a = _once(
         ev,
         *base,
         "Jet",
         """filter(
-             transform(Muon, (m, i) -> struct(
-               m.pt + coalesce(IF(m.fsrPhotonIdx >= 0,
-                                  try_element_at(FsrPhoton, m.fsrPhotonIdx + 1).pt,
-                                  CAST(NULL AS DOUBLE)), 0.0) * 0.1 AS pt_corr,
-               m.eta AS eta, m.phi AS phi, m.charge AS charge,
-               m.pfRelIso04_all AS pfRelIso04_all, m.mediumId AS mediumId,
-               i AS idx)),
-             m -> m.pt_corr > 20 AND abs(m.eta) < 2.4
-                  AND m.pfRelIso04_all < 0.25 AND m.mediumId)
+             transform(
+               filter(Muon, m -> abs(m.eta) < 2.4
+                             AND m.pfRelIso04_all < 0.25 AND m.mediumId),
+               (m, i) -> struct(
+                 m.pt + coalesce(IF(m.fsrPhotonIdx >= 0,
+                                    try_element_at(FsrPhoton, m.fsrPhotonIdx + 1).pt,
+                                    CAST(NULL AS DOUBLE)), 0.0) * 0.1 AS pt_corr,
+                 m.eta AS eta, m.phi AS phi, m.charge AS charge,
+                 m.pfRelIso04_all AS pfRelIso04_all,
+                 i AS idx)),
+             m -> m.pt_corr > 20)
         """.replace("\n", " ")
         + " AS mu_sel",
     )
@@ -290,13 +300,18 @@ def stage1_arrays(events: DataFrame) -> DataFrame:
         f"array_sort(mu_sel, {by_pt.format(pt='pt_corr')}) AS mu_sorted",
         # jet selection + dR cleaning vs the SELECTED muons
         # (processor.py:561-577,634-641): quantified NOT EXISTS as a
-        # nested array predicate
+        # nested array predicate.  r12 reorder (same rationale and
+        # equivalence argument as the muon block): raw-field cuts first,
+        # struct build only for survivors; jetId is filter-only and
+        # dropped from the struct.
         f"""filter(
-              filter(transform(Jet, (j, i) -> struct(
+              transform(
+                filter(Jet, j -> j.pt > 25 AND abs(j.eta) < 4.7
+                              AND j.jetId >= 2),
+                (j, i) -> struct(
                        j.pt AS pt, j.eta AS eta, j.phi AS phi,
-                       j.mass AS mass, j.jetId AS jetId, j.qgl AS qgl,
+                       j.mass AS mass, j.qgl AS qgl,
                        i AS idx)),
-                     j -> j.pt > 25 AND abs(j.eta) < 4.7 AND j.jetId >= 2),
               j -> NOT exists(mu_sel, m -> {dr2} < 0.16))
          """.replace("\n", " ")
         + " AS jet_clean",

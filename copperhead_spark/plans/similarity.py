@@ -1292,17 +1292,22 @@ def pipeline_ann_query_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_codebooks()
     cents = deterministic_centroids(_KM_K, _KM_DIM)
     emb = table(spark, sf_dir, "embeddings")
-    # materialize the micro-int projection ONCE: the query probe, the
-    # exact re-rank, and the index build all consume e6, and the
-    # interpreted per-element CAST/ROUND transform would otherwise
-    # re-run per consumer (measured ~1s of the e2e at sf0.1)
-    base = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6").localCheckpoint()
+    # r12: NO eager materialization inside the query — the e2e is one
+    # composed pipeline (build + one query batch), so streaming the
+    # index build inline is exactly one pass over the vectors, while the
+    # two localCheckpoints it used to carry cost three sequential driver
+    # round-trips before the plan even started (measured 7.4 -> 4.6 s
+    # wall, 12.9 -> 7.0 CPU s at sf0.1; results bit-identical).  The
+    # e6 projection is referenced by four subtrees and recomputed per
+    # subtree, which is cheaper than materialize+re-read at every scale
+    # where the subtrees parallelize; a STANDING index for repeated
+    # query batches is pipeline_ann_index_build's job (on a cluster:
+    # its parquet write, which query batches then scan).
+    base = project_once(emb, "vec_id", f"{_E6_SPARK} AS e6")
     n2 = "aggregate(transform(e6, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     # ---- offline: the index table (cell id + PQ codes per candidate,
     # Arrow kernel build — see pipeline_ann_index_build) ----
-    ix = ivf_pq_index_arrow(
-        base.filter(F.col("vec_id") >= _NQ), cents, books
-    ).localCheckpoint()
+    ix = ivf_pq_index_arrow(base.filter(F.col("vec_id") >= _NQ), cents, books)
     # ---- online: probe the built table ----
     q = base.filter(F.col("vec_id") < _NQ).selectExpr(
         "vec_id AS query_id",

@@ -61,6 +61,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/tmp/copperhead_spark_warehouse")
+        # r12: Python workers import `sitecustomize` from this dir at
+        # startup (workerenv/sitecustomize.py), which backports CPython
+        # 3.12's stat-guarded zipimporter.invalidate_caches — pyspark's
+        # per-task setup_spark_files calls importlib.invalidate_caches()
+        # every task, and on 3.11 that re-parses pyspark.zip's whole
+        # central directory each time (~0.25 CPU-s/task measured, the
+        # dominant overhead of every mapInArrow/pandas-UDF stage).
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "workerenv"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -761,10 +761,76 @@ def list_trees(path: str) -> list[tuple[str, int]]:
     return out
 
 
+def _walk_metadata_keys(buf):
+    """The `_walk_keys` scan restricted to TTree / CSTreeIndex records,
+    with a byte-level classname pre-check so non-matching keys (in a
+    real file: tens of thousands of TBaskets between FBEGIN and the
+    tree record) cost one length read + one memcmp instead of a full
+    3-TString header parse.  Yields (saw_any_key, key) pairs; key is
+    None for the final sentinel so callers can distinguish "no keys at
+    all" from "no tree record".  Same bounds discipline as _walk_keys:
+    every iteration advances by >= one header, garbage cannot loop."""
+    if len(buf) < FBEGIN or buf[:4] != MAGIC:
+        raise ValueError("not a ROOT file (bad magic)")
+    (fend,) = struct.unpack_from(">i", buf, 12)
+    fend = min(fend, len(buf))
+    pos = FBEGIN
+    saw = False
+    while pos + 4 <= fend:
+        (nbytes,) = struct.unpack_from(">i", buf, pos)
+        if nbytes == 0:
+            break
+        if nbytes < 0:  # deleted-record gap: length is -nbytes
+            pos += -nbytes
+            continue
+        saw = True
+        # classname TString starts right after the 26-byte fixed header;
+        # short-form length (< 255) covers every real ROOT classname
+        cpos = pos + 26
+        if cpos < len(buf):
+            n = buf[cpos]
+            cls = bytes(buf[cpos + 1 : cpos + 1 + n]) if n != 255 else b""
+            if cls == b"TTree" or cls == b"CSTreeIndex":
+                yield saw, _read_key(buf, pos)
+        pos += nbytes
+    yield saw, None
+
+
+# file-metadata cache, keyed by (path, mtime_ns, size, tree): parsing
+# the TTree object record (branch tables, basket seeks) is pure
+# byte-decoding of an immutable region of the file, so re-parsing it
+# once per mapInArrow CHUNK task multiplied the walk by the chunk count
+# (r12: 86 chunks x ~590 key headers at sf0.1 was 91% of decode CPU,
+# and at real file sizes the walk is O(baskets) per task).  This is the
+# same discipline as Spark's own file-index cache
+# (spark.sql.hive.filesourcePartitionFileCacheSize): file METADATA
+# memoized within a process, invalidated by mtime/size — never query
+# results.  Reused Python workers (spark.python.worker.reuse) hit it
+# across tasks of the same and later jobs.
+_META_CACHE: dict[tuple[str, int, int, str | None], _TreeMeta] = {}
+_META_CACHE_MAX = 256
+
+
+def _tree_meta_cached(path: str, buf, tree: str | None) -> _TreeMeta:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size, tree)
+    except OSError:
+        return _tree_meta(buf, tree)
+    meta = _META_CACHE.get(key)
+    if meta is None:
+        meta = _tree_meta(buf, tree)
+        if len(_META_CACHE) >= _META_CACHE_MAX:
+            _META_CACHE.clear()  # bounded: drop-all beats an LRU dep
+        _META_CACHE[key] = meta
+    return meta
+
+
 def _tree_meta(buf, tree: str | None) -> _TreeMeta:
     saw_root = False
-    for k in _walk_keys(buf):
-        saw_root = True
+    for saw_root, k in _walk_metadata_keys(buf):
+        if k is None:
+            break
         if k.classname == "TTree" and (tree is None or k.name == tree):
             return _meta_from_tree_record(buf, k)
         if k.classname == _TREE_INDEX_CLASS and (tree is None or k.name == tree):
@@ -826,7 +892,7 @@ def read_tree(
     the mmap walk reads key headers only, so pruned payload bytes are
     never paged in."""
     buf = _open_buf(path)
-    meta = _tree_meta(buf, tree)
+    meta = _tree_meta_cached(path, buf, tree)
     want = list(branches) if branches is not None else list(meta.letters)
     missing = [b for b in want if b not in meta.letters]
     if missing:
