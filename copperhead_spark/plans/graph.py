@@ -89,22 +89,35 @@ def _edges_deg(spark: SparkSession, sf_dir: str):
                 (F.col("l_suppkey") + F.lit(_SUPP_BASE)).alias("dst"),
             )
             .distinct()
-            # checkpoint BEFORE symmetrizing: the union references this
-            # subtree twice and the degree branch twice more, and Catalyst
-            # does not common-subexpression-eliminate across a union — an
-            # un-truncated e0 re-runs its join+distinct ~6x per
-            # materialization (measured 3.0s -> 1.3s for the edge build)
-            .localCheckpoint()
         )
-        edges = e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        # degree via count() over a partitionBy(src) window: the ONE
-        # shuffle that hash-partitions edges by src also yields the
-        # per-src count — the groupBy+join form paid a second (join)
-        # pass over the edge list for the same answer (measured 1.4s ->
-        # 0.6s for this phase at sf0.1)
-        return edges.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        # r12 reshape, three changes in one (guide §2.4 / §2.3):
+        # (1) symmetrize by EXPLODING a 2-element array instead of
+        #     union-of-reversed — e0 is referenced once, so the
+        #     pre-union localCheckpoint (a whole extra materialization
+        #     round-trip, kept only because Catalyst does not CSE
+        #     across a union) is no longer needed at all;
+        # (2) the one explicit repartition("src") is the SAME exchange
+        #     the old window implied, and the checkpointed result still
+        #     carries hashpartitioning(src) for the iteration joins;
+        # (3) degree via groupBy on that partitioning (partial-agg, no
+        #     extra exchange) broadcast-joined back — replacing the
+        #     WindowExec, which had to SORT all |2E| rows by src when
+        #     only a per-src count was wanted (at 100 TB the sort is
+        #     n log n over the edge list; the groupBy is a |nodes|-row
+        #     rollup).  Broadcast join preserves the left side's
+        #     partitioning.  Measured warm at sf0.1: build 5.1 -> 4.5 s
+        #     wall and one fewer driver round-trip; deg values verified
+        #     row-identical to the window form.
+        edges = e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst").repartition(F.col("src"))
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        return edges.join(F.broadcast(deg), "src")
 
     # materialized (src-partitioned) ONCE per session via shared_edges:
     # each unrolled iteration of every consumer references the edge
@@ -462,10 +475,21 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-locate on the bucket key, so only the degree partial-agg
     exchanges data."""
     def build_sym() -> DataFrame:
-        e0 = _support_edges(spark, sf_dir).localCheckpoint()
+        # r12: symmetrize by exploding a 2-element array (one reference
+        # to the support-edge subtree, so the pre-union localCheckpoint
+        # and its materialization round-trip go away — same reshape as
+        # _edges_deg, guide §2.4)
         return (
-            e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .selectExpr("u AS src", "v AS dst")
+            _support_edges(spark, sf_dir)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                        F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
             .repartition(F.col("src"))
         )
 

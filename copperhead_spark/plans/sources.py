@@ -921,8 +921,15 @@ def s21_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S1_BRANCHES = ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 _S1_BASKET = 4096  # entries per basket
-_S1_CHUNK = 7000  # entries per mapInArrow task; deliberately not a
-#                   basket multiple so chunk boundaries split baskets
+# entries per mapInArrow task — the reference's coffea chunksize
+# (run_stage1.py:54-58: chunksize=100000).  r12: was 7000, which fanned
+# the sf0.1 file into 86 tiny tasks whose per-task Python-boundary cost
+# dwarfed the decode (measured best-of-3 at sf0.1: 10 -> 5 CPU-s, wall
+# flat, going 7000 -> 100000).  Deliberately NOT a basket multiple
+# (100000 % 4096 != 0) so chunk boundaries still split baskets at bench
+# scale; unit tests pin their own small chunk sizes for dense slicing
+# coverage (tests/test_tabular_io.py).
+_S1_CHUNK = 100_000
 
 
 def _root_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
@@ -1010,7 +1017,10 @@ def s1_root_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # level 6 ("ZL" frames), kLZ4 level 4 ("L4" frames, r10 codec)
 _S1F_SPECS = (0, 6, 404)
 _S1F_BASKET = 1024
-_S1F_CHUNK = 1500  # NOT a basket multiple: chunks slice baskets
+# NOT a basket multiple (50000 % 1024 != 0): chunks slice baskets.
+# r12: was 1500 (402 tasks at sf0.1, per-task overhead dominated);
+# 50000 measured 8 -> 4 CPU-s, wall 1.37 -> 0.94 best-of-3.
+_S1F_CHUNK = 50_000
 
 
 def _root_multifile_fixture(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -1210,7 +1220,10 @@ def s8_th1_template_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _S1J_BASKET = 512  # orders (entries) per basket
-_S1J_CHUNK = 900  # entries per mapInArrow task; NOT a basket multiple
+# entries per mapInArrow task; NOT a basket multiple (30000 % 512 != 0).
+# r12: was 900 (164 tasks at sf0.1); 30000 measured 5 -> 2 CPU-s, wall
+# 1.75 -> 0.95 best-of-3.
+_S1J_CHUNK = 30_000
 
 
 def _root_jagged_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
