@@ -40,7 +40,55 @@ _SUPP_BASE = 1_000_000  # node-id offset separating supplier from customer ids
 _EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def shared_edges(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+def _graph_npart(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive partition count for the cached edge relations.
+
+    The cached edge partitioning must survive the cache (it is what the
+    iteration joins reuse), so AQE cannot size it — its coalescing is
+    disabled across InMemoryRelation boundaries precisely to keep cached
+    output partitioning stable.  Mirror AQE's own sizing instead: the
+    in-memory edge relation is bounded by ~3x the compressed source
+    bytes (orders + lineitem here; measured 13.5 MB parquet -> 27 MB
+    cached at sf0.1), target the session's advisory partition size, and
+    cap at defaultParallelism so small inputs never fan out into more
+    tasks than cores (guide §2.2 "fewer, larger partitions"; measured at
+    sf0.1: 2-16 partitions are equivalent, 64 doubles the family's CPU
+    on per-task overhead).  Grows linearly with input bytes, so at
+    100 TB the same rule yields thousands of advisory-sized partitions."""
+    import os
+
+    adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    a = adv.strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult = units.get(a[-1:], 1)
+    adv_bytes = int(float(a[:-1] if a[-1:] in units else a)) * mult
+    src_bytes = 0
+    for t in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isfile(p):
+            src_bytes += os.path.getsize(p)
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                src_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    est_mem = 3 * src_bytes
+    # floor 2, not 1: HashPartitioning(k, 1) degenerates to a single
+    # partition, which EnsureRequirements treats as no distribution
+    # guarantee at all — the iteration joins re-shuffled the edge side
+    # to the session shuffle default, resurrecting the per-iteration
+    # edge Exchange this layer exists to remove (measured)
+    return max(2, min(-(-est_mem // adv_bytes), spark.sparkContext.defaultParallelism))
+
+
+_EDGE_PART_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def shared_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build,
+    partition_on: str | None = None,
+) -> DataFrame:
     """Materialize an edge relation ONCE per (SparkContext, sf, kind)
     and reuse it across every graph query in the session.
 
@@ -51,9 +99,25 @@ def shared_edges(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFram
     The localCheckpoint pins the computed blocks on the executors for
     the session's lifetime (edge lists are DISTINCT-pair projections —
     orders of magnitude smaller than lineitem), so repeat queries start
-    at the iteration loop, and partitioning survives (the bipartite
-    relation stays src-hash-partitioned from its degree window, so every
-    iteration's frontier join reuses it without a new Exchange).
+    at the iteration loop.
+
+    r12, ``partition_on``: a checkpointed DataFrame comes back as `Scan
+    ExistingRDD ... UnknownPartitioning(0)` (LogicalRDD drops the
+    physical plan's output partitioning), so every unrolled iteration of
+    every iterative consumer was re-Exchanging the FULL edge list to
+    re-establish hashpartitioning(src) — measured 2-3 10-14 MB edge
+    shuffles per query at sf0.1, and at 100 TB that is re-shuffling the
+    graph once per iteration (guide §2.4).  Fix: layer a persist()-ed
+    ``repartition(_graph_npart, partition_on)`` OVER the checkpoint.
+    InMemoryRelation preserves its cached plan's output partitioning
+    (Spark pins it: spark.sql.optimizer.canChangeCachedPlanOutput-
+    Partitioning defaults to false), so the src-partitioned relation
+    satisfies every iteration join's distribution requirement directly
+    and ONLY the node-sized frontier moves.  The two layers are
+    deliberate: SQL caches are dropped by spark.catalog.clearCache()
+    (the bench runs it as a pre-query barrier), and re-persisting from
+    the checkpoint blocks costs one edge-sized shuffle, not a rebuild
+    of the orders⋈lineitem subtree.
 
     At 100 TB this seam is a write-once BUCKETED parquet table keyed on
     src (bk1_bucketed_join_agg demonstrates bucketed write+read joining
@@ -63,13 +127,25 @@ def shared_edges(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFram
     contexts' entries are dropped so their executor blocks can be
     reclaimed."""
     key = (spark.sparkContext.applicationId, sf_dir, kind)
-    df = _EDGE_CACHE.get(key)
-    if df is None:
-        for stale in [k for k in _EDGE_CACHE if k[0] != key[0]]:
-            del _EDGE_CACHE[stale]
-        df = build().localCheckpoint()
-        _EDGE_CACHE[key] = df
-    return df
+    base = _EDGE_CACHE.get(key)
+    if base is None:
+        for cache in (_EDGE_CACHE, _EDGE_PART_CACHE):
+            for stale in [k for k in cache if k[0] != key[0]]:
+                del cache[stale]
+        base = build().localCheckpoint()
+        _EDGE_CACHE[key] = base
+    if partition_on is None:
+        return base
+    layered = _EDGE_PART_CACHE.get(key)
+    if layered is None:
+        layered = base.repartition(
+            _graph_npart(spark, sf_dir), F.col(partition_on)
+        )
+        _EDGE_PART_CACHE[key] = layered
+    if not layered.storageLevel.useMemory and not layered.storageLevel.useDisk:
+        layered.persist()
+        layered.count()
+    return layered
 
 
 def _edges_deg(spark: SparkSession, sf_dir: str):
@@ -115,15 +191,16 @@ def _edges_deg(spark: SparkSession, sf_dir: str):
                     F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
                 )
             ).alias("e")
-        ).select("e.src", "e.dst").repartition(F.col("src"))
+        ).select("e.src", "e.dst")
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         return edges.join(F.broadcast(deg), "src")
 
-    # materialized (src-partitioned) ONCE per session via shared_edges:
-    # each unrolled iteration of every consumer references the edge
-    # list, and without truncation Catalyst re-derives the
-    # orders⋈lineitem join + distinct per iteration
-    ed = shared_edges(spark, sf_dir, "bipartite_ed", build_ed)
+    # materialized ONCE per session via shared_edges (each unrolled
+    # iteration of every consumer references the edge list, and without
+    # truncation Catalyst re-derives the orders⋈lineitem join + distinct
+    # per iteration); served src-partitioned (partition_on) so the
+    # iteration joins move only the frontier
+    ed = shared_edges(spark, sf_dir, "bipartite_ed", build_ed, partition_on="src")
     # the degree table derives FROM the cached relation (distinct on a
     # |nodes|-sized projection) and is itself cached: both pagerank and
     # LPA seed their frontier from it
@@ -172,10 +249,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DataFrame loop unrolls into one Catalyst plan (join + groupBy per
     iteration); the oracle unrolls the same three iterations as CTEs."""
     ed, deg = _edges_deg(spark, sf_dir)
-    return pagerank_iterations(ed, deg, _ITERS)
+    return pagerank_iterations(ed, deg, _ITERS, npart=_graph_npart(spark, sf_dir))
 
 
-def pagerank_iterations(ed: DataFrame, deg: DataFrame, iters: int) -> DataFrame:
+def pagerank_iterations(
+    ed: DataFrame, deg: DataFrame, iters: int, npart: int | None = None
+) -> DataFrame:
     """The fixed-point iteration core over (src, dst, deg) edges and a
     (src, deg) out-degree table; exposed for property tests on arbitrary
     graphs.
@@ -187,7 +266,17 @@ def pagerank_iterations(ed: DataFrame, deg: DataFrame, iters: int) -> DataFrame:
     first, measures it under the broadcast threshold at test SF, and
     broadcasts the EDGE LIST each iteration — exactly backwards at
     scale, where edges are the 100 TB side and the frontier is the only
-    thing that may move."""
+    thing that may move.
+
+    ``npart`` (r12): partition count of the cached edge relation.  Each
+    round's aggregate leaves the frontier hashpartitioned by node at the
+    session shuffle default; both join children then satisfy their
+    distribution with MISMATCHED counts and EnsureRequirements
+    re-shuffles to the larger side — the EDGE list (measured: one full
+    edge Exchange per iteration).  Re-keying the node-sized frontier to
+    ``npart`` costs one extra |nodes| exchange per round and keeps the
+    edge side exchange-free end to end (guide §2.4: move the proxy,
+    never the payload)."""
     ranks = deg.select(F.col("src").alias("node"), F.lit(_R0).cast("long").alias("rank"))
     for _ in range(iters):
         ranks = (
@@ -204,6 +293,8 @@ def pagerank_iterations(ed: DataFrame, deg: DataFrame, iters: int) -> DataFrame:
             )
             .select(F.col("dst").alias("node"), "rank")
         )
+        if npart is not None:
+            ranks = ranks.repartition(npart, F.col("node"))
     return ranks.select("node", F.col("rank").alias("rank_e6"))
 
 
@@ -490,10 +581,9 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("e")
             )
             .select("e.src", "e.dst")
-            .repartition(F.col("src"))
         )
 
-    sym = shared_edges(spark, sf_dir, "kcore_sym", build_sym)
+    sym = shared_edges(spark, sf_dir, "kcore_sym", build_sym, partition_on="src")
     return kcore_members(sym, _KCORE_K, _KCORE_ITERS)
 
 
@@ -538,13 +628,35 @@ FROM {prev}
 """
 
 
-def lpa_iterations(ed: DataFrame, deg: DataFrame, rounds: int) -> DataFrame:
+# argmax packing base for lpa_iterations: labels are node ids
+# (custkey, or suppkey + _SUPP_BASE), well under 2^32 at any TPC-H
+# scale factor in range (custkey tops out ~1.5e10 only past sf100k);
+# counts are per-node neighbor-label multiplicities, under 2^31 for
+# any graph whose max degree fits an INT.  c * 2^32 stays inside
+# BIGINT for c < 2^31.
+_LPA_PACK = 1 << 32
+
+
+def lpa_iterations(
+    ed: DataFrame, deg: DataFrame, rounds: int, npart: int | None = None
+) -> DataFrame:
     """The synchronous label-propagation core over (src, dst) edges:
     per round, every node adopts its neighbors' most frequent label
     (ties -> smallest).  SHUFFLE_HASH on the frontier, same rationale as
     pagerank_iterations: move |nodes| labels, never the edge list.
     Exposed (un-checkpointed) so the plan audit can assert the loop's
-    join strategy directly."""
+    join strategy directly.
+
+    r12: the per-round argmax packs (count, label) into ONE BIGINT,
+    k = c * 2^32 + (2^32 - 1 - lbl), so max(k) == (max c, then min lbl)
+    — identical to the previous max(struct(c, -lbl)) and to the oracle's
+    row_number() ORDER BY c DESC, lbl ASC.  A LONG max runs as a
+    codegen'd HashAggregate; the struct max fell to SortAggregate with a
+    full Sort of the (dst, lbl) pair table on BOTH sides of its exchange
+    per round — at 100 TB that is two n·log n passes over an |E|-sized
+    relation per round for what is a hash rollup (guide §1.2).  Bounds
+    documented above; measured 12.5 -> 10.9 CPU-s for the 2-round loop
+    at sf0.1."""
     lbl = deg.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
     for _ in range(rounds):
         lbl = (
@@ -552,9 +664,21 @@ def lpa_iterations(ed: DataFrame, deg: DataFrame, rounds: int) -> DataFrame:
             .groupBy(F.col("dst"), F.col("lbl"))
             .agg(F.count("*").alias("c"))
             .groupBy("dst")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
-            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lbl"))
+            .agg(
+                F.max(
+                    F.col("c") * F.lit(_LPA_PACK)
+                    + (F.lit(_LPA_PACK - 1) - F.col("lbl"))
+                ).alias("k")
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(_LPA_PACK - 1) - F.col("k") % F.lit(_LPA_PACK)).alias("lbl"),
+            )
         )
+        if npart is not None:
+            # re-key the node-sized frontier to the edge partitioning —
+            # same rationale as pagerank_iterations' npart
+            lbl = lbl.repartition(npart, F.col("node"))
     return lbl
 
 
@@ -573,7 +697,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     community and that community's size.  Reference analogue: none
     (beyond-reference graph extension alongside PageRank/k-core)."""
     ed, deg = _edges_deg(spark, sf_dir)
-    lbl = lpa_iterations(ed, deg, _LP_ROUNDS)
+    lbl = lpa_iterations(ed, deg, _LP_ROUNDS, npart=_graph_npart(spark, sf_dir))
     # community sizes as a |communities|-row aggregate broadcast back:
     # a window partitioned by the CONVERGED label would send the largest
     # community's whole membership to one task (labels concentrate —
@@ -1594,7 +1718,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom: contrib <= 2m * max(intra, deg^2/2m) — promote to
     DECIMAL(38,0) past ~1e9 directed edges."""
     ed, deg = _edges_deg(spark, sf_dir)
-    lbl = lpa_iterations(ed, deg, _LP_ROUNDS).localCheckpoint()
+    lbl = lpa_iterations(
+        ed, deg, _LP_ROUNDS, npart=_graph_npart(spark, sf_dir)
+    ).localCheckpoint()
     two_m = ed.count()
     ls = lbl.select(F.col("node").alias("src"), F.col("lbl").alias("cs"))
     ld = lbl.select(F.col("node").alias("dst"), F.col("lbl").alias("cd"))
