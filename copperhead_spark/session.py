@@ -15,6 +15,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _driver_mem() -> str:
+    """Driver JVM heap: pinned (-Xms = -Xmx) and pre-touched at startup
+    — see the r12 note on spark.driver.extraJavaOptions below.  24g
+    holds the full bench soak with headroom while two concurrent
+    sessions (tests + bench) still fit the sandbox; override for bigger
+    hosts."""
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+
 def _cpus() -> int:
     try:
         return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
@@ -36,6 +45,7 @@ def get_spark(
       - Arrow on: pandas UDF / toPandas use Arrow batches
     """
     cpus = _cpus()
+    driver_mem = _driver_mem()
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
@@ -46,7 +56,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         # dozens of whole-stage-codegen queries in one JVM press on the
         # default ~240 MB JIT code cache.  NOTE: raising it did NOT fix
         # the measured late-session pipeline slowdown (2.4s young vs
@@ -54,10 +64,34 @@ def get_spark(
         # session instead); the larger reservation is kept as cheap
         # prophylaxis for genuinely long sessions (plan-audit runs all
         # 180+ queries in one JVM), not as a fix for that regression.
+        #
+        # r12 heap pinning (-Xms = -Xmx, +AlwaysPreTouch, madvise-THP):
+        # per-process CPU attribution of the bimodal query walls (same
+        # collect 1.2s or 21s) showed the slow mode is almost pure JVM
+        # *system* time — 40+s of minor-fault storms whenever G1 commits
+        # or re-commits heap regions mid-query (this virtualized host
+        # reclaims guest-freed pages, making each fresh fault ~100us).
+        # Pinning the heap and faulting it once at startup (2 MB THP
+        # pages where available: 256x fewer faults) moves that cost out
+        # of every query: the heaviest e2e went from 3-13s erratic walls
+        # to a stable 1.4-1.9s.  Standard long-running-service JVM
+        # practice, not a local[32] tune; on a cluster the same flags
+        # belong in spark.executor.extraJavaOptions.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
+            "-XX:+UseTransparentHugePages",
         )
+        # r12: Python workers (numpy/pyarrow kernels) hit the same
+        # reclaimed-page refaults on every multi-MB allocation glibc
+        # returns to the OS; never trimming and never mmap-ing keeps a
+        # worker's pages resident across batches (measured: warm
+        # sketch_cms_counts 2.4-3.3s -> 1.1-1.4s, s1_root_scan 1.2-2.3s
+        # -> ~1.0s).  Bounded by the workers' own working set — nothing
+        # grows monotonically; opt out by overriding via extra_conf.
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/tmp/copperhead_spark_warehouse")

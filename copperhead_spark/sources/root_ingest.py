@@ -139,7 +139,17 @@ def scan_entries(
 
     if not paths:
         raise ValueError("scan_entries: empty path list")
-    path_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    # never more partitions than files: a handful of files over
+    # defaultParallelism slices made mostly-EMPTY tasks, each still
+    # spinning a Python worker (cold-pool fork storm); at 100k files the
+    # min() keeps defaultParallelism-sized bundles exactly as before.
+    path_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(p,) for p in paths],
+            min(len(paths), spark.sparkContext.defaultParallelism),
+        ),
+        "path string",
+    )
 
     def count(batches):
         for batch in batches:
@@ -213,7 +223,15 @@ def read_nanoaod(
     from pyspark.sql.pandas.types import from_arrow_schema
 
     chunks = plan_chunks(files_with_entries, chunk_size)
-    chunk_df = spark.createDataFrame(chunks, "path string, start long, stop long")
+    # exactly one partition per chunk: a local-collection createDataFrame
+    # defaults to defaultParallelism slices, so a 7-chunk scan fanned out
+    # as 32 tasks — 25 of them EMPTY, each still spinning up a Python
+    # worker (a 32-fork storm on a cold pool).  One chunk per task is
+    # also the reference's coffea Runner shape (guide §2.5 input sizing).
+    chunk_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunks, len(chunks)),
+        "path string, start long, stop long",
+    )
 
     branch_list = tuple(branches)
 
