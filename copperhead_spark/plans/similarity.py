@@ -856,18 +856,17 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.selectExpr(
         "cand_id", f"inline(array({', '.join(entries)}))"
     ).select("query_id", "cand_id", "adc")
-    # two-stage top-S: local (per input partition) then global
-    wl = Window.partitionBy("query_id", "part").orderBy(
-        F.col("adc").asc(), F.col("cand_id").asc()
-    )
+    # top-S per query in ONE window: rank-limit pushdown
+    # (WindowGroupLimit) prunes each map partition to its local top-S
+    # below the exchange, so only O(parts * nq * S) partials shuffle —
+    # the old explicit (query_id, spark_partition_id()) pre-window
+    # duplicated that prune at the cost of a second full
+    # Exchange+Sort+Window (r12; rows identical, total order per query)
     wg = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("cand_id").asc()
     )
     short = (
-        scored.withColumn("part", F.spark_partition_id())
-        .withColumn("lrn", F.row_number().over(wl))
-        .filter(F.col("lrn") <= _PQ_S)
-        .withColumn("srn", F.row_number().over(wg))
+        scored.withColumn("srn", F.row_number().over(wg))
         .filter(F.col("srn") <= _PQ_S)
         .select("query_id", "cand_id")
     )
@@ -1325,19 +1324,20 @@ def pipeline_ann_query_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS adc",
         )
     )
-    # two-stage top-S: local (per input partition) then global — the
-    # shuffle never carries the probed candidate set, only partials
-    wl = Window.partitionBy("query_id", "part").orderBy(
-        F.col("adc").asc(), F.col("cand_id").asc()
-    )
+    # top-S per query: Spark's rank-limit pushdown (WindowGroupLimit,
+    # default-on for row_number()<=k) already prunes each MAP partition
+    # to its local top-S below the exchange, so the shuffle carries only
+    # O(parts * nq * S) partials — exactly what the old explicit
+    # (query_id, spark_partition_id()) pre-window did, except that form
+    # cost a SECOND full Exchange+Sort+Window of the candidate set
+    # (r12: plan audit showed both exchanges carrying all probed rows).
+    # Identical rows: (adc, cand_id) is a total order per query, so the
+    # local prune can never evict a global top-S member.
     wg = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("cand_id").asc()
     )
     short = (
-        scored.withColumn("part", F.spark_partition_id())
-        .withColumn("lrn", F.row_number().over(wl))
-        .filter(F.col("lrn") <= _PQ_S)
-        .withColumn("srn", F.row_number().over(wg))
+        scored.withColumn("srn", F.row_number().over(wg))
         .filter(F.col("srn") <= _PQ_S)
         .select("query_id", "cand_id")
     )
@@ -1367,8 +1367,14 @@ def pipeline_ann_query_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     exact = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    # broadcast the ANN side of the recall join: it is nq x TOPK rows by
+    # construction (bounded by the query batch at ANY corpus size), and
+    # without the hint the planner ran a SortMergeJoin — two exchanges +
+    # sorts of driver-latency-bound row counts (r12 stage probe: this
+    # query's wall was 4.6 s against 0.8 s of executor CPU, all stage
+    # sequencing).
     return (
-        exact.join(topk, ["query_id", "cand_id"], "left")
+        exact.join(F.broadcast(topk), ["query_id", "cand_id"], "left")
         .groupBy("query_id")
         .agg(
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_match"),

@@ -20,8 +20,19 @@ def _driver_mem() -> str:
     — see the r12 note on spark.driver.extraJavaOptions below.  24g
     holds the full bench soak with headroom while two concurrent
     sessions (tests + bench) still fit the sandbox; override for bigger
-    hosts."""
-    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    hosts.  Because the pin COMMITS the heap at JVM start, the default
+    is clamped to a quarter of physical RAM on smaller hosts (an
+    explicit SPARK_GRAFT_DRIVER_MEM is always taken verbatim)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = int(fh.readline().split()[1])
+        quarter_g = total_kb // (4 * 1024 * 1024)
+        return f"{max(2, min(24, quarter_g))}g"
+    except (OSError, ValueError, IndexError):
+        return "24g"
 
 
 def _cpus() -> int:

@@ -251,26 +251,34 @@ def test_fit_e2e_pinned_point_probes(spark):
     """Reference-style pinned probes (test_continuous.py:80-101 pins
     dimuon_mass/yield values the same way) on the stage-3 fit chained
     onto the e2e chain: the fixture and fitter are deterministic, so the
-    winning family and its chi2/ndf per category are constants of the
-    codebase.  A fitter regression or a pipeline drift moves these."""
+    chi2/ndf per category is a constant of the codebase.  The winning
+    FAMILY is pinned exactly only where the chi2 gap to the runner-up is
+    real: chebyshev3 and bernstein3 span the same cubic space, so on
+    smooth categories their fitted chi2 agree to ~1e-16 and the argmin
+    between them is BLAS low-bit noise (r12: the pin flipped across a
+    host reboot with the histogram bit-identical — measured gaps 0 to
+    1.1e-16 on three of these categories).  Either cubic family passing
+    is the fitter working correctly; a real regression (family blowing
+    up, selection picking a non-polynomial, chi2 drift) still fails."""
     import pytest as _pytest
 
     from copperhead_spark.finishing.fits import fit_histogram_table
     from copperhead_spark.pipeline import stage1_arrays, stage2
     from copperhead_spark.plans.sources import root_events_scan
 
+    CUBICS = {"chebyshev3", "bernstein3"}
     hist = stage2(stage1_arrays(root_events_scan(spark, "/root/testdata/sf0.001")))
     fits = fit_histogram_table(hist.toPandas(), 76.0, 150.0, 37)
     pins = {
-        ("h-peak", "vbf"): ("chebyshev3", 0.4263),
-        ("h-sidebands", "ggh_2orMoreJets"): ("chebyshev3", 0.4024),
-        ("h-sidebands", "vbf"): ("bwGamma", 0.5787),
-        ("z-peak", "vbf"): ("chebyshev3", 0.1918),
+        ("h-peak", "vbf"): (CUBICS, 0.4263),
+        ("h-sidebands", "ggh_2orMoreJets"): (CUBICS, 0.4024),
+        ("h-sidebands", "vbf"): ({"bwGamma"}, 0.5787),  # gap to 2nd: 0.135
+        ("z-peak", "vbf"): (CUBICS, 0.1918),
     }
     assert set(fits) == set(pins)
-    for key, (model, chi2_ndf) in pins.items():
+    for key, (models, chi2_ndf) in pins.items():
         r = fits[key]
-        assert r.model == model, key
+        assert r.model in models, key
         assert r.chi2_ndf == _pytest.approx(chi2_ndf, rel=5e-3), key
     # one parameter-level probe, bit-stable on the deterministic fixture
     assert fits[("h-sidebands", "vbf")].params[1] == _pytest.approx(
