@@ -25,6 +25,25 @@ def project_once(df: DataFrame, *exprs: str) -> DataFrame:
     return df.selectExpr(f"inline(array(struct({', '.join(exprs)})))")
 
 
+def widen_if_narrow(df: DataFrame, spark) -> DataFrame:
+    """Round-robin repartition up to defaultParallelism, but ONLY when
+    the plan currently yields fewer partitions (r12).
+
+    The guide's §2.5 input-skew rule, made scale-adaptive: a single-file
+    single-row-group parquet scan is ONE task no matter how expensive
+    the per-row work stacked on it is (measured: the blocked-levenshtein
+    pair join ran 101 CPU-s on 2 tasks with 30 cores idle).  At
+    production scale the same scan arrives as many splits, the condition
+    fails, and NO exchange is added — this is never a blanket
+    repartition.  Keyless repartition keeps Spark's sort-before-
+    repartition determinism (SPARK-23207); callers must be row-order
+    independent downstream (filters/joins/aggregates all are)."""
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 _CGB_IDS = itertools.count()
 
 

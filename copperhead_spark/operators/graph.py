@@ -67,9 +67,22 @@ def connected_components(
     rev = edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
     sym = fwd.unionByName(rev).repartition(F.col("b")).localCheckpoint()
 
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("comp")
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    # r12: iterate over edge ENDPOINTS only.  A node with no incident
+    # edge never appears in ``sym`` — it can neither receive nor send a
+    # message, so its label is itself forever; carrying it through every
+    # round's join/aggregate/checkpoint only inflates the loop (in a
+    # dedup graph the isolated nodes are the overwhelming majority of
+    # the corpus — at 10^10 nodes with 10^8 pair endpoints this shrinks
+    # every per-round shuffle ~100x, guide §2.3).  Isolated nodes are
+    # re-attached with their identity label in the one final left join
+    # below.  Endpoints are intersected with ``nodes`` so the contract
+    # is unchanged: a dangling edge endpoint absent from ``nodes`` still
+    # never gains a label row.
+    touched = all_nodes.join(
+        sym.select(F.col("a").alias("node")).distinct(), "node", "left_semi"
     ).localCheckpoint()
+    labels = touched.select("node", F.col("node").alias("comp"))
 
     for _ in range(max_iter):
         # neighbor minimum per node: shuffle on b (join) then a (agg)
@@ -93,6 +106,9 @@ def connected_components(
         if n_changed == 0:
             break
 
-    return labels.select(
-        F.col("node").alias(node_col), F.col("comp").alias(component_col)
+    # isolated nodes rejoin with their identity label (they never
+    # received a message in the original all-nodes loop either)
+    return all_nodes.join(labels, "node", "left").select(
+        F.col("node").alias(node_col),
+        F.coalesce(F.col("comp"), F.col("node")).alias(component_col),
     )

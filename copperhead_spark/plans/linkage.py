@@ -561,8 +561,18 @@ def linkage_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a phonetic/sorted-neighborhood key sized so blocks stay bounded; the
     edit distance itself is a JVM builtin evaluated post-join, never a
     Python UDF."""
-    part = table(spark, sf_dir, "part").selectExpr(
-        "p_partkey", "p_name", "split(p_name, ' ')[0] AS blk"
+    from copperhead_spark.operators.barrier import widen_if_narrow
+
+    # widen the single-split scan before the block join: the levenshtein
+    # evaluation runs map-side on the join's STREAM side, and a one-task
+    # scan serialized 101 CPU-s of edit distances onto 2 tasks (r12
+    # stage probe).  Widening both sides keeps the stream side wide
+    # whichever side the planner builds; no-op at scale (see helper).
+    part = widen_if_narrow(
+        table(spark, sf_dir, "part").selectExpr(
+            "p_partkey", "p_name", "split(p_name, ' ')[0] AS blk"
+        ),
+        spark,
     )
     a = part.selectExpr("p_partkey AS key1", "p_name AS name1", "blk")
     c = part.selectExpr("p_partkey AS key2", "p_name AS name2", "blk")
