@@ -18,6 +18,7 @@ searches the width.  No scipy dependency.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -280,14 +281,67 @@ def select_best_model(
     return min(finite or results, key=lambda r: r.chi2_ndf)
 
 
+def _fit_task(task) -> FitResult:
+    """Process-pool worker: one (family, category) fit.  Module-level so
+    it pickles by reference under both fork and spawn."""
+    fam, x, y, sigma = task
+    return FAMILIES[fam](x, y, sigma)
+
+
+def fit_families_all(
+    groups: dict, families=FAMILIES, parallel: bool = True
+) -> dict:
+    """Fit EVERY family on every category at once: groups maps key ->
+    (x, y, sigma); returns key -> [FitResult in `families` order].
+
+    The (category x family) grid is embarrassingly parallel and each
+    task is pure CPU-bound Python/numpy (golden-section loops around
+    tiny lstsq calls — the GIL serializes them in-process), so the grid
+    runs on a fork process pool sized to the driver host.  Numerics are
+    BIT-IDENTICAL to the serial loop: the same fit functions run on the
+    same inputs, one task per (key, family), results re-assembled by
+    index — processes only remove the GIL, they change no arithmetic.
+    Any pool failure (exotic hosts without fork) falls back to the
+    serial loop."""
+    fam_names = list(families)
+    keys = list(groups)
+    tasks = [
+        (fam, *groups[key]) for key in keys for fam in fam_names
+    ]
+    results: list[FitResult] | None = None
+    # the pool worker resolves families from the module-level FAMILIES;
+    # custom family dicts (tests) take the serial path
+    if (
+        parallel
+        and len(tasks) > 1
+        and os.name == "posix"
+        and families is FAMILIES
+    ):
+        try:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            nproc = min(len(tasks), os.cpu_count() or 4)
+            with ctx.Pool(processes=nproc) as pool:
+                results = pool.map(_fit_task, tasks, chunksize=1)
+        except Exception:  # noqa: BLE001 - serial fallback, same numbers
+            results = None
+    if results is None:
+        results = [families[t[0]](*t[1:]) for t in tasks]
+    nfam = len(fam_names)
+    return {
+        key: results[i * nfam : (i + 1) * nfam] for i, key in enumerate(keys)
+    }
+
+
 def fit_histogram_table(
     hist_pdf, lo: float, hi: float, nbins: int, by=("region", "channel")
 ) -> dict:
     """Group the collected histogram table and fit each category — the
     per-(channel, category) fan-out of fitter.py:12-128, driver-side on
     tiny data."""
-    out = {}
     width = (hi - lo) / nbins
+    groups = {}
     for key, g in hist_pdf.groupby(list(by)):
         g = g[(g.bin_idx >= 0) & (g.bin_idx < nbins)].sort_values("bin_idx")
         if len(g) < 6:
@@ -295,5 +349,13 @@ def fit_histogram_table(
         x = lo + (g.bin_idx.to_numpy() + 0.5) * width
         y = g.value.to_numpy()
         sigma = np.sqrt(np.maximum(g.sumw2.to_numpy(), 1e-12))
-        out[key] = select_best_model(x, y, sigma)
+        groups[key] = (x, y, sigma)
+    # every (category x family) fit on the fork pool at once (r12:
+    # wall / ncores, bit-identical results), then the same finite-filter
+    # chi2/ndf argmin as select_best_model per category
+    all_fits = fit_families_all(groups)
+    out = {}
+    for key, results in all_fits.items():
+        finite = [r for r in results if math.isfinite(r.chi2)]
+        out[key] = min(finite or results, key=lambda r: r.chi2_ndf)
     return out

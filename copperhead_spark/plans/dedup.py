@@ -1030,12 +1030,29 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn")
             <= F.col("sz") - F.expr(f"CAST(ceil(sz * {_PF_T_E6} / 1e6) AS BIGINT)") + 1
         )
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "rn", "sz")
     )
+    # r12: PPJoin POSITIONAL filter on each prefix collision before the
+    # distinct + verify.  A collision of d1's token at rank i with d2's
+    # token at rank j (both ranks in the SAME global df-asc order) bounds
+    # the overlap: inter <= 1 + min(sz1-i, sz2-j); Jaccard >= t needs
+    # inter >= t*(sz1+sz2)/(1+t).  Soundness: a qualifying pair's FIRST
+    # common token is inside both prefixes (else its suffix-only common
+    # tokens number < ceil(t*sz) <= the required overlap) and at that
+    # collision the bound holds, so the pair always survives; collisions
+    # it prunes can never reach the final threshold, so the verified
+    # output is row-identical (proved vs the brute-force oracle).  This
+    # shrinks the candidate set BEFORE the two token-stream verify
+    # joins — the dominant cost at 10x scale.
     cand = (
         ranked.alias("a")
         .join(ranked.alias("b"), "tok")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (1 + F.least(F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")))
+            * (1_000_000 + _PF_T_E6)
+            >= _PF_T_E6 * (F.col("a.sz") + F.col("b.sz"))
+        )
         .select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )

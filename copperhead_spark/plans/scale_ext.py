@@ -311,7 +311,7 @@ def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hiding behind a rows-only check."""
     import math
 
-    from copperhead_spark.finishing.fits import FAMILIES, fit_histogram_table
+    from copperhead_spark.finishing.fits import fit_families_all
 
     li = table(spark, sf_dir, "lineitem")
     fine = histogram(
@@ -324,23 +324,32 @@ def fin1_chi2_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight=1 - F.col("l_discount"),
     )
     pdf = fine.toPandas()
-    fits = fit_histogram_table(pdf, _T_LO, _T_HI, _T_N, by=("dataset",))
-    # every family refit for the argmin / finiteness flags (tiny data:
-    # nbins rows per category, driver-side)
+    # one (category x family) fit grid on the fork pool (r12: the old
+    # path fit every family TWICE — once inside fit_histogram_table for
+    # the winner, once again here for the argmin/finiteness flags — and
+    # serially; same fits, same numbers, computed once in parallel)
     import numpy as np
 
     width = (_T_HI - _T_LO) / _T_N
-    rows = []
-    for key, winner in sorted(fits.items(), key=lambda kv: str(kv[0])):
+    groups = {}
+    for key, g in pdf.groupby(["dataset"]):
         label = key[0] if isinstance(key, tuple) and len(key) == 1 else str(key)
-        g = pdf[pdf.dataset == label]
         g = g[(g.bin_idx >= 0) & (g.bin_idx < _T_N)].sort_values("bin_idx")
+        if len(g) < 6:
+            continue
         x = _T_LO + (g.bin_idx.to_numpy() + 0.5) * width
         y = g.value.to_numpy()
         sigma = np.sqrt(np.maximum(g.sumw2.to_numpy(), 1e-12))
-        results = [fit(x, y, sigma) for fit in FAMILIES.values()]
+        groups[label] = (len(g), x, y, sigma)
+    all_fits = fit_families_all(
+        {label: xys for label, (_, *xys) in groups.items()}
+    )
+    rows = []
+    for label in sorted(all_fits, key=str):
+        results = all_fits[label]
         finite = [r for r in results if math.isfinite(r.chi2)]
-        rows.append((label, len(g), winner, finite))
+        winner = min(finite or results, key=lambda r: r.chi2_ndf)
+        rows.append((label, groups[label][0], winner, finite))
     # exact anchors come from the SAME histogram aggregate the fit used
     # (hist_rows = unweighted count per dataset needs its own exact agg)
     anchors = (

@@ -1757,7 +1757,7 @@ def pipeline_root_to_fit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    from copperhead_spark.finishing.fits import FAMILIES
+    from copperhead_spark.finishing.fits import fit_families_all
     from copperhead_spark.functions.exact import exact_sum
     from copperhead_spark.operators.histogram import bin_index
     from copperhead_spark.pipeline import channel_case, stage1_arrays, stage2
@@ -1768,9 +1768,9 @@ def pipeline_root_to_fit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE fitting pass per category (select_best_model semantics inlined:
     # winner = min chi2/ndf over finite families) — fitting every family
     # twice via fit_histogram_table + a refit loop measured 2x the
-    # driver-side cost at identical results
+    # driver-side cost at identical results (r11 note, still true)
     width = (_TH1_HI - _TH1_LO) / _TH1_NBINS
-    refit = {}
+    groups = {}
     for key, g in pdf.groupby(["region", "channel"]):
         g = g[(g.bin_idx >= 0) & (g.bin_idx < _TH1_NBINS)].sort_values("bin_idx")
         if len(g) < _FIT_E2E_MIN_BINS:
@@ -1778,10 +1778,18 @@ def pipeline_root_to_fit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = _TH1_LO + (g.bin_idx.to_numpy() + 0.5) * width
         y = g.value.to_numpy()
         sigma = np.sqrt(np.maximum(g.sumw2.to_numpy(), 1e-12))
-        results = [fit(x, y, sigma) for fit in FAMILIES.values()]
+        groups[key] = (len(g), x, y, sigma)
+    # r12: the whole (category x family) grid runs on a fork process
+    # pool (fit_families_all) — the six-family menu per category was the
+    # dominant driver-side cost of this query (~8 of 10.6 s, serial,
+    # GIL-bound); the pool runs the SAME fit functions on the SAME
+    # inputs, so every chi2/winner is bit-identical to the serial loop
+    all_fits = fit_families_all({k: xys for k, (_, *xys) in groups.items()})
+    refit = {}
+    for key, results in all_fits.items():
         finite = [r for r in results if math.isfinite(r.chi2)]
         winner = min(finite or results, key=lambda r: r.chi2_ndf)
-        refit[key] = (len(g), winner, finite)
+        refit[key] = (groups[key][0], winner, finite)
     # exact anchors from the SAME flat table the histogram consumed.
     # codegen_barrier is load-bearing: fused with stage1's kinematics
     # tail, the channel CASE + bin + exact-sum partial agg push the

@@ -16,8 +16,9 @@ from pyspark.sql import SparkSession
 
 
 def _driver_mem() -> str:
-    """Driver JVM heap: pinned (-Xms = -Xmx) and pre-touched at startup
-    — see the r12 note on spark.driver.extraJavaOptions below.  24g
+    """Driver JVM heap: pinned (-Xms = -Xmx), pre-touched at startup
+    when this boot's fault cost makes that cheap (_pretouch_ok) — see
+    the r12 note on spark.driver.extraJavaOptions below.  24g
     holds the full bench soak with headroom while two concurrent
     sessions (tests + bench) still fit the sandbox; override for bigger
     hosts.  Because the pin COMMITS the heap at JVM start, the default
@@ -33,6 +34,27 @@ def _driver_mem() -> str:
         return f"{max(2, min(24, quarter_g))}g"
     except (OSError, ValueError, IndexError):
         return "24g"
+
+
+def _pretouch_ok() -> bool:
+    """Whether the driver heap should be pre-touched at JVM start
+    (-XX:+AlwaysPreTouch).  The pin itself (-Xms = -Xmx) is always safe;
+    pre-touch is only a win when fresh first-touch faults are cheap.  On
+    a healthy host a fault costs well under 1 µs and faulting the whole
+    heap once at startup removes the mid-query fault storms documented
+    in the r12 note below.  But when the hypervisor reclaims guest-freed
+    pages (virtio free-page reporting), every fresh fault round-trips to
+    the host at ~100 µs — measured on one sandbox boot: 67 s to
+    pre-touch a 2 GiB heap, i.e. 10+ MINUTES of pure system time for a
+    bench-sized heap before the session even starts.  A userspace probe
+    cannot detect that boot state reliably (pages recently freed by
+    other processes re-fault cheaply until the host reclaims them, so a
+    small probe reads "fast" while the 24 GiB pre-touch still hits the
+    slow path — observed in-image).  The risk is asymmetric — lazy
+    faulting costs seconds amortized over queries, pre-touch can cost
+    minutes up front — so the default is OFF; opt in with
+    `SPARK_GRAFT_PRETOUCH=1` on hosts known to fault cheaply."""
+    return os.environ.get("SPARK_GRAFT_PRETOUCH", "") == "1"
 
 
 def _cpus() -> int:
@@ -76,7 +98,8 @@ def get_spark(
         # prophylaxis for genuinely long sessions (plan-audit runs all
         # 180+ queries in one JVM), not as a fix for that regression.
         #
-        # r12 heap pinning (-Xms = -Xmx, +AlwaysPreTouch, madvise-THP):
+        # r12 heap pinning (-Xms = -Xmx, adaptive +AlwaysPreTouch,
+        # madvise-THP):
         # per-process CPU attribution of the bimodal query walls (same
         # collect 1.2s or 21s) showed the slow mode is almost pure JVM
         # *system* time — 40+s of minor-fault storms whenever G1 commits
@@ -87,12 +110,18 @@ def get_spark(
         # of every query: the heaviest e2e went from 3-13s erratic walls
         # to a stable 1.4-1.9s.  Standard long-running-service JVM
         # practice, not a local[32] tune; on a cluster the same flags
-        # belong in spark.executor.extraJavaOptions.
+        # belong in spark.executor.extraJavaOptions.  Pre-touch is
+        # gated on _pretouch_ok()'s fault-cost probe: on boots where
+        # the hypervisor makes every fresh fault ~100 µs, pre-touching
+        # the heap takes minutes of pure system time before the session
+        # starts, strictly worse than faulting lazily (the pin + THP
+        # halves are kept unconditionally — they are always safe).
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
-            f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
-            "-XX:+UseTransparentHugePages",
+            f"-Xms{driver_mem} "
+            + ("-XX:+AlwaysPreTouch " if _pretouch_ok() else "")
+            + "-XX:+UseTransparentHugePages",
         )
         # r12: Python workers (numpy/pyarrow kernels) hit the same
         # reclaimed-page refaults on every multi-MB allocation glibc
